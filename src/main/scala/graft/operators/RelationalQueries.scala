@@ -1,0 +1,504 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scan / filter / aggregate / window / set-op / scalar-function surface.
+  *
+  * The reference (qubole/rubix) delegates all relational execution to its
+  * host engines and pins the expected SQL surface via its TPC-DS stress
+  * corpus (rubix-stress/queries, see SURVEY.md §2.3-2.10). Here that
+  * surface is expressed Spark-first over the star-schema testdata, each
+  * query paired with a DuckDB oracle. All double-typed outputs are rounded
+  * to 3 decimals on BOTH sides so engine-order-dependent floating summation
+  * cannot flip the hash compare.
+  */
+object RelationalQueries {
+  private def r3(c: Column): Column = round(c, 3)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- TPC-H Q1 style pricing summary: hash agg, partial+final ----
+    QueryDef("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),3) AS sum_qty,
+        | round(sum(l_extendedprice),3) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),3) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),3) AS sum_charge,
+        | round(avg(l_quantity),3) AS avg_qty,
+        | round(avg(l_extendedprice),3) AS avg_price,
+        | round(avg(l_discount),3) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r3(sum("l_quantity")).as("sum_qty"),
+          r3(sum("l_extendedprice")).as("sum_base_price"),
+          r3(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r3(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          r3(avg("l_quantity")).as("avg_qty"),
+          r3(avg("l_extendedprice")).as("avg_price"),
+          r3(avg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- projection + predicate pushdown to parquet ----
+    QueryDef("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_discount > 0.05 AND l_quantity < 10""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-03-01") &&
+          col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    // ---- TPC-H Q3 style: 3-way join + top-k by computed measure ----
+    QueryDef("q03_top_revenue",
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice*(1-l_discount)),3) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.load(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"), col("o_orderpriority"))
+        .agg(r3(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+
+    // ---- semi join (EXISTS) ----
+    QueryDef("q04_order_priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 30)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      val l = Tables.load(s, dir, "lineitem").filter(col("l_quantity") > 30)
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+    },
+
+    // ---- TPC-H Q5 style: 6-table star join, broadcast dims ----
+    QueryDef("q05_region_revenue",
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),3) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.load(s, dir, "lineitem")
+      val su = Tables.load(s, dir, "supplier")
+      val n = Tables.load(s, dir, "nation")
+      val re = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(r3(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+    },
+
+    // ---- TPC-H Q6: filter + global agg (no shuffle beyond partial/final) ----
+    QueryDef("q06_revenue_forecast",
+      """SELECT round(sum(l_extendedprice*l_discount),3) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(r3(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- anti join (NOT EXISTS) ----
+    QueryDef("q07_inactive_customers",
+      """SELECT c_mktsegment, count(*) AS n_inactive
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_inactive"))
+    },
+
+    // ---- TPC-H Q13 style: left outer join + nested agg ----
+    QueryDef("q08_order_distribution",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    },
+
+    // ---- multi-distinct aggregation (q28 style) ----
+    QueryDef("q09_distinct_buckets",
+      """SELECT count(DISTINCT l_partkey) AS d_part,
+        |       count(DISTINCT l_suppkey) AS d_supp,
+        |       count(DISTINCT l_orderkey) AS d_ord,
+        |       count(*) AS n
+        |FROM lineitem WHERE l_quantity BETWEEN 5 AND 45""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").filter(col("l_quantity").between(5, 45))
+        .agg(countDistinct(col("l_partkey")).as("d_part"),
+          countDistinct(col("l_suppkey")).as("d_supp"),
+          countDistinct(col("l_orderkey")).as("d_ord"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- TPC-H Q10 style: returned-item top customers ----
+    QueryDef("q10_returned_top_customers",
+      """SELECT c_custkey, c_name,
+        | round(sum(l_extendedprice*(1-l_discount)),3) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      l.join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(r3(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
+    // ---- rollup ----
+    QueryDef("q11_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity),3) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), r3(sum("l_quantity")).as("sum_qty"))
+    },
+
+    // ---- cube ----
+    QueryDef("q12_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice),3) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), r3(sum("o_totalprice")).as("total"))
+    },
+
+    // ---- grouping sets (SQL surface) ----
+    QueryDef("q13_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+
+    // ---- window: rank / dense_rank / ntile ----
+    QueryDef("q14_window_rank",
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        | rank()       OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | ntile(4)     OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          rank().over(w).cast("long").as("rnk"), dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    },
+
+    // ---- window: running sum + moving average ----
+    QueryDef("q15_window_running",
+      """SELECT event_id, user_id, value,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),3) AS running_sum,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),3) AS mov_sum,
+        | count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_n
+        |FROM events""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          r3(sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("running_sum"),
+          r3(sum("value").over(w.rowsBetween(-3, Window.currentRow))).as("mov_sum"),
+          count(lit(1)).over(w.rowsBetween(-3, Window.currentRow)).as("frame_n"))
+    },
+
+    // ---- window: lag / lead ----
+    QueryDef("q16_window_lag_lead",
+      """SELECT event_id, user_id,
+        | round(value - lag(value, 1, 0.0) OVER w, 3) AS delta,
+        | lead(event_type, 1, 'none') OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          r3(col("value") - lag(col("value"), 1, 0.0).over(w)).as("delta"),
+          lead(col("event_type"), 1, "none").over(w).as("next_type"))
+    },
+
+    // ---- top-k per group via row_number ----
+    QueryDef("q17_topk_per_group",
+      """SELECT n_name, s_suppkey, s_acctbal, rn FROM (
+        |  SELECT n_name, s_suppkey, s_acctbal,
+        |    row_number() OVER (PARTITION BY s_nationkey
+        |                       ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey) t
+        |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("s_suppkey"), col("s_acctbal"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+    },
+
+    // ---- union all across "channels" (q75 style) ----
+    QueryDef("q18_union_channels",
+      """SELECT yr, channel, round(sum(amount),3) AS total, count(*) AS n FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, 'orders' AS channel,
+        |         o_totalprice AS amount FROM orders
+        |  UNION ALL
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, 'lineitem' AS channel,
+        |         l_extendedprice AS amount FROM lineitem) t
+        |GROUP BY yr, channel""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          lit("orders").as("channel"), col("o_totalprice").as("amount"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(year(col("l_shipdate")).cast("long").as("yr"),
+          lit("lineitem").as("channel"), col("l_extendedprice").as("amount"))
+      o.unionAll(l).groupBy("yr", "channel")
+        .agg(r3(sum("amount")).as("total"), count(lit(1)).as("n"))
+    },
+
+    // ---- intersect ----
+    QueryDef("q19_intersect",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("custkey"))
+        .intersect(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey")))
+    },
+
+    // ---- except ----
+    QueryDef("q20_except",
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(Tables.load(s, dir, "orders").select(col("o_custkey").as("custkey")))
+    },
+
+    // ---- string scalar functions ----
+    QueryDef("q21_string_funcs",
+      """SELECT p_brand, upper(p_type) AS type_u, count(*) AS n,
+        | round(avg(length(p_name)),3) AS avg_name_len,
+        | max(substr(p_name, 1, 8)) AS max_prefix,
+        | min(concat(p_brand, '-', p_type)) AS min_tag
+        |FROM part GROUP BY p_brand, upper(p_type)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "part")
+        .groupBy(col("p_brand"), upper(col("p_type")).as("type_u"))
+        .agg(count(lit(1)).as("n"),
+          r3(avg(length(col("p_name")))).as("avg_name_len"),
+          max(substring(col("p_name"), 1, 8)).as("max_prefix"),
+          min(concat(col("p_brand"), lit("-"), col("p_type"))).as("min_tag"))
+    },
+
+    // ---- date/time functions ----
+    QueryDef("q22_date_funcs",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mstart,
+        |       count(*) AS n, round(sum(o_totalprice),3) AS total
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mstart"))
+        .agg(count(lit(1)).as("n"), r3(sum("o_totalprice")).as("total"))
+    },
+
+    // ---- conditional aggregation ----
+    QueryDef("q23_case_agg",
+      """SELECT l_returnflag,
+        | round(sum(CASE WHEN l_quantity < 10 THEN l_extendedprice ELSE 0 END),3) AS small_rev,
+        | round(sum(CASE WHEN l_quantity >= 10 AND l_quantity < 30 THEN l_extendedprice ELSE 0 END),3) AS mid_rev,
+        | round(sum(CASE WHEN l_quantity >= 30 THEN l_extendedprice ELSE 0 END),3) AS big_rev
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      l.groupBy("l_returnflag").agg(
+        r3(sum(when(col("l_quantity") < 10, col("l_extendedprice")).otherwise(0))).as("small_rev"),
+        r3(sum(when(col("l_quantity") >= 10 && col("l_quantity") < 30, col("l_extendedprice")).otherwise(0))).as("mid_rev"),
+        r3(sum(when(col("l_quantity") >= 30, col("l_extendedprice")).otherwise(0))).as("big_rev"))
+    },
+
+    // ---- theta (non-equi range) join ----
+    QueryDef("q24_theta_join",
+      """SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n
+        |FROM part a JOIN part b
+        |  ON b.p_size BETWEEN a.p_size - 1 AND a.p_size + 1
+        | AND a.p_partkey < b.p_partkey
+        |WHERE a.p_type = 'SMALL' AND b.p_type = 'ECONOMY'
+        |GROUP BY a.p_brand, b.p_brand""".stripMargin) { (s, dir) =>
+      val a = Tables.load(s, dir, "part").filter(col("p_type") === "SMALL")
+        .select(col("p_partkey").as("a_key"), col("p_size").as("a_size"), col("p_brand").as("brand_a"))
+      val b = Tables.load(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey").as("b_key"), col("p_size").as("b_size"), col("p_brand").as("brand_b"))
+      a.join(b, col("b_size").between(col("a_size") - 1, col("a_size") + 1) &&
+          col("a_key") < col("b_key"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- max of every fact column (max_all.sql analog: max IO, min CPU) ----
+    QueryDef("q25_max_all",
+      """SELECT max(l_orderkey) AS m_orderkey, max(l_partkey) AS m_partkey,
+        | max(l_suppkey) AS m_suppkey, max(l_linenumber) AS m_linenumber,
+        | max(l_quantity) AS m_quantity, max(l_extendedprice) AS m_extendedprice,
+        | max(l_discount) AS m_discount, max(l_tax) AS m_tax,
+        | max(l_returnflag) AS m_returnflag, max(l_linestatus) AS m_linestatus,
+        | strftime(max(l_shipdate), '%Y-%m-%d') AS m_shipdate, count(*) AS n
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").agg(
+        max("l_orderkey").as("m_orderkey"), max("l_partkey").as("m_partkey"),
+        max("l_suppkey").as("m_suppkey"), max("l_linenumber").as("m_linenumber"),
+        max("l_quantity").as("m_quantity"), max("l_extendedprice").as("m_extendedprice"),
+        max("l_discount").as("m_discount"), max("l_tax").as("m_tax"),
+        max("l_returnflag").as("m_returnflag"), max("l_linestatus").as("m_linestatus"),
+        date_format(max("l_shipdate"), "yyyy-MM-dd").as("m_shipdate"), count(lit(1)).as("n"))
+    },
+
+    // ---- math scalar functions ----
+    QueryDef("q26_math_funcs",
+      """SELECT l_returnflag,
+        | round(sum(sqrt(l_extendedprice)),3) AS sum_sqrt,
+        | round(sum(abs(l_discount - 0.05)),3) AS sum_absdev,
+        | round(sum(ln(l_extendedprice)),3) AS sum_ln,
+        | CAST(sum(CAST(floor(l_quantity / 10) AS BIGINT)) AS BIGINT) AS sum_decile
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        r3(sum(sqrt(col("l_extendedprice")))).as("sum_sqrt"),
+        r3(sum(abs(col("l_discount") - 0.05))).as("sum_absdev"),
+        r3(sum(log(col("l_extendedprice")))).as("sum_ln"),
+        sum(floor(col("l_quantity") / 10)).as("sum_decile"))
+    },
+
+    // ---- HAVING ----
+    QueryDef("q27_having",
+      """SELECT l_partkey, count(*) AS n FROM lineitem
+        |GROUP BY l_partkey HAVING count(*) >= 40""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 40)
+    },
+
+    // ---- correlated scalar subquery ----
+    QueryDef("q28_correlated_subquery",
+      """SELECT p_brand, count(*) AS n FROM part
+        |WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+        |                       WHERE p2.p_brand = part.p_brand)
+        |GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "part").createOrReplaceTempView("sq_part")
+      s.sql(
+        """SELECT p_brand, count(*) AS n FROM sq_part
+          |WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM sq_part p2
+          |                       WHERE p2.p_brand = sq_part.p_brand)
+          |GROUP BY p_brand""".stripMargin)
+    },
+
+    // ---- regexp extraction over JSON-ish payload ----
+    QueryDef("q29_regexp_json",
+      """SELECT event_type,
+        | round(avg(CAST(regexp_extract(props, 'k.: (\d+)', 1) AS BIGINT)),3) AS avg_k,
+        | max(CAST(regexp_extract(props, 'k.: (\d+)', 1) AS BIGINT)) AS max_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val k = regexp_extract(col("props"), "k.: (\\d+)", 1).cast("long")
+      Tables.load(s, dir, "events").groupBy("event_type")
+        .agg(r3(avg(k)).as("avg_k"), max(k).as("max_k"), count(lit(1)).as("n"))
+    },
+
+    // ---- pivot (conditional-agg oracle) ----
+    QueryDef("q30_pivot",
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        | CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(sum(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(sum(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      types.foldLeft(
+        Tables.load(s, dir, "events")
+          .groupBy("user_id").pivot("event_type", types).count().na.fill(0L)
+      ) { case (df, t) => df.withColumnRenamed(t, s"n_$t") }
+    },
+
+    // ---- approx distinct (HLL) — engine-specific sketch, rows-only check ----
+    QueryDef.noOracle("q31_approx_distinct") { (s, dir) =>
+      Tables.load(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- interval range join: events within 1h after each signup ----
+    QueryDef("q32_interval_join",
+      """SELECT s.event_id AS signup_id, count(e.event_id) AS n_follow
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN events e
+        |  ON e.user_id = s.user_id AND e.ts > s.ts
+        | AND e.ts <= s.ts + INTERVAL '1 hour'
+        |GROUP BY s.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+      su.join(ev,
+          col("user_id") === col("s_user") && col("ts") > col("s_ts") &&
+            col("ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+        .groupBy("signup_id").agg(count(col("event_id")).as("n_follow"))
+    }
+  )
+}
