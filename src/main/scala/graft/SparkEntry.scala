@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All operator definitions, in gate order. */
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ EventQueries.defs
+    RelationalQueries.defs ++ EventQueries.defs ++ CacheQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,77 @@
+package graft.cache
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+/** On-disk layout of cache entries (reference: rubix-spi
+  * CacheUtil.java:162-182,258-310).
+  *
+  * A remote file `scheme://auth/a/b/name` is cached as
+  * `<cacheDir>/<auth-or-local>/a/b/name_g<N>` with a sibling
+  * `name_mdfile_g<N>` holding the block bitmap. `N` is the generation
+  * number: it bumps on every invalidation so concurrent readers of an old
+  * generation never observe a half-deleted entry (reference:
+  * FileMetadata.java:125-182).
+  */
+object CacheFileLayout {
+  private val GenSuffix = "_g"
+  private val MdInfix = "_mdfile"
+
+  /** Relative directory for a remote path: authority + parent dirs. */
+  private def relDir(remotePath: String): String = {
+    val uri = java.net.URI.create(remotePath.replace(" ", "%20"))
+    val auth = Option(uri.getAuthority).filter(_.nonEmpty).getOrElse("local")
+    val p = Option(uri.getPath).getOrElse(remotePath)
+    val parent = Option(new File(p).getParent).getOrElse("/")
+    auth + parent
+  }
+
+  private def baseName(remotePath: String): String = {
+    val uri = java.net.URI.create(remotePath.replace(" ", "%20"))
+    new File(Option(uri.getPath).getOrElse(remotePath)).getName
+  }
+
+  def dataFile(cacheDir: String, remotePath: String, generation: Int): File =
+    new File(new File(cacheDir, relDir(remotePath)),
+      baseName(remotePath) + GenSuffix + generation)
+
+  def mdFile(cacheDir: String, remotePath: String, generation: Int): File =
+    new File(new File(cacheDir, relDir(remotePath)),
+      baseName(remotePath) + MdInfix + GenSuffix + generation)
+
+  /** Highest generation for which a data file exists on disk, or 0.
+    * Mirrors FileMetadata.findGenerationNumber: after a restart the cache
+    * re-adopts the newest complete entry rather than redownloading.
+    */
+  def findLatestGeneration(cacheDir: String, remotePath: String): Int = {
+    val dir = new File(cacheDir, relDir(remotePath))
+    val base = baseName(remotePath)
+    val files = Option(dir.list()).getOrElse(Array.empty[String])
+    val dataGens = files.collect {
+      case n if n.startsWith(base + GenSuffix) &&
+        n.drop(base.length + GenSuffix.length).forall(_.isDigit) &&
+        n.drop(base.length + GenSuffix.length).nonEmpty =>
+        n.drop(base.length + GenSuffix.length).toInt
+    }
+    if (dataGens.isEmpty) 0 else dataGens.max
+  }
+
+  /** Delete data+md files for every generation <= `upTo` (invalidation). */
+  def deleteGenerations(cacheDir: String, remotePath: String, upTo: Int): Int = {
+    var deleted = 0
+    var g = upTo
+    while (g >= 1) {
+      val d = dataFile(cacheDir, remotePath, g)
+      val m = mdFile(cacheDir, remotePath, g)
+      if (d.exists() && d.delete()) deleted += 1
+      if (m.exists() && m.delete()) deleted += 1
+      g -= 1
+    }
+    deleted
+  }
+
+  def ensureParent(f: File): Unit = {
+    val p = f.getParentFile
+    if (p != null && !p.exists()) Files.createDirectories(Paths.get(p.getPath))
+  }
+}

@@ -1,0 +1,169 @@
+package graft.cache
+
+import java.util.concurrent.ConcurrentHashMap
+import com.google.common.cache.{CacheBuilder, RemovalListener, RemovalNotification, Weigher, Cache => GCache}
+
+/** Block-location state for one block of one file (reference thrift enum
+  * Location, bookkeeper.thrift:6-10). NON_LOCAL is reserved for the
+  * locality layer (another executor owns the split). */
+sealed trait BlockState
+object BlockState {
+  case object Cached extends BlockState
+  case object Local extends BlockState
+  case object NonLocal extends BlockState
+}
+
+final case class CacheStatus(generation: Int, blocks: IndexedSeq[BlockState])
+
+/** Executor-singleton cache metadata service — the reference's BookKeeper
+  * daemon (rubix-bookkeeper BookKeeper.java) collapsed into an in-process
+  * object, which the reference itself supports as "embedded mode"
+  * (CachingFileSystem.setLocalBookKeeper:192-201). Spark-native design:
+  * one instance per executor JVM; no Thrift, callers are the task threads.
+  *
+  * Responsibilities: getCacheStatus / setAllCached / invalidate, generation
+  * numbers, weighted LRU eviction with on-disk file deletion
+  * (BookKeeper.java:629-746 semantics via Guava's weighted cache).
+  */
+final class CacheManager(val conf: CacheConfig) {
+  val metrics = new CacheMetrics
+
+  /** Current generation per path; survives metadata eviction. Seeded from
+    * disk layout on first touch (findGenerationNumber semantics). */
+  private val generations = new ConcurrentHashMap[String, Integer]()
+
+  private val removal = new RemovalListener[String, FileMetadata] {
+    override def onRemoval(n: RemovalNotification[String, FileMetadata]): Unit = {
+      // REPLACED fires on the re-put we use to refresh weights — the entry
+      // is still live, never delete its files then.
+      if (n.getCause == com.google.common.cache.RemovalCause.REPLACED) return
+      if (n.wasEvicted()) metrics.evictions.incrementAndGet()
+      // Invalidation already deleted files; eviction must delete here.
+      if (n.getValue != null && !n.getValue.isDeleted) n.getValue.deleteFiles()
+    }
+  }
+
+  private[cache] val registry: GCache[String, FileMetadata] = {
+    val b = CacheBuilder.newBuilder().removalListener(removal)
+    (if (conf.maxSizeMB > 0)
+      b.weigher(new Weigher[String, FileMetadata] {
+          override def weigh(k: String, v: FileMetadata): Int = v.weightKB
+        }).maximumWeight(conf.maxSizeMB * 1024)
+     else b)
+      .build[String, FileMetadata]()
+  }
+
+  private def currentGeneration(path: String): Int =
+    generations.computeIfAbsent(path,
+      p => Integer.valueOf(
+        math.max(1, CacheFileLayout.findLatestGeneration(conf.cacheDir, p)))).intValue
+
+  private def metadata(path: String, fileLen: Long, mtime: Long): FileMetadata = {
+    val gen = currentGeneration(path)
+    val existing = registry.getIfPresent(path)
+    if (existing != null && existing.generation == gen &&
+      existing.fileLen == fileLen &&
+      (!conf.stalenessCheck || existing.lastModified == mtime) &&
+      !existing.isDeleted) {
+      existing
+    } else {
+      if (existing != null &&
+        (existing.fileLen != fileLen ||
+          (conf.stalenessCheck && existing.lastModified != mtime))) {
+        // remote file changed underneath us -> invalidate + new generation
+        invalidate(path)
+      }
+      this.synchronized {
+        val gen2 = currentGeneration(path)
+        val again = registry.getIfPresent(path)
+        if (again != null && again.generation == gen2 && !again.isDeleted &&
+          again.fileLen == fileLen) again
+        else {
+          val m = new FileMetadata(path, fileLen, mtime, gen2, conf)
+          registry.put(path, m)
+          m
+        }
+      }
+    }
+  }
+
+  /** Per-block cache state for [startBlock, endBlock) of `path`
+    * (BookKeeper.getCacheStatus:249-353; single-node: every block is
+    * either Cached or Local). */
+  def getCacheStatus(path: String, fileLen: Long, mtime: Long,
+      startBlock: Long, endBlock: Long): CacheStatus = {
+    val m = metadata(path, fileLen, mtime)
+    val states = (startBlock until endBlock).map { b =>
+      if (m.isBlockCached(b)) { metrics.cachedRequests.incrementAndGet(); BlockState.Cached: BlockState }
+      else { metrics.remoteRequests.incrementAndGet(); BlockState.Local: BlockState }
+    }
+    CacheStatus(m.generation, states.toIndexedSeq)
+  }
+
+  /** Mark blocks cached after a successful warmup write; generation-guarded
+    * (BookKeeper.setAllCached:414-453). Re-puts to refresh Guava weight. */
+  def setAllCached(path: String, fileLen: Long, mtime: Long, generation: Int,
+      startBlock: Long, endBlock: Long): Boolean = {
+    val m = registry.getIfPresent(path)
+    if (m == null || m.isDeleted || m.generation != generation ||
+      m.fileLen != fileLen ||
+      (conf.stalenessCheck && m.lastModified != mtime)) return false
+    val bytes = m.setBlocksCached(startBlock, endBlock)
+    if (bytes > 0) registry.put(path, m) // re-weigh
+    true
+  }
+
+  /** Drop metadata + delete cache files + bump generation
+    * (BookKeeper.invalidateFileMetadata:749-756). */
+  def invalidate(path: String): Unit = {
+    metrics.invalidations.incrementAndGet()
+    val m = registry.getIfPresent(path)
+    if (m != null) {
+      m.deleteFiles()
+      registry.invalidate(path)
+    } else {
+      CacheFileLayout.deleteGenerations(conf.cacheDir, path,
+        currentGeneration(path))
+    }
+    generations.compute(path, (_, g) =>
+      Integer.valueOf(if (g == null) 2 else g.intValue + 1))
+  }
+
+  def metadataFor(path: String): Option[FileMetadata] =
+    Option(registry.getIfPresent(path))
+
+  /** Total cached weight in KB (eviction accounting check). */
+  def totalWeightKB: Long = {
+    var w = 0L
+    registry.asMap().values().forEach(m => w += m.weightKB)
+    w
+  }
+
+  def clear(): Unit = {
+    registry.invalidateAll()
+    registry.cleanUp()
+    generations.clear()
+  }
+}
+
+/** JVM-wide singleton access (one per executor). */
+object CacheManager {
+  @volatile private var instance: CacheManager = _
+
+  def getOrInit(conf: CacheConfig): CacheManager = {
+    val cur = instance
+    if (cur != null && cur.conf == conf) cur
+    else this.synchronized {
+      if (instance == null || instance.conf != conf)
+        instance = new CacheManager(conf)
+      instance
+    }
+  }
+
+  def current: Option[CacheManager] = Option(instance)
+
+  private[graft] def resetForTest(): Unit = this.synchronized {
+    if (instance != null) instance.clear()
+    instance = null
+  }
+}

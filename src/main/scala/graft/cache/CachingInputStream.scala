@@ -1,0 +1,251 @@
+package graft.cache
+
+import java.io.{EOFException, IOException, RandomAccessFile}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.StandardOpenOption
+import org.apache.hadoop.fs.{FSDataInputStream, FSInputStream}
+
+/** Read plan node: a group of collated ranges served by one strategy
+  * (the reference's ReadRequestChain family, rubix-core *RequestChain.java).
+  */
+sealed trait PlannedChain { def ranges: Vector[ReadRange] }
+final case class CachedChain(ranges: Vector[ReadRange]) extends PlannedChain
+final case class RemoteChain(ranges: Vector[ReadRange]) extends PlannedChain
+final case class DirectChain(ranges: Vector[ReadRange]) extends PlannedChain
+
+object ReadPlanner {
+
+  /** Pure chain planner (port of CachingInputStream.setupReadRequestChains,
+    * rubix-core CachingInputStream.java:315-500, single-node branches):
+    * classify each block against cache state, emit block-aligned warmup
+    * ranges for misses (affix over-read) and exact ranges for hits, then
+    * collate adjacent ranges per strategy and chunk oversized ones.
+    */
+  def plan(pos: Long, len: Int, fileLen: Long, blockSize: Int,
+      maxReadRequestSize: Int, status: CacheStatus,
+      startBlock: Long): Seq[PlannedChain] = {
+    val end = pos + len
+    var cached = Vector.empty[ReadRange]
+    var remote = Vector.empty[ReadRange]
+    var b = startBlock
+    val endBlock = BlockMath.endBlock(pos, len, blockSize)
+    while (b < endBlock) {
+      val bs = BlockMath.blockStart(b, blockSize)
+      val be = BlockMath.blockEnd(b, blockSize, fileLen)
+      val aStart = math.max(pos, bs)
+      val aEnd = math.min(end, be)
+      val dest = (aStart - pos).toInt
+      status.blocks((b - startBlock).toInt) match {
+        case BlockState.Cached =>
+          cached :+= ReadRange(aStart, aEnd, aStart, aEnd, dest)
+        case _ =>
+          // warmup: read the whole block (affix bytes beyond the request)
+          remote :+= ReadRange(bs, be, aStart, aEnd, dest)
+      }
+      b += 1
+    }
+    val chains = Seq.newBuilder[PlannedChain]
+    if (cached.nonEmpty)
+      ReadRange.collate(cached).foreach(g => chains += CachedChain(g))
+    if (remote.nonEmpty)
+      ReadRange.collate(remote)
+        .flatMap(g => splitGroup(g, maxReadRequestSize))
+        .foreach(g => chains += RemoteChain(g))
+    chains.result()
+  }
+
+  /** Re-chunk a collated group so no single backend read exceeds max. */
+  private def splitGroup(g: Vector[ReadRange], maxSize: Int): Seq[Vector[ReadRange]] = {
+    val out = Seq.newBuilder[Vector[ReadRange]]
+    var cur = Vector.empty[ReadRange]
+    var curLen = 0L
+    for (r <- g) {
+      if (cur.nonEmpty && curLen + r.backendLen > maxSize) {
+        out += cur; cur = Vector.empty; curLen = 0
+      }
+      cur :+= r; curLen += r.backendLen
+    }
+    if (cur.nonEmpty) out += cur
+    out.result()
+  }
+}
+
+/** Read-through caching stream over one remote file — the client half of
+  * the reference (rubix-core CachingInputStream.java) re-expressed for
+  * in-process use on Spark executors. Strategies:
+  *
+  *  - Cached: positioned FileChannel reads from the local generation file;
+  *    any failure invalidates the entry and falls back to a direct read
+  *    (CachedReadRequestChain.java:149-223 fallback lattice).
+  *  - Remote (read-through warmup): reads block-aligned spans from the
+  *    source, returns the requested window, writes whole blocks into the
+  *    sparse cache file and marks them cached
+  *    (RemoteReadRequestChain.java:41-214 incl. affix accounting).
+  *  - Direct: pass-through, used for skip-cache paths, dummy mode and
+  *    fallbacks (DirectReadRequestChain.java).
+  */
+final class CachingInputStream(
+    openRemote: () => FSDataInputStream,
+    val path: String,
+    fileLen: Long,
+    mtime: Long,
+    manager: CacheManager,
+    cacheAdmitted: Boolean) extends FSInputStream {
+
+  private val conf = manager.conf
+  private var pos: Long = 0L
+  private var closed = false
+  @volatile private var remoteStream: FSDataInputStream = _
+
+  private def remote: FSDataInputStream = {
+    if (remoteStream == null) synchronized {
+      if (remoteStream == null) remoteStream = openRemote()
+    }
+    remoteStream
+  }
+
+  // ---- FSInputStream contract ----
+  override def seek(newPos: Long): Unit = {
+    if (newPos < 0 || newPos > fileLen)
+      throw new EOFException(s"seek $newPos out of [0,$fileLen] for $path")
+    pos = newPos
+  }
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  override def read(): Int = {
+    val one = new Array[Byte](1)
+    val n = read(one, 0, 1)
+    if (n <= 0) -1 else one(0) & 0xff
+  }
+
+  override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    if (closed) throw new IOException(s"stream closed: $path")
+    if (len == 0) return 0
+    if (pos >= fileLen) return -1
+    val n = math.min(len.toLong, fileLen - pos).toInt
+    readInternal(pos, buf, off, n)
+    pos += n
+    n
+  }
+
+  override def available(): Int =
+    math.min(Int.MaxValue.toLong, fileLen - pos).toInt
+
+  override def close(): Unit = {
+    closed = true
+    if (remoteStream != null) remoteStream.close()
+    super.close()
+  }
+
+  // ---- core ----
+  private def readInternal(at: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+    if (!cacheAdmitted) { directRead(at, buf, off, len); return }
+    if (conf.dummyMode) {
+      // shadow mode: account cache state, store nothing
+      val sb = BlockMath.startBlock(at, conf.blockSize)
+      val eb = BlockMath.endBlock(at, len, conf.blockSize)
+      val st = manager.getCacheStatus(path, fileLen, mtime, sb, eb)
+      manager.setAllCached(path, fileLen, mtime, st.generation, sb, eb)
+      directRead(at, buf, off, len)
+      return
+    }
+    val sb = BlockMath.startBlock(at, conf.blockSize)
+    val eb = BlockMath.endBlock(at, len, conf.blockSize)
+    val status =
+      try manager.getCacheStatus(path, fileLen, mtime, sb, eb)
+      catch {
+        case e: Throwable if !conf.strict =>
+          directRead(at, buf, off, len); return
+      }
+    val chains = ReadPlanner.plan(at, len, fileLen, conf.blockSize,
+      conf.maxReadRequestSize, status, sb)
+    chains.foreach {
+      case CachedChain(rs) => executeCached(rs, at, buf, off)
+      case RemoteChain(rs) => executeRemote(rs, at, buf, off, status.generation)
+      case DirectChain(rs) => rs.foreach(r =>
+        readFullyRemote(r.actualStart, buf, off + r.destOffset, r.actualLen))
+    }
+  }
+
+  private def directRead(at: Long, buf: Array[Byte], off: Int, len: Int): Unit =
+    readFullyRemote(at, buf, off, len)
+
+  private def readFullyRemote(at: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+    if (len <= 0) return
+    remote.readFully(at, buf, off, len)
+    manager.metrics.bytesFromRemote.addAndGet(len.toLong)
+  }
+
+  private def executeCached(rs: Vector[ReadRange], reqPos: Long,
+      buf: Array[Byte], bufOff: Int): Unit = {
+    val m = manager.metadataFor(path).orNull
+    val file = if (m != null) m.dataFile else null
+    try {
+      if (m == null || m.isDeleted || !file.exists())
+        throw new IOException(s"cache entry missing for $path")
+      val ch = FileChannel.open(file.toPath, StandardOpenOption.READ)
+      try {
+        rs.foreach { r =>
+          val bb = ByteBuffer.wrap(buf, bufOff + r.destOffset, r.actualLen)
+          var p = r.actualStart
+          while (bb.hasRemaining) {
+            val n = ch.read(bb, p)
+            if (n < 0) throw new EOFException(
+              s"cached file truncated at $p (${file.getPath})")
+            p += n
+          }
+          manager.metrics.bytesFromCache.addAndGet(r.actualLen.toLong)
+        }
+      } finally ch.close()
+    } catch {
+      case e: Exception =>
+        // corruption fallback: invalidate and serve direct
+        manager.metrics.corruptionFallbacks.incrementAndGet()
+        manager.invalidate(path)
+        if (conf.strict) throw e
+        rs.foreach(r => readFullyRemote(r.actualStart, buf,
+          bufOff + r.destOffset, r.actualLen))
+    }
+  }
+
+  private def executeRemote(rs: Vector[ReadRange], reqPos: Long,
+      buf: Array[Byte], bufOff: Int, generation: Int): Unit = {
+    // one collated group = one contiguous backend span
+    val backendStart = rs.head.backendStart
+    val backendEnd = rs.last.backendEnd
+    val span = (backendEnd - backendStart).toInt
+    val scratch = new Array[Byte](span)
+    readFullyRemote(backendStart, scratch, 0, span)
+    // hand the caller their windows
+    rs.foreach { r =>
+      System.arraycopy(scratch, (r.actualStart - backendStart).toInt,
+        buf, bufOff + r.destOffset, r.actualLen)
+      manager.metrics.extraReadBytes.addAndGet(r.extraBytes)
+    }
+    // write whole blocks into the sparse cache file + mark cached
+    try {
+      val m = manager.metadataFor(path).orNull
+      if (m != null && m.generation == generation && !m.isDeleted) {
+        val f = m.ensureDataFile()
+        val ch = FileChannel.open(f.toPath, StandardOpenOption.WRITE)
+        try {
+          val bb = ByteBuffer.wrap(scratch)
+          var written = 0
+          while (bb.hasRemaining) {
+            val n = ch.write(bb, backendStart + written)
+            written += n
+          }
+        } finally ch.close()
+        val sb = BlockMath.startBlock(backendStart, conf.blockSize)
+        val eb = BlockMath.endBlock(backendStart, span.toLong, conf.blockSize)
+        manager.setAllCached(path, fileLen, mtime, generation, sb, eb)
+        manager.metrics.warmupBytes.addAndGet(span.toLong)
+      }
+    } catch {
+      case e: Exception if !conf.strict => // data already delivered; cache miss persists
+      case e: Exception => throw e
+    }
+  }
+}

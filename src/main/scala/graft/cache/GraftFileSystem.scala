@@ -1,0 +1,142 @@
+package graft.cache
+
+import java.net.URI
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Caching Hadoop FileSystem under the `graft://` scheme — the Spark-native
+  * analog of the reference's engine plugins (rubix-hadoop2
+  * CachingS3AFileSystem.java / CachingFileSystem.java): register
+  *   spark.hadoop.fs.graft.impl = graft.cache.GraftFileSystem
+  * and ANY Spark scan of `graft://<path>` transparently reads through the
+  * executor-local block cache with zero planner changes.
+  *
+  * `graft://` wraps an underlying scheme (default `file`, configurable via
+  * `graft.underlying.scheme` — `s3a`/`gs`/`abfs` in a real deployment).
+  * Mutations are pure delegation; staleness is caught lazily by
+  * lastModified compare, exactly like the reference
+  * (CachingFileSystem.java:263-306).
+  */
+class GraftFileSystem extends FileSystem {
+  private var myUri: URI = _
+  private var inner: FileSystem = _
+  private var cacheConf: CacheConfig = _
+  private var manager: CacheManager = _
+  private var workingDir: Path = _
+  private var enabled: Boolean = true
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    myUri = URI.create(s"graft://${Option(name.getAuthority).getOrElse("")}/")
+    val underScheme = conf.get("graft.underlying.scheme", "file")
+    inner = FileSystem.get(URI.create(s"$underScheme:///"), conf)
+    cacheConf = CacheConfig.from(conf)
+    enabled = conf.getBoolean(CacheConfig.EnabledKey, true)
+    manager = CacheManager.getOrInit(cacheConf)
+    workingDir = new Path("/")
+  }
+
+  override def getUri: URI = myUri
+  override def getScheme: String = "graft"
+
+  // ---- path translation ----
+  private def toInner(p: Path): Path = {
+    val u = p.toUri
+    new Path(inner.getUri.getScheme, inner.getUri.getAuthority,
+      Option(u.getPath).filter(_.nonEmpty).getOrElse("/"))
+  }
+  private def toOuter(p: Path): Path = {
+    val u = p.toUri
+    new Path("graft", Option(myUri.getAuthority).getOrElse(""),
+      Option(u.getPath).filter(_.nonEmpty).getOrElse("/"))
+  }
+  private def translate(st: FileStatus): FileStatus = {
+    st.setPath(toOuter(st.getPath))
+    st
+  }
+
+  // ---- admission control (CacheUtil.skipCache:203-222 analog) ----
+  private[cache] def admitted(path: Path): Boolean = {
+    if (!enabled || cacheConf == null) return false
+    val s = path.toUri.getPath
+    val skip = cacheConf.skipCachePattern
+    val allow = cacheConf.allowPattern
+    (skip.isEmpty || !s.matches(skip)) && (allow.isEmpty || s.matches(allow))
+  }
+
+  // ---- reads ----
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val ip = toInner(f)
+    val st = inner.getFileStatus(ip)
+    val admit = admitted(f) && st.isFile
+    if (!admit) return inner.open(ip, bufferSize)
+    val stream = new CachingInputStream(
+      () => inner.open(ip, bufferSize),
+      ip.toString, st.getLen, st.getModificationTime, manager, true)
+    new FSDataInputStream(new BufferedFSInputStream(stream,
+      math.max(bufferSize, 4096)))
+  }
+
+  // ---- metadata (translated) ----
+  override def getFileStatus(f: Path): FileStatus =
+    translate(inner.getFileStatus(toInner(f)))
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    inner.listStatus(toInner(f)).map(translate)
+
+  override def getFileBlockLocations(file: FileStatus, start: Long,
+      len: Long): Array[BlockLocation] =
+    // Locality hook: per-split cache-affinity owners are fabricated here
+    // (CachingFileSystem.getFileBlockLocations:393-437 analog). Single-JVM
+    // local mode: delegate; the ring feeds this on a real cluster.
+    CacheAffinity.blockLocations(file, start, len, cacheConf)
+
+  // ---- mutations: pure delegation (reference parity) ----
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream =
+    inner.create(toInner(f), permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+
+  override def append(f: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream =
+    inner.append(toInner(f), bufferSize, progress)
+
+  override def rename(src: Path, dst: Path): Boolean =
+    inner.rename(toInner(src), toInner(dst))
+
+  override def delete(f: Path, recursive: Boolean): Boolean =
+    inner.delete(toInner(f), recursive)
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    inner.mkdirs(toInner(f), permission)
+
+  override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
+  override def getWorkingDirectory: Path = workingDir
+
+  /** Executor-local cache manager backing this FS (tests/metrics). */
+  def cacheManager: CacheManager = manager
+}
+
+/** Placeholder seam for the consistent-hash locality layer (SURVEY §7
+  * phase 5); local mode returns localhost like the raw FS would. */
+object CacheAffinity {
+  def blockLocations(file: FileStatus, start: Long, len: Long,
+      conf: CacheConfig): Array[BlockLocation] = {
+    if (file == null || len <= 0) return Array.empty
+    val split = if (conf != null) conf.splitSize else 256L << 20
+    val end = math.min(file.getLen, start + len)
+    val out = scala.collection.mutable.ArrayBuffer.empty[BlockLocation]
+    var s = (start / split) * split
+    while (s < end) {
+      val e = math.min(s + split, file.getLen)
+      out += new BlockLocation(Array("localhost:9867"), Array("localhost"),
+        s, e - s)
+      s += split
+    }
+    out.toArray
+  }
+}

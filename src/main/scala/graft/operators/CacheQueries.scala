@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.cache.CacheManager
+
+/** Queries that exercise the caching I/O layer itself: same SQL semantics
+  * as a direct scan (so the DuckDB oracle is the plain query), but the scan
+  * goes through graft:// — proving cache reads are byte-transparent.
+  */
+object CacheQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("c01_cached_scan_agg",
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_extendedprice),3) AS sum_price,
+        | round(sum(l_quantity),3) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
+      if (hc.get("graft.cache.dir") == null)
+        hc.set("graft.cache.dir",
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+      // scan twice: cold warms the block cache, returned result is the warm
+      // scan — correctness of cache reads is what the oracle checks
+      val cached = s.read.parquet(s"graft://$dir/lineitem.parquet")
+      cached.count()
+      cached.groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_extendedprice"), 3).as("sum_price"),
+          round(sum("l_quantity"), 3).as("sum_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // cached join: both sides scanned through the cache
+    QueryDef("c02_cached_join",
+      """SELECT o_orderstatus, round(sum(l_extendedprice),3) AS rev, count(*) AS n
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
+      if (hc.get("graft.cache.dir") == null)
+        hc.set("graft.cache.dir",
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+      val o = s.read.parquet(s"graft://$dir/orders.parquet")
+      val l = s.read.parquet(s"graft://$dir/lineitem.parquet")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(round(sum("l_extendedprice"), 3).as("rev"), count(lit(1)).as("n"))
+    }
+  )
+
+  /** Cache metrics snapshot for diagnostics (Bench prints this). */
+  def metricsSnapshot: Map[String, Long] =
+    CacheManager.current.map(_.metrics.snapshot.toMap).getOrElse(Map.empty)
+}

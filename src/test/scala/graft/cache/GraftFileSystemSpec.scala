@@ -1,0 +1,75 @@
+package graft.cache
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftSession
+
+/** End-to-end: Spark parquet scans through graft:// hit the block cache.
+  * Mirrors SURVEY §7 phase 4's "minimum slice" acceptance: run the same
+  * aggregation twice; the second run reads ~zero bytes from the source.
+  */
+class GraftFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private var cacheDir: String = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    cacheDir = java.nio.file.Files.createTempDirectory("graft-fs-spec").toString
+    CacheManager.resetForTest()
+    spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4,
+      cacheDir = Some(cacheDir)).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    CacheManager.resetForTest()
+  }
+
+  test("graft:// scan equals direct scan, warm run serves from cache") {
+    val direct = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").sum("l_quantity")
+      .collect().map(_.toString).sorted
+
+    val cold = spark.read.parquet(s"graft://$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").sum("l_quantity")
+      .collect().map(_.toString).sorted
+    assert(cold.sameElements(direct), "cached scan must be byte-equivalent")
+
+    val mgr = CacheManager.current.get
+    val remoteAfterCold = mgr.metrics.bytesFromRemote.get
+    assert(remoteAfterCold > 0, "cold run must read from source")
+    assert(mgr.metrics.warmupBytes.get > 0, "cold run must warm the cache")
+
+    val warm = spark.read.parquet(s"graft://$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").sum("l_quantity")
+      .collect().map(_.toString).sorted
+    assert(warm.sameElements(direct))
+    val remoteDelta = mgr.metrics.bytesFromRemote.get - remoteAfterCold
+    assert(remoteDelta == 0,
+      s"warm run must not touch the source (delta=$remoteDelta)")
+    assert(mgr.metrics.hitRate > 0.4, s"hit rate ${mgr.metrics.hitRate}")
+  }
+
+  test("skip-cache pattern bypasses caching") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create("graft:///"),
+      spark.sessionState.newHadoopConf())
+      .asInstanceOf[GraftFileSystem]
+    assert(fs.admitted(new org.apache.hadoop.fs.Path("graft:///a/b.parquet")))
+    val conf2 = spark.sessionState.newHadoopConf()
+    conf2.set(CacheConfig.SkipPatternKey, ".*\\.csv")
+    val fs2 = new GraftFileSystem()
+    fs2.initialize(java.net.URI.create("graft:///"), conf2)
+    assert(!fs2.admitted(new org.apache.hadoop.fs.Path("graft:///a/b.csv")))
+    assert(fs2.admitted(new org.apache.hadoop.fs.Path("graft:///a/b.parquet")))
+  }
+
+  test("writes delegate through graft:// (sink parity)") {
+    val out = s"graft://$cacheDir/out-sink"
+    spark.range(0, 100).toDF("id").write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out).count()
+    assert(back == 100)
+  }
+}
