@@ -13,7 +13,9 @@ object SparkEntry {
 
   /** All operator definitions, in gate order. */
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ EventQueries.defs ++ CacheQueries.defs
+    RelationalQueries.defs ++ EventQueries.defs ++ CacheQueries.defs ++
+      TextQueries.defs ++ DedupQueries.defs ++ VectorQueries.defs ++
+      MultimodalQueries.defs ++ StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

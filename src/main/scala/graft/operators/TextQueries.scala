@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-data-pipeline surface (tokenization, quality scoring,
+  * language ID, exact/near dedup). All column expressions are Spark
+  * built-ins (whole-stage codegen'd, no UDFs), so they survive a 100 TB
+  * scan: per-row work with no shuffle until the final aggregate/join, and
+  * near-dup joins shuffle on band/group keys rather than comparing all
+  * pairs.
+  */
+object TextQueries {
+
+  /** Tokens = maximal non-whitespace runs; shared by both engines'
+    * expressions (regexp '\S+'). */
+  private val tokensCol: Column = expr("regexp_extract_all(text, '\\\\S+', 0)")
+
+  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
+  private def inList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token counting + basic quality stats ----
+    QueryDef("d01_text_stats",
+      s"""SELECT doc_id, lang, n_chars,
+         | CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         | CAST(length(text) AS BIGINT) AS text_len,
+         | CAST(list_sum(list_transform(regexp_extract_all(text, '\\S+'),
+         |   t -> length(t))) AS BIGINT) AS token_chars,
+         | CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+         | CAST(length(list_filter(regexp_extract_all(text, '\\S+'),
+         |   t -> t IN ${inList(enStop)})) AS BIGINT) AS n_stopwords
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        size(tokensCol).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("text_len"),
+        expr("aggregate(regexp_extract_all(text, '\\\\S+', 0), 0L, (acc, t) -> acc + length(t))")
+          .as("token_chars"),
+        size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast("long").as("n_punct"),
+        size(expr(s"filter(regexp_extract_all(text, '\\\\S+', 0), t -> t IN ${inList(enStop)})"))
+          .cast("long").as("n_stopwords"))
+    },
+
+    // ---- quality score: identical arithmetic both sides over exact ints ----
+    QueryDef("d02_quality_score",
+      s"""SELECT doc_id,
+         | round(0.4 * least(n_tok / 50.0, 1.0)
+         |     + 0.3 * (1.0 - n_punct / greatest(n_tok, 1) )
+         |     + 0.3 * least(stop / greatest(n_tok, 1) * 5.0, 1.0), 3) AS quality
+         |FROM (SELECT doc_id,
+         |        CAST(length(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
+         |        CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+         |        CAST(length(list_filter(regexp_extract_all(text, '\\S+'),
+         |          t -> t IN ${inList(enStop)})) AS DOUBLE) AS stop
+         |      FROM documents) t""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokensCol).cast("double").as("n_tok"),
+          size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast("double").as("n_punct"),
+          size(expr(s"filter(regexp_extract_all(text, '\\\\S+', 0), t -> t IN ${inList(enStop)})"))
+            .cast("double").as("stop"))
+        .select(col("doc_id"),
+          round(lit(0.4) * least(col("n_tok") / 50.0, lit(1.0))
+            + lit(0.3) * (lit(1.0) - col("n_punct") / greatest(col("n_tok"), lit(1.0)))
+            + lit(0.3) * least(col("stop") / greatest(col("n_tok"), lit(1.0)) * 5.0, lit(1.0)), 3)
+            .as("quality"))
+    },
+
+    // ---- language ID: stopword-count heuristic with deterministic ties ----
+    QueryDef("d03_lang_id",
+      """SELECT doc_id, lang AS labeled_lang,
+        | CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |      WHEN de >= fr AND de >= es THEN 'de'
+        |      WHEN fr >= es THEN 'fr' ELSE 'es' END AS guessed_lang
+        |FROM (SELECT doc_id, lang,
+        |   length(list_filter(regexp_extract_all(text, '\S+'), t -> t IN ('the','a','and','of','is'))) AS en,
+        |   length(list_filter(regexp_extract_all(text, '\S+'), t -> t IN ('der','die','das','und','ist'))) AS de,
+        |   length(list_filter(regexp_extract_all(text, '\S+'), t -> t IN ('le','la','et','les','des'))) AS fr,
+        |   length(list_filter(regexp_extract_all(text, '\S+'), t -> t IN ('el','los','las','y','es'))) AS es
+        | FROM documents) t""".stripMargin) { (s, dir) =>
+      def cnt(words: Seq[String]) =
+        size(expr(s"filter(regexp_extract_all(text, '\\\\S+', 0), t -> t IN ${inList(words)})"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          cnt(Seq("the", "a", "and", "of", "is")).as("en"),
+          cnt(Seq("der", "die", "das", "und", "ist")).as("de"),
+          cnt(Seq("le", "la", "et", "les", "des")).as("fr"),
+          cnt(Seq("el", "los", "las", "y", "es")).as("es"))
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          when(col("en") >= col("de") && col("en") >= col("fr") && col("en") >= col("es"), "en")
+            .when(col("de") >= col("fr") && col("de") >= col("es"), "de")
+            .when(col("fr") >= col("es"), "fr")
+            .otherwise("es").as("guessed_lang"))
+    },
+
+    // ---- exact dedup: content-hash groups ----
+    QueryDef("d04_dedup_exact",
+      """SELECT doc_id, md5(text) AS fp,
+        | count(*) OVER (PARTITION BY md5(text)) AS n_copies
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(md5(col("text")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          count(lit(1)).over(w).as("n_copies"))
+    },
+
+    // ---- near-dup: exact 3-gram shingle Jaccard on grouped candidates ----
+    // Candidates are restricted to same (lang, source) — the blocked-join
+    // pattern that keeps pair count linear-ish at scale.
+    QueryDef("d05_ngram_jaccard",
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_extract_all(text,'\S+'))-2, 0)+1),
+        |      i -> concat(regexp_extract_all(text,'\S+')[i], ' ',
+        |                  regexp_extract_all(text,'\S+')[i+1], ' ',
+        |                  regexp_extract_all(text,'\S+')[i+2]))) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        (length(a.grams) + length(b.grams)
+        |         - length(list_intersect(a.grams, b.grams))), 3) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE length(list_intersect(a.grams, b.grams)) > 0""".stripMargin) { (s, dir) =>
+      // sequence(1, 0) would DESCEND in Spark, so guard short docs explicitly
+      val grams = expr(
+        """CASE WHEN size(regexp_extract_all(text, '\\S+', 0)) < 3
+          |     THEN array()
+          |     ELSE array_distinct(transform(
+          |  sequence(1, size(regexp_extract_all(text, '\\S+', 0)) - 2),
+          |  i -> concat(element_at(regexp_extract_all(text, '\\S+', 0), i), ' ',
+          |              element_at(regexp_extract_all(text, '\\S+', 0), i + 1), ' ',
+          |              element_at(regexp_extract_all(text, '\\S+', 0), i + 2)))) END""".stripMargin)
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), grams.as("grams"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+        col("grams").as("grams_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("source").as("source_b"), col("grams").as("grams_b"))
+      a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b") &&
+          col("doc_a") < col("doc_b"))
+        .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+        .filter(col("inter") > 0)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double") /
+            (size(col("grams_a")) + size(col("grams_b")) - col("inter")), 3)
+            .as("jaccard"))
+    }
+  )
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Scale design: the brute-force path is the correctness baseline (bounded
+  * probe set × broadcast, never all-pairs); the LSH path is the 100 TB
+  * route — sign-random-projection buckets turn top-k search into an
+  * equi-join on bucket keys. Dot products are pure `aggregate`/`zip_with`
+  * expressions in doubles (codegen, deterministic order, same fold order
+  * as the oracle's list_sum).
+  */
+object VectorQueries {
+
+  /** Sequential-fold dot product of two array<float> columns in double. */
+  private def dot(a: Column, b: Column): Column =
+    expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, " +
+      "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
+
+  private def norm(a: Column): Column =
+    expr(s"sqrt(aggregate(${a.toString}, 0.0D, " +
+      "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+
+  /** Deterministic pseudo-random hyperplane component: splitmix64 of
+    * (plane, dim) scaled to [-1, 1). Same constant on every executor. */
+  def hyperplane(plane: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { d =>
+      var z = plane.toLong * 131071 + d + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+  /** Multi-table LSH: `NumTables` independent hash tables of `PlanesPerTable`
+    * sign bits each. More tables = higher recall at the same bucket size —
+    * the standard recall/cost dial for SRP-LSH at scale. */
+  val NumTables = 8
+  val PlanesPerTable = 4
+
+  /** Array of per-table (t, bucket) structs over `embedding`; candidates
+    * are pairs sharing (table, bucket). The plane matrix rides along as a
+    * single array<array<double>> literal, so the expression tree stays
+    * small (the naive fully-inlined form blows past codegen size limits
+    * and floods logs with fallback warnings). */
+  def srpBuckets(emb: String = "embedding", dims: Int = 64): Column = {
+    val nPlanes = NumTables * PlanesPerTable
+    val planes = typedlit((0 until nPlanes).map(i => hyperplane(i, dims)))
+    val signs = transform(sequence(lit(0), lit(nPlanes - 1)), k =>
+      when(aggregate(
+        zip_with(col(emb), element_at(planes, k + 1),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v) > 0, 1L).otherwise(0L))
+    val weights = typedlit((0 until PlanesPerTable).map(p => 1L << p))
+    val tables = (0 until NumTables).map { t =>
+      struct(lit(t).as("t"),
+        aggregate(
+          zip_with(slice(signs, t * PlanesPerTable + 1, PlanesPerTable),
+            weights, (s, w) => s * w),
+          lit(0L), (acc, v) => acc + v).as("b"))
+    }
+    array(tables: _*)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- brute-force cosine top-k: probe set (vec_id < 10) vs corpus ----
+    QueryDef("e01_knn_brute",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM q, c)
+        |SELECT qid, cid, round(cos, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |  FROM s) t WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val scored = q.join(broadcast(c))
+        .withColumn("cos", dot(col("qe"), col("ce")) /
+          (norm(col("qe")) * norm(col("ce"))))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
+    },
+
+    // ---- per-label vector statistics ----
+    QueryDef("e02_vector_stats",
+      """SELECT label, count(*) AS n,
+        | round(avg(sqrt(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) AS avg_norm,
+        | round(sum(list_sum(list_transform(embedding,
+        |   x -> abs(CAST(x AS DOUBLE))))), 3) AS sum_abs
+        |FROM embeddings GROUP BY label""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings").groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(norm(col("embedding"))), 3).as("avg_norm"),
+          round(sum(expr("aggregate(embedding, 0.0D, (acc, x) -> acc + abs(CAST(x AS DOUBLE)))")), 3)
+            .as("sum_abs"))
+    },
+
+    // ---- unnest/explode of the vector column ----
+    QueryDef("e03_vector_explode",
+      """SELECT label, count(*) AS n_elems, round(sum(abs(CAST(e AS DOUBLE))),3) AS sum_abs
+        |FROM (SELECT label, unnest(embedding) AS e FROM embeddings) t
+        |GROUP BY label""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), explode(col("embedding")).as("e"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_elems"),
+          round(sum(abs(col("e").cast("double"))), 3).as("sum_abs"))
+    },
+
+    // ---- LSH-bucketed ANN: the scale path (rows-only; recall in spec) ----
+    QueryDef.noOracle("e04_knn_lsh") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          explode(srpBuckets()).as("tb"))
+        .select(col("vec_id"), col("embedding"),
+          col("tb.t").as("t"), col("tb.b").as("b"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("t"), col("b"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("t"), col("b"))
+      // candidates share any (table, bucket); dedupe across tables, then rank
+      val scored = q.join(c, Seq("t", "b"))
+        .dropDuplicates("qid", "cid")
+        .withColumn("cos", dot(col("qe"), col("ce")) /
+          (norm(col("qe")) * norm(col("ce"))))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
+    }
+  )
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality gates for the LLM-pipeline operators: MinHash estimates must
+  * track exact Jaccard, and LSH ANN must recall most brute-force
+  * neighbors. Run on sf0.001 to keep the suite fast. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("minhash estimate tracks exact shingle jaccard on candidate pairs") {
+    val docs = Tables.load(spark, dir, "documents")
+    val sigs = Dedup.signatures(docs)
+    val cands = Dedup.lshCandidates(sigs)
+
+    // exact jaccard over the same 3-gram shingle sets, joined to estimates
+    val sh = docs.select(col("doc_id"), Dedup.shingleHashes.as("sh"))
+    val exact = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("exact_j",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("doc_a", "doc_b", "est_jaccard", "exact_j")
+      .collect()
+
+    assert(exact.nonEmpty, "LSH must surface candidate pairs")
+    val errs = exact.map(r =>
+      math.abs(r.getAs[Double]("est_jaccard") - r.getAs[Double]("exact_j")))
+    val meanErr = errs.sum / errs.length
+    assert(meanErr < 0.15, f"mean |est - exact| = $meanErr%.3f too high")
+  }
+
+  test("lsh ann recalls most brute-force top-5 neighbors") {
+    val brute = SparkEntryQueries("e01_knn_brute")
+    val lsh = SparkEntryQueries("e04_knn_lsh")
+    val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshSet = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet & lshSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.5, f"LSH recall $recall%.2f < 0.5 vs brute force")
+  }
+
+  private def SparkEntryQueries(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("simhash: identical docs -> identical fingerprints, near piles close") {
+    val docs = Tables.load(spark, dir, "documents").limit(50)
+    val fps = docs.select(col("doc_id"), Dedup.simhash().as("fp")).collect()
+    // deterministic: recomputation matches
+    val fps2 = docs.select(col("doc_id"), Dedup.simhash().as("fp")).collect()
+    assert(fps.map(_.getLong(1)).sameElements(fps2.map(_.getLong(1))))
+  }
+
+  test("multimodal stub decode is deterministic and partition-safe") {
+    val q = graft.SparkEntry.queries("m02_decode_stub")
+    val one = q(spark, dir).orderBy("doc_id").collect()
+    val two = q(spark, dir).repartition(7).orderBy("doc_id").collect()
+    assert(one.length == 500)
+    assert(one.map(_.toString).sameElements(two.map(_.toString)),
+      "repartitioned decode must yield identical results")
+  }
+}
