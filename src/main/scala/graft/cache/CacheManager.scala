@@ -28,6 +28,9 @@ final case class CacheStatus(generation: Int, blocks: IndexedSeq[BlockState])
 final class CacheManager(val conf: CacheConfig) {
   val metrics = new CacheMetrics
 
+  /** Optional async parallel-warmup service (set by the owning FS). */
+  @volatile var warmup: Option[WarmupService] = None
+
   /** Current generation per path; survives metadata eviction. Seeded from
     * disk layout on first touch (findGenerationNumber semantics). */
   private val generations = new ConcurrentHashMap[String, Integer]()

@@ -163,6 +163,14 @@ final class CachingInputStream(
       conf.maxReadRequestSize, status, sb)
     chains.foreach {
       case CachedChain(rs) => executeCached(rs, at, buf, off)
+      case RemoteChain(rs)
+        if conf.parallelWarmup && manager.warmup.isDefined =>
+        // parallel-warmup routing (NonLocalRequestChain/RemoteFetch
+        // analog): serve the caller via direct reads NOW, warm async
+        rs.foreach(r => readFullyRemote(r.actualStart, buf,
+          off + r.destOffset, r.actualLen))
+        manager.warmup.get.enqueue(path, rs.head.backendStart,
+          rs.last.backendEnd, fileLen, mtime)
       case RemoteChain(rs) => executeRemote(rs, at, buf, off, status.generation)
       case DirectChain(rs) => rs.foreach(r =>
         readFullyRemote(r.actualStart, buf, off + r.destOffset, r.actualLen))

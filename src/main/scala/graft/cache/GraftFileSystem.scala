@@ -36,7 +36,20 @@ class GraftFileSystem extends FileSystem {
     cacheConf = CacheConfig.from(conf)
     enabled = conf.getBoolean(CacheConfig.EnabledKey, true)
     manager = CacheManager.getOrInit(cacheConf)
+    if (cacheConf.parallelWarmup && manager.warmup.isEmpty) manager.synchronized {
+      if (manager.warmup.isEmpty) {
+        val svc = new WarmupService(manager,
+          p => inner.open(new Path(stripScheme(p))))
+        svc.start()
+        manager.warmup = Some(svc)
+      }
+    }
     workingDir = new Path("/")
+  }
+
+  private def stripScheme(p: String): String = {
+    val u = URI.create(p.replace(" ", "%20"))
+    Option(u.getPath).filter(_.nonEmpty).getOrElse(p)
   }
 
   override def getUri: URI = myUri
@@ -121,20 +134,28 @@ class GraftFileSystem extends FileSystem {
   def cacheManager: CacheManager = manager
 }
 
-/** Placeholder seam for the consistent-hash locality layer (SURVEY §7
-  * phase 5); local mode returns localhost like the raw FS would. */
+/** Cache-affinity locality: one BlockLocation per ownership split, host =
+  * consistent-hash owner of `path:start:end` (reference:
+  * CachingFileSystem.getFileBlockLocations:393-437). The scheduler then
+  * lands scan tasks where the cached blocks (will) live. Ownership is a
+  * HINT — correctness never depends on it (dynamic-allocation churn just
+  * degrades locality). Falls back to localhost when no ring is known
+  * (local mode). */
 object CacheAffinity {
   def blockLocations(file: FileStatus, start: Long, len: Long,
       conf: CacheConfig): Array[BlockLocation] = {
     if (file == null || len <= 0) return Array.empty
     val split = if (conf != null) conf.splitSize else 256L << 20
+    val path = file.getPath.toUri.getPath
     val end = math.min(file.getLen, start + len)
     val out = scala.collection.mutable.ArrayBuffer.empty[BlockLocation]
     var s = (start / split) * split
     while (s < end) {
       val e = math.min(s + split, file.getLen)
-      out += new BlockLocation(Array("localhost:9867"), Array("localhost"),
-        s, e - s)
+      val host = ClusterState.ring
+        .flatMap(_.locateKey(s"$path:$s:${s + split}"))
+        .getOrElse("localhost")
+      out += new BlockLocation(Array(s"$host:9867"), Array(host), s, e - s)
       s += split
     }
     out.toArray
