@@ -27,21 +27,37 @@ object Dedup {
 
   private val tokens = "regexp_extract_all(text, '\\\\S+', 0)"
 
-  /** Word 3-gram shingles, 64-bit hashed; empty/short-doc safe. */
+  /** Word 3-gram shingles, 64-bit hashed; empty/short-doc safe. The token
+    * array must be pre-materialized in column `__tok` — inlining the
+    * regexp would re-run it per sequence element (O(tokens^2) parses). */
   def shingleHashes: Column = expr(
-    s"""CASE WHEN size($tokens) < 3 THEN array(xxhash64(text))
-       |ELSE array_distinct(transform(sequence(1, size($tokens) - 2),
-       |  i -> xxhash64(concat(element_at($tokens, i), ' ',
-       |                       element_at($tokens, i + 1), ' ',
-       |                       element_at($tokens, i + 2))))) END""".stripMargin)
+    s"""CASE WHEN size(__tok) < 3 THEN array(xxhash64(text))
+       |ELSE array_distinct(transform(sequence(1, size(__tok) - 2),
+       |  i -> xxhash64(concat(element_at(__tok, i), ' ',
+       |                       element_at(__tok, i + 1), ' ',
+       |                       element_at(__tok, i + 2))))) END""".stripMargin)
 
-  /** documents(doc_id, text) -> (doc_id, sig array<long>[NumPerms]). */
+  /** Tokenization column for [[shingleHashes]]. */
+  def tokenCol: Column = expr(tokens)
+
+  /** documents(doc_id, text) -> (doc_id, sig array<long>[NumPerms]).
+    *
+    * Shape: explode shingles, then NumPerms `min` aggregates grouped by
+    * doc — all whole-stage codegen'd. Partial (map-side) aggregation
+    * reduces each doc to one 64-long row before the shuffle, so shuffle
+    * volume is ~512 bytes/doc regardless of document size. (The HOF
+    * formulation — array_min(transform(...)) per permutation — stays
+    * interpreted and costs ~10ms/doc.) */
   def signatures(docs: DataFrame): DataFrame = {
-    val sigExprs = (0 until NumPerms).map { i =>
-      expr(s"array_min(transform(__sh, h -> xxhash64(${i}L, h)))")
-    }
-    docs.withColumn("__sh", shingleHashes)
-      .select(col("doc_id"), array(sigExprs: _*).as("sig"))
+    val exploded = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__tok", tokenCol)
+      .select(col("doc_id"), explode(shingleHashes).as("h"))
+    val mins = (0 until NumPerms).map(i =>
+      min(xxhash64(lit(i.toLong), col("h"))).as(s"m$i"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: explode signatures into (band, bandHash) keys,
@@ -71,18 +87,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
-  /** SimHash 64-bit fingerprint: per-token hashes vote ±1 on each bit;
-    * the sign of each tally becomes that bit. Pure expressions. */
-  def simhash(textCol: String = "text"): Column = {
-    val toks = s"regexp_extract_all($textCol, '\\\\S+', 0)"
-    expr(
-      s"""aggregate(
-         |  transform(sequence(0, 63), bit ->
-         |    IF(aggregate(transform($toks, t -> xxhash64(t)), 0L,
-         |         (acc, h) -> acc + IF((h >> bit) & 1 = 1, 1L, -1L)) > 0, 1L, 0L)
-         |  ),
-         |  named_struct('acc', 0L, 'i', 0),
-         |  (s, bit) -> named_struct('acc', s.acc | shiftleft(bit, s.i), 'i', s.i + 1),
-         |  s -> s.acc)""".stripMargin)
+  /** SimHash table: docs(doc_id, text, carry...) -> (doc_id, carry..., fp).
+    * Per-token 64-bit hashes vote ±1 on each of 64 bits; the sign of each
+    * tally becomes that bit. Same codegen'd explode+aggregate shape as
+    * [[signatures]]: 64 conditional sums with map-side combine, then the
+    * fingerprint is assembled from the tally signs. */
+  def simhashTable(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keys = col("doc_id") +: carry.map(col)
+    val exploded = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(keys :+
+        explode(expr(s"transform($tokens, t -> xxhash64(t))")).as("h"): _*)
+    val sums = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
+    val tallies = exploded.groupBy(keys: _*).agg(sums.head, sums.tail: _*)
+    // shiftleft(1, 63) folds to Long.MinValue, which has no SQL literal
+    val fp = (0 until 64)
+      .map(b => s"IF(s$b > 0, shiftleft(1L, $b), 0L)").mkString(" + ")
+    tallies.select(keys :+ expr(fp).as("fp"): _*)
   }
 }

@@ -18,8 +18,8 @@ object DedupQueries {
     },
 
     QueryDef.noOracle("d07_dedup_simhash") { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), Dedup.simhash().as("fp"))
+      val docs = Dedup.simhashTable(
+        Tables.load(s, dir, "documents"), carry = Seq("lang"))
       // near-dup candidates: same lang block, hamming <= 8
       val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
       val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))

@@ -28,7 +28,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cands = Dedup.lshCandidates(sigs)
 
     // exact jaccard over the same 3-gram shingle sets, joined to estimates
-    val sh = docs.select(col("doc_id"), Dedup.shingleHashes.as("sh"))
+    val sh = docs.withColumn("__tok", Dedup.tokenCol)
+      .select(col("doc_id"), Dedup.shingleHashes.as("sh"))
     val exact = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -59,9 +60,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("simhash: identical docs -> identical fingerprints, near piles close") {
     val docs = Tables.load(spark, dir, "documents").limit(50)
-    val fps = docs.select(col("doc_id"), Dedup.simhash().as("fp")).collect()
+    val fps = Dedup.simhashTable(docs).orderBy("doc_id").collect()
     // deterministic: recomputation matches
-    val fps2 = docs.select(col("doc_id"), Dedup.simhash().as("fp")).collect()
+    val fps2 = Dedup.simhashTable(docs).orderBy("doc_id").collect()
     assert(fps.map(_.getLong(1)).sameElements(fps2.map(_.getLong(1))))
   }
 

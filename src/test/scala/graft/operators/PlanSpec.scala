@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the plans must be the ones we'd want at 100 TB —
+  * filters/projections reaching the parquet scan, small dims broadcast,
+  * partial aggregation before shuffles, whole-stage codegen in the hot
+  * paths. Guards against regressions that stay correct but stop scaling.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      // static-plan audit: AQE wraps plans in AdaptiveSparkPlan before
+      // finalization, hiding codegen spans from toString
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.maxMetadataStringLength", "10000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q02: filter + projection pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), "expected pushed filters")
+    assert(p.contains("GreaterThan(l_discount") || p.contains("LessThan(l_quantity"),
+      s"expected value filters pushed, got:\n$p")
+    assert(p.contains("ReadSchema"), p)
+    // only the needed columns are read
+    assert(!p.contains("l_returnflag"), "unprojected column must not be read")
+  }
+
+  test("q05: dimension joins are broadcast, fact side streams") {
+    val p = plan("q05_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01: partial aggregation before the shuffle (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0, p)
+    assert(p.indexOf("HashAggregate", firstAgg + 1) > firstAgg,
+      "expected partial+final HashAggregate pair")
+    // whole-stage codegen spans print as "*(n)" in plan toString
+    assert(p.contains("*("), "aggregation must stay codegen'd")
+  }
+
+  test("q25 max_all: partial max before the single-partition exchange") {
+    val p = plan("q25_max_all")
+    assert(p.contains("partial_max"), "map-side partial max required")
+    assert(p.contains("*("), "scan pipeline must stay codegen'd")
+    // SortAggregate is expected here: max(string) buffers aren't
+    // hash-aggregable; the partial/final split is what matters at scale
+    assert(p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("d06 minhash: no cartesian product anywhere in the LSH join") {
+    val p = plan("d06_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"),
+      "LSH candidate join must be an equi-join on (band, bh)")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("e01 knn: bounded probe side is broadcast") {
+    val p = plan("e01_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus side must broadcast against the bounded probe set:\n$p")
+  }
+}
