@@ -48,6 +48,20 @@ object CacheDemo {
       "sec" -> (System.nanoTime() - t1) / 1e9,
       "warm_remote_delta" -> (m.bytesFromRemote.get - remoteBefore),
       "hit_rate" -> m.hitRate)))
+
+    // self-validation + heartbeat to the (driver-side) coordinator —
+    // the production health loop (CachingValidator/FileValidator analog)
+    val mgr = CacheManager.current.get
+    val cachingOk = cache.CacheValidator.validateCaching(mgr.conf)
+    val filesOk = cache.CacheValidator.filesConsistent(mgr.conf)
+    val coord = new cache.CacheCoordinator()
+    coord.heartbeat("localhost", cachingOk, filesOk, mgr.metrics.snapshot.toMap)
+    println(j("validation", Map(
+      "caching_validated" -> cachingOk,
+      "files_consistent" -> filesOk,
+      "live_workers" -> coord.liveWorkers.size,
+      "cluster_bytes_from_cache" ->
+        coord.clusterMetrics.getOrElse("bytes_from_cache", 0L))))
     spark.stop()
   }
 }
