@@ -46,6 +46,23 @@ object CacheQueries {
       o.join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderstatus")
         .agg(round(sum("l_extendedprice"), 3).as("rev"), count(lit(1)).as("n"))
+    },
+
+    // DSv2 caching source: format("graft") — same semantics as a plain
+    // parquet scan, reads through the executor block cache
+    QueryDef("c03_dsv2_source",
+      """SELECT l_linestatus, round(sum(l_extendedprice*(1-l_discount)),3) AS rev,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
+      if (hc.get("graft.cache.dir") == null)
+        hc.set("graft.cache.dir",
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+      s.read.format("graft").load(s"$dir/lineitem.parquet")
+        .groupBy("l_linestatus")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("rev"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
     }
   )
 

@@ -16,6 +16,7 @@ class GraftFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     cacheDir = java.nio.file.Files.createTempDirectory("graft-fs-spec").toString
+    org.apache.hadoop.fs.FileSystem.closeAll()
     CacheManager.resetForTest()
     spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4,
       cacheDir = Some(cacheDir)).getOrCreate()
