@@ -15,7 +15,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ EventQueries.defs ++ CacheQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ VectorQueries.defs ++
-      MultimodalQueries.defs ++ StreamingQueries.defs
+      MultimodalQueries.defs ++ StreamingQueries.defs ++
+      FingerprintQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
