@@ -80,10 +80,23 @@ class GraftFileSystem extends FileSystem {
     (skip.isEmpty || !s.matches(skip)) && (allow.isEmpty || s.matches(allow))
   }
 
+  // TTL'd (size, mtime) lookup cache — the reference's getFileInfo path
+  // (BookKeeper.java:536-546, rubix.cache.stale.fileinfo.expiry.period):
+  // avoids a remote HEAD per stream open; staleness detection weakens to
+  // the TTL window, the same documented trade the reference makes.
+  private lazy val fileInfoCache: com.google.common.cache.LoadingCache[Path, FileStatus] =
+    com.google.common.cache.CacheBuilder.newBuilder()
+      .maximumSize(100000)
+      .expireAfterWrite(java.time.Duration.ofMillis(
+        getConf.getLong("graft.cache.fileinfo.ttl.ms", 60000L)))
+      .build(new com.google.common.cache.CacheLoader[Path, FileStatus] {
+        override def load(p: Path): FileStatus = inner.getFileStatus(p)
+      })
+
   // ---- reads ----
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val ip = toInner(f)
-    val st = inner.getFileStatus(ip)
+    val st = fileInfoCache.get(ip)
     val admit = admitted(f) && st.isFile
     if (!admit) return inner.open(ip, bufferSize)
     val stream = new CachingInputStream(
