@@ -17,6 +17,18 @@ object CacheFileLayout {
   private val GenSuffix = "_g"
   private val MdInfix = "_mdfile"
 
+  /** Multi-disk spread: `cacheDir` may be a comma-separated list of
+    * directories; a file's disk is chosen by murmur3 of its remote path
+    * (reference: CacheUtil.java:299-310). Data and mdfile always land on
+    * the same disk, and the mapping is stable across restarts. */
+  private def diskFor(cacheDir: String, remotePath: String): String = {
+    val dirs = cacheDir.split(',').map(_.trim).filter(_.nonEmpty)
+    if (dirs.length <= 1) return if (dirs.isEmpty) cacheDir else dirs(0)
+    val h = com.google.common.hash.Hashing.murmur3_128()
+      .hashString(remotePath, java.nio.charset.StandardCharsets.UTF_8).asLong()
+    dirs(((h % dirs.length) + dirs.length).toInt % dirs.length)
+  }
+
   /** Relative directory for a remote path: authority + parent dirs. */
   private def relDir(remotePath: String): String = {
     val uri = java.net.URI.create(remotePath.replace(" ", "%20"))
@@ -32,11 +44,11 @@ object CacheFileLayout {
   }
 
   def dataFile(cacheDir: String, remotePath: String, generation: Int): File =
-    new File(new File(cacheDir, relDir(remotePath)),
+    new File(new File(diskFor(cacheDir, remotePath), relDir(remotePath)),
       baseName(remotePath) + GenSuffix + generation)
 
   def mdFile(cacheDir: String, remotePath: String, generation: Int): File =
-    new File(new File(cacheDir, relDir(remotePath)),
+    new File(new File(diskFor(cacheDir, remotePath), relDir(remotePath)),
       baseName(remotePath) + MdInfix + GenSuffix + generation)
 
   /** Highest generation for which a data file exists on disk, or 0.
@@ -44,7 +56,7 @@ object CacheFileLayout {
     * re-adopts the newest complete entry rather than redownloading.
     */
   def findLatestGeneration(cacheDir: String, remotePath: String): Int = {
-    val dir = new File(cacheDir, relDir(remotePath))
+    val dir = new File(diskFor(cacheDir, remotePath), relDir(remotePath))
     val base = baseName(remotePath)
     val files = Option(dir.list()).getOrElse(Array.empty[String])
     val dataGens = files.collect {

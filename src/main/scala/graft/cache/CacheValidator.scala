@@ -61,13 +61,14 @@ object CacheValidator {
   /** Disk-consistency walk: every data file needs its mdfile and vice
     * versa; mdfiles must have a plausible size for their data file. */
   def validateFiles(conf: CacheConfig): FileReport = {
-    val root = new File(conf.cacheDir)
     val all = scala.collection.mutable.ArrayBuffer.empty[File]
     def walk(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
       else all += f
     }
-    walk(root)
+    // cacheDir may be a comma-separated multi-disk list
+    conf.cacheDir.split(',').map(_.trim).filter(_.nonEmpty)
+      .foreach(d => walk(new File(d)))
     val (md, data) = all.partition(_.getName.contains("_mdfile_g"))
     def genKey(f: File) = f.getPath.replaceFirst("_mdfile_g(\\d+)$", "_g$1")
     val dataSet = data.map(_.getPath).toSet

@@ -484,6 +484,58 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     },
 
+    // ---- multi-CTE star query (q64-style): agg -> window -> join ----
+    QueryDef("q35_cte_star",
+      """WITH cust_rev AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |         sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY o_custkey, CAST(year(o_orderdate) AS BIGINT)),
+        |ranked AS (
+        |  SELECT o_custkey, yr, rev,
+        |         row_number() OVER (PARTITION BY yr
+        |                            ORDER BY rev DESC, o_custkey) AS rn
+        |  FROM cust_rev)
+        |SELECT r.yr, r.o_custkey, round(r.rev, 3) AS rev, c.c_mktsegment
+        |FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+        |WHERE r.rn <= 5""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("cte_orders")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("cte_customer")
+      s.sql(
+        """WITH cust_rev AS (
+          |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+          |         sum(o_totalprice) AS rev
+          |  FROM cte_orders GROUP BY o_custkey, CAST(year(o_orderdate) AS BIGINT)),
+          |ranked AS (
+          |  SELECT o_custkey, yr, rev,
+          |         row_number() OVER (PARTITION BY yr
+          |                            ORDER BY rev DESC, o_custkey) AS rn
+          |  FROM cust_rev)
+          |SELECT r.yr, r.o_custkey, round(r.rev, 3) AS rev, c.c_mktsegment
+          |FROM ranked r JOIN cte_customer c ON r.o_custkey = c.c_custkey
+          |WHERE r.rn <= 5""".stripMargin)
+    },
+
+    // ---- IN-subquery + correlated EXISTS combination ----
+    QueryDef("q36_exists_in_mix",
+      """SELECT p_type, count(*) AS n
+        |FROM part
+        |WHERE p_size IN (SELECT DISTINCT p_size FROM part
+        |                 WHERE p_brand = 'Brand#1')
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_partkey = p_partkey AND l_quantity > 45)
+        |GROUP BY p_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "part").createOrReplaceTempView("mix_part")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("mix_lineitem")
+      s.sql(
+        """SELECT p_type, count(*) AS n
+          |FROM mix_part
+          |WHERE p_size IN (SELECT DISTINCT p_size FROM mix_part
+          |                 WHERE p_brand = 'Brand#1')
+          |  AND EXISTS (SELECT 1 FROM mix_lineitem
+          |              WHERE l_partkey = p_partkey AND l_quantity > 45)
+          |GROUP BY p_type""".stripMargin)
+    },
+
     // ---- interval range join: events within 1h after each signup ----
     QueryDef("q32_interval_join",
       """SELECT s.event_id AS signup_id, count(e.event_id) AS n_follow

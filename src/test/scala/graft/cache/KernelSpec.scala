@@ -114,3 +114,27 @@ class CacheFileLayoutSpec extends AnyFunSuite {
     assert(CacheFileLayout.findLatestGeneration(dir, remote) == 0)
   }
 }
+
+class MultiDiskLayoutSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("files spread across disks, data+md colocate, mapping stable") {
+    val base = java.nio.file.Files.createTempDirectory("graft-disks")
+    val disks = (1 to 3).map(i => s"$base/disk$i").mkString(",")
+    val paths = (1 to 60).map(i => s"file:///data/part-$i.parquet")
+    val used = scala.collection.mutable.Set.empty[String]
+    paths.foreach { p =>
+      val d = CacheFileLayout.dataFile(disks, p, 1)
+      val m = CacheFileLayout.mdFile(disks, p, 1)
+      assert(d.getParent == m.getParent, "data+md must share a disk")
+      used += d.getPath.split("/disk")(1).take(1)
+      // stable: same answer on re-query
+      assert(CacheFileLayout.dataFile(disks, p, 1).getPath == d.getPath)
+    }
+    assert(used.size == 3, s"60 files must touch all 3 disks, got $used")
+    // generation discovery works per-disk
+    val p0 = paths.head
+    val d0 = CacheFileLayout.dataFile(disks, p0, 4)
+    CacheFileLayout.ensureParent(d0)
+    java.nio.file.Files.write(d0.toPath, Array[Byte](1))
+    assert(CacheFileLayout.findLatestGeneration(disks, p0) == 4)
+  }
+}
