@@ -161,28 +161,56 @@ final class CachingInputStream(
       }
     val chains = ReadPlanner.plan(at, len, fileLen, conf.blockSize,
       conf.maxReadRequestSize, status, sb)
-    chains.foreach {
+    def runChain(chain: PlannedChain, ownStream: Boolean): Unit = chain match {
       case CachedChain(rs) => executeCached(rs, at, buf, off)
       case RemoteChain(rs)
         if conf.parallelWarmup && manager.warmup.isDefined =>
         // parallel-warmup routing (NonLocalRequestChain/RemoteFetch
         // analog): serve the caller via direct reads NOW, warm async
         rs.foreach(r => readFullyRemote(r.actualStart, buf,
-          off + r.destOffset, r.actualLen))
+          off + r.destOffset, r.actualLen, ownStream))
         manager.warmup.get.enqueue(path, rs.head.backendStart,
           rs.last.backendEnd, fileLen, mtime)
-      case RemoteChain(rs) => executeRemote(rs, at, buf, off, status.generation)
+      case RemoteChain(rs) =>
+        executeRemote(rs, at, buf, off, status.generation, ownStream)
       case DirectChain(rs) => rs.foreach(r =>
-        readFullyRemote(r.actualStart, buf, off + r.destOffset, r.actualLen))
+        readFullyRemote(r.actualStart, buf, off + r.destOffset, r.actualLen,
+          ownStream))
     }
+    if (conf.readThreads > 0 && chains.size > 1) {
+      // intra-read fan-out on the shared executor pool (reference: the
+      // 100-thread readService, CachingInputStream.java:67-76 — sized
+      // down per SURVEY risk 5). Chains touch disjoint buffer slices;
+      // each chain doing source IO opens its own stream (parallel GETs
+      // against an object store; positioned reads on one stream are not
+      // reliably thread-safe on every FS).
+      val pool = CachingInputStream.sharedPool(conf.readThreads)
+      val futures = chains.map(c => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = runChain(c, ownStream = true)
+      }))
+      var failure: Throwable = null
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (failure == null) failure = e.getCause
+        }
+      }
+      if (failure != null) throw failure
+    } else chains.foreach(runChain(_, ownStream = false))
   }
 
   private def directRead(at: Long, buf: Array[Byte], off: Int, len: Int): Unit =
     readFullyRemote(at, buf, off, len)
 
-  private def readFullyRemote(at: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+  private def readFullyRemote(at: Long, buf: Array[Byte], off: Int, len: Int,
+      ownStream: Boolean = false): Unit = {
     if (len <= 0) return
-    remote.readFully(at, buf, off, len)
+    if (ownStream) {
+      // dedicated stream per concurrent chain: parallel ranged reads
+      val s = openRemote()
+      try s.readFully(at, buf, off, len) finally s.close()
+    } else remote.readFully(at, buf, off, len)
     manager.metrics.bytesFromRemote.addAndGet(len.toLong)
   }
 
@@ -219,13 +247,14 @@ final class CachingInputStream(
   }
 
   private def executeRemote(rs: Vector[ReadRange], reqPos: Long,
-      buf: Array[Byte], bufOff: Int, generation: Int): Unit = {
+      buf: Array[Byte], bufOff: Int, generation: Int,
+      ownStream: Boolean = false): Unit = {
     // one collated group = one contiguous backend span
     val backendStart = rs.head.backendStart
     val backendEnd = rs.last.backendEnd
     val span = (backendEnd - backendStart).toInt
     val scratch = new Array[Byte](span)
-    readFullyRemote(backendStart, scratch, 0, span)
+    readFullyRemote(backendStart, scratch, 0, span, ownStream)
     // hand the caller their windows
     rs.foreach { r =>
       System.arraycopy(scratch, (r.actualStart - backendStart).toInt,
@@ -255,5 +284,24 @@ final class CachingInputStream(
       case e: Exception if !conf.strict => // data already delivered; cache miss persists
       case e: Exception => throw e
     }
+  }
+}
+
+object CachingInputStream {
+  @volatile private var pool: java.util.concurrent.ExecutorService = _
+  /** Shared bounded executor for intra-read chain fan-out (one per JVM —
+    * NOT per stream: the reference's per-client 100-thread pool would
+    * multiply across Spark task slots, SURVEY risk 5). */
+  private[cache] def sharedPool(threads: Int): java.util.concurrent.ExecutorService = {
+    if (pool == null) synchronized {
+      if (pool == null) {
+        val n = math.min(math.max(1, threads),
+          Runtime.getRuntime.availableProcessors() * 2)
+        pool = java.util.concurrent.Executors.newFixedThreadPool(n, r => {
+          val t = new Thread(r, "graft-read-chain"); t.setDaemon(true); t
+        })
+      }
+    }
+    pool
   }
 }
