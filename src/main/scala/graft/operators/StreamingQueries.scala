@@ -12,6 +12,27 @@ object StreamingQueries {
         | event_type, count(*) AS n, round(sum(value),3) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       EventStreams.windowedCounts(s, dir)
+    },
+
+    // Stateful sessionization (flatMapGroupsWithState); oracle = the SQL
+    // "islands" formulation of the same 30-min-gap session logic.
+    QueryDef("s02_sessionize",
+      """WITH flags AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flags)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      EventStreams.sessionize(s, dir)
     }
   )
 }

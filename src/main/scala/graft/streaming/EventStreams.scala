@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import java.util.concurrent.atomic.AtomicInteger
 
 /** Structured Streaming surface: event-time windowed aggregation with a
@@ -16,22 +16,71 @@ import java.util.concurrent.atomic.AtomicInteger
 object EventStreams {
   private val counter = new AtomicInteger
 
-  /** Tumbling 6h windows of count/sum(value) per event_type.
-    * Returns the final (complete-mode) result as a batch DataFrame. */
-  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** 30-minute inactivity gap used by [[sessionize]] (microseconds). */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read
-      .parquet(s"$dir/events.parquet").schema
-    // file streams need a directory source: stream the sf dir, filtered
-    // down to the events table
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val events =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Stateful sessionization with flatMapGroupsWithState: per-user
+    * sessions split on >30min inactivity. Custom state management is the
+    * KeyValueGroupedDataset path the reference surface has no analog for
+    * (SURVEY §2.10) — at scale the same code runs continuously with
+    * per-group state across micro-batches; AvailableNow delivers one
+    * deterministic batch here so a SQL islands oracle can check it. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = eventsStream(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS tus", "event_id")
+      .as[(Long, Long, Long)]
+    val sessions = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long)], state: GroupState[Long]) =>
+          val evs = it.toIndexedSeq.sortBy(e => (e._2, e._3))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val out = Seq.newBuilder[(Long, Long, Long, Long)]
+            var sid = 0L
+            var start = 0L
+            var last = Long.MinValue
+            var n = 0L
+            def emit(): Unit =
+              if (n > 0) out += ((uid, sid, n, last - start))
+            evs.foreach { case (_, t, _) =>
+              if (last == Long.MinValue || t - last > SessionGapUs) {
+                emit(); sid += 1; start = t; n = 0
+              }
+              last = t; n += 1
+            }
+            emit()
+            state.update(sid)
+            out.result().iterator
+          }
+      }
+    val name = s"graft_sessions_${counter.incrementAndGet()}"
+    val q = sessions
+      .toDF("user_id", "sid", "n_events", "dur_us")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    spark.table(name)
+  }
+
+  /** Tumbling 6h windows of count/sum(value) per event_type.
+    * Returns the final (complete-mode) result as a batch DataFrame. */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(spark, dir)
     val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))

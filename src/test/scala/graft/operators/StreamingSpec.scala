@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming surface: the stateful sessionizer
+  * (flatMapGroupsWithState) must agree with the batch SQL "islands"
+  * formulation of the same 30-minute-gap session logic, and the windowed
+  * aggregation must cover every input event exactly once. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("sessionize matches batch islands formulation") {
+    val streamed = graft.streaming.EventStreams.sessionize(spark, dir)
+      .orderBy("user_id", "sid").collect()
+
+    Tables.load(spark, dir, "events").createOrReplaceTempView("ev")
+    val batch = spark.sql(
+      """WITH flags AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR unix_micros(ts) - unix_micros(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  unix_micros(max(ts)) - unix_micros(min(ts)) AS dur_us
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin).collect()
+
+    assert(streamed.length == batch.length,
+      s"session count ${streamed.length} != batch ${batch.length}")
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toString == b.toString, s"session mismatch: $s vs $b")
+    }
+    // every session must respect the gap invariant: duration is bounded
+    // by (n_events - 1) * gap, since consecutive events are <= gap apart
+    val gap = graft.streaming.EventStreams.SessionGapUs
+    streamed.foreach { r =>
+      val n = r.getAs[Long]("n_events"); val dur = r.getAs[Long]("dur_us")
+      assert(dur <= (n - 1) * gap, s"gap invariant violated: $r")
+    }
+  }
+
+  test("windowed counts cover every event exactly once") {
+    val win = graft.streaming.EventStreams.windowedCounts(spark, dir)
+    val total = win.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    val expected = Tables.load(spark, dir, "events").count()
+    assert(total == expected, s"windowed n sums to $total, expected $expected")
+  }
+}
