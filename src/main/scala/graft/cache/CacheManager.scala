@@ -10,7 +10,7 @@ sealed trait BlockState
 object BlockState {
   case object Cached extends BlockState
   case object Local extends BlockState
-  case object NonLocal extends BlockState
+  final case class NonLocal(owner: String) extends BlockState
 }
 
 final case class CacheStatus(generation: Int, blocks: IndexedSeq[BlockState])
@@ -30,6 +30,11 @@ final class CacheManager(val conf: CacheConfig) {
 
   /** Optional async parallel-warmup service (set by the owning FS). */
   @volatile var warmup: Option[WarmupService] = None
+
+  /** Optional split-ownership resolver (locality ring). When set, uncached
+    * blocks of splits owned by another node classify as NonLocal(owner) so
+    * reads can try that peer's disk cache before the remote store. */
+  @volatile var ownership: Option[SplitOwnership] = None
 
   /** Current generation per path; survives metadata eviction. Seeded from
     * disk layout on first touch (findGenerationNumber semantics). */
@@ -96,9 +101,18 @@ final class CacheManager(val conf: CacheConfig) {
   def getCacheStatus(path: String, fileLen: Long, mtime: Long,
       startBlock: Long, endBlock: Long): CacheStatus = {
     val m = metadata(path, fileLen, mtime)
+    val own = ownership
     val states = (startBlock until endBlock).map { b =>
       if (m.isBlockCached(b)) { metrics.cachedRequests.incrementAndGet(); BlockState.Cached: BlockState }
-      else { metrics.remoteRequests.incrementAndGet(); BlockState.Local: BlockState }
+      else own.flatMap(o =>
+        o.resolve(path, BlockMath.blockStart(b, conf.blockSize))
+          .filter(_ != o.selfNode)) match {
+        case Some(owner) =>
+          metrics.nonlocalRequests.incrementAndGet()
+          BlockState.NonLocal(owner): BlockState
+        case None =>
+          metrics.remoteRequests.incrementAndGet(); BlockState.Local: BlockState
+      }
     }
     CacheStatus(m.generation, states.toIndexedSeq)
   }

@@ -18,6 +18,9 @@ final class CacheMetrics {
   val warmupRequests = new AtomicLong
   val warmupBytes = new AtomicLong
   val corruptionFallbacks = new AtomicLong
+  val bytesFromPeers = new AtomicLong
+  val bytesToPeers = new AtomicLong
+  val peerFallbacks = new AtomicLong
 
   /** Server-side hit rate: cached / (cached + remote) block requests
     * (reference BookKeeper.java:213-229). */
@@ -38,10 +41,14 @@ final class CacheMetrics {
     "invalidations" -> invalidations.get,
     "warmup_requests" -> warmupRequests.get,
     "warmup_bytes" -> warmupBytes.get,
-    "corruption_fallbacks" -> corruptionFallbacks.get)
+    "corruption_fallbacks" -> corruptionFallbacks.get,
+    "bytes_from_peers" -> bytesFromPeers.get,
+    "bytes_to_peers" -> bytesToPeers.get,
+    "peer_fallbacks" -> peerFallbacks.get)
 
   def reset(): Unit = Seq(cachedRequests, remoteRequests, nonlocalRequests,
     bytesFromCache, bytesFromRemote, extraReadBytes, evictions,
-    invalidations, warmupRequests, warmupBytes, corruptionFallbacks)
+    invalidations, warmupRequests, warmupBytes, corruptionFallbacks,
+    bytesFromPeers, bytesToPeers, peerFallbacks)
     .foreach(_.set(0))
 }

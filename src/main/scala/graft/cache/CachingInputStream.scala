@@ -13,6 +13,8 @@ sealed trait PlannedChain { def ranges: Vector[ReadRange] }
 final case class CachedChain(ranges: Vector[ReadRange]) extends PlannedChain
 final case class RemoteChain(ranges: Vector[ReadRange]) extends PlannedChain
 final case class DirectChain(ranges: Vector[ReadRange]) extends PlannedChain
+/** Peer-cache read from the split owner's disk (NonLocalReadRequestChain). */
+final case class NonLocalChain(owner: String, ranges: Vector[ReadRange]) extends PlannedChain
 
 object ReadPlanner {
 
@@ -28,6 +30,7 @@ object ReadPlanner {
     val end = pos + len
     var cached = Vector.empty[ReadRange]
     var remote = Vector.empty[ReadRange]
+    var nonLocal = Vector.empty[(String, ReadRange)]
     var b = startBlock
     val endBlock = BlockMath.endBlock(pos, len, blockSize)
     while (b < endBlock) {
@@ -39,6 +42,10 @@ object ReadPlanner {
       status.blocks((b - startBlock).toInt) match {
         case BlockState.Cached =>
           cached :+= ReadRange(aStart, aEnd, aStart, aEnd, dest)
+        case BlockState.NonLocal(owner) =>
+          // exact range from the owner's cache; never warmed locally —
+          // the owner's disk IS the cache for this split
+          nonLocal :+= (owner -> ReadRange(aStart, aEnd, aStart, aEnd, dest))
         case _ =>
           // warmup: read the whole block (affix bytes beyond the request)
           remote :+= ReadRange(bs, be, aStart, aEnd, dest)
@@ -52,6 +59,10 @@ object ReadPlanner {
       ReadRange.collate(remote)
         .flatMap(g => splitGroup(g, maxReadRequestSize))
         .foreach(g => chains += RemoteChain(g))
+    nonLocal.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (owner, rs) =>
+      ReadRange.collate(rs.map(_._2))
+        .foreach(g => chains += NonLocalChain(owner, g))
+    }
     chains.result()
   }
 
@@ -162,6 +173,7 @@ final class CachingInputStream(
     val chains = ReadPlanner.plan(at, len, fileLen, conf.blockSize,
       conf.maxReadRequestSize, status, sb)
     def runChain(chain: PlannedChain, ownStream: Boolean): Unit = chain match {
+      case NonLocalChain(owner, rs) => executeNonLocal(owner, rs, buf, off, ownStream)
       case CachedChain(rs) => executeCached(rs, at, buf, off)
       case RemoteChain(rs)
         if conf.parallelWarmup && manager.warmup.isDefined =>
@@ -243,6 +255,31 @@ final class CachingInputStream(
         if (conf.strict) throw e
         rs.foreach(r => readFullyRemote(r.actualStart, buf,
           bufOff + r.destOffset, r.actualLen))
+    }
+  }
+
+  /** Peer-cache read (NonLocalReadRequestChain.java:107-146): one socket
+    * round-trip for the collated contiguous span, straight into the user
+    * buffer. Never warms the local cache — the owner's disk is the cache
+    * for this split. Any failure (no registered peer, refused status,
+    * socket error) falls back to a direct remote read; strict mode throws
+    * (NonLocalReadRequestChain.java:147-157 fallback lattice). */
+  private def executeNonLocal(owner: String, rs: Vector[ReadRange],
+      buf: Array[Byte], bufOff: Int, ownStream: Boolean): Unit = {
+    val start = rs.head.actualStart
+    val span = (rs.last.actualEnd - start).toInt
+    val dest = bufOff + rs.head.destOffset
+    try {
+      val addr = PeerRegistry.lookup(owner).getOrElse(
+        throw new IOException(s"no peer endpoint registered for $owner"))
+      PeerTransferClient.read(addr, path, start, span, fileLen, mtime, buf, dest)
+      manager.metrics.bytesFromPeers.addAndGet(span.toLong)
+    } catch {
+      case e: Exception =>
+        manager.metrics.peerFallbacks.incrementAndGet()
+        if (conf.strict) throw e
+        rs.foreach(r => readFullyRemote(r.actualStart, buf,
+          bufOff + r.destOffset, r.actualLen, ownStream))
     }
   }
 

@@ -1,0 +1,186 @@
+package graft.cache
+
+import java.io.{EOFException, IOException}
+import java.net.{InetSocketAddress, StandardSocketOptions}
+import java.nio.ByteBuffer
+import java.nio.channels.{FileChannel, ServerSocketChannel, SocketChannel}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.StandardOpenOption
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+/** Peer-to-peer cache transfer — the reference's LocalDataTransferServer
+  * (rubix-bookkeeper LocalDataTransferServer.java:159-374) plus the client
+  * half of NonLocalReadRequestChain (rubix-core
+  * NonLocalReadRequestChain.java:107-146), re-expressed for Spark
+  * executors. When the locality ring says another executor owns a split
+  * and the scheduler could not honor the placement hint, the task fetches
+  * the bytes from the owner's local disk cache over a raw socket instead
+  * of re-reading the remote object store.
+  *
+  * Wire protocol (binary, one request per connection, mirroring
+  * DataTransferHeader): request = [pathLen:Int][path UTF-8][offset:Long]
+  * [length:Int][fileLen:Long][mtime:Long]; response = [status:Int] then,
+  * iff status==0, exactly `length` payload bytes streamed zero-copy via
+  * FileChannel.transferTo (LocalDataTransferServer.java:347-353).
+  * Non-zero status means the server cannot serve (blocks not fully
+  * cached, stale mtime, unknown file) and the caller must fall back.
+  */
+object PeerTransfer {
+  val StatusOk = 0
+  val StatusNotCached = 1
+  val StatusStale = 2
+  val StatusError = 3
+}
+
+/** Executor-local socket server streaming cached byte ranges to peers.
+  * Serves only ranges whose blocks are fully cached here — it never
+  * triggers remote reads on behalf of a peer (the requester warms its own
+  * owner-side cache via the normal warmup path). */
+final class PeerTransferServer(manager: CacheManager,
+    bindHost: String = "127.0.0.1", handlerThreads: Int = 4) {
+
+  private val server = ServerSocketChannel.open()
+  server.bind(new InetSocketAddress(bindHost, 0))
+  @volatile private var running = true
+
+  private val handlers = Executors.newFixedThreadPool(handlerThreads, r => {
+    val t = new Thread(r, "graft-peer-handler"); t.setDaemon(true); t
+  })
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val ch = server.accept()
+        handlers.submit(new Runnable { override def run(): Unit = handle(ch) })
+      } catch { case _: Throwable if !running => /* closed */
+                case _: Throwable => /* transient accept failure */ }
+    }
+  }, "graft-peer-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def port: Int = server.socket().getLocalPort
+  def address: InetSocketAddress = new InetSocketAddress(bindHost, port)
+
+  private def handle(ch: SocketChannel): Unit = {
+    try {
+      ch.setOption[java.lang.Boolean](StandardSocketOptions.TCP_NODELAY, true)
+      val head = ByteBuffer.allocate(4)
+      readFully(ch, head)
+      val pathLen = head.getInt(0)
+      if (pathLen <= 0 || pathLen > (1 << 16)) { reply(ch, PeerTransfer.StatusError); return }
+      val rest = ByteBuffer.allocate(pathLen + 8 + 4 + 8 + 8)
+      readFully(ch, rest)
+      rest.flip()
+      val pathBytes = new Array[Byte](pathLen)
+      rest.get(pathBytes)
+      val path = new String(pathBytes, UTF_8)
+      val offset = rest.getLong
+      val length = rest.getInt
+      val fileLen = rest.getLong
+      val mtime = rest.getLong
+
+      val m = manager.metadataFor(path).orNull
+      if (m == null || m.isDeleted) { reply(ch, PeerTransfer.StatusNotCached); return }
+      if (m.fileLen != fileLen ||
+        (manager.conf.stalenessCheck && m.lastModified != mtime)) {
+        reply(ch, PeerTransfer.StatusStale); return
+      }
+      val sb = BlockMath.startBlock(offset, manager.conf.blockSize)
+      val eb = BlockMath.endBlock(offset, length.toLong, manager.conf.blockSize)
+      if (!m.allCached(sb, eb)) { reply(ch, PeerTransfer.StatusNotCached); return }
+      val file = m.dataFile
+      if (!file.exists()) { reply(ch, PeerTransfer.StatusNotCached); return }
+
+      reply(ch, PeerTransfer.StatusOk)
+      val fc = FileChannel.open(file.toPath, StandardOpenOption.READ)
+      try {
+        var sent = 0L
+        while (sent < length) {
+          val n = fc.transferTo(offset + sent, length - sent, ch)
+          if (n <= 0) throw new IOException(s"transferTo stalled at $sent")
+          sent += n
+        }
+      } finally fc.close()
+      manager.metrics.bytesToPeers.addAndGet(length.toLong)
+    } catch {
+      case _: Throwable => try reply(ch, PeerTransfer.StatusError) catch { case _: Throwable => }
+    } finally {
+      try ch.close() catch { case _: Throwable => }
+    }
+  }
+
+  private def reply(ch: SocketChannel, status: Int): Unit = {
+    val b = ByteBuffer.allocate(4).putInt(status)
+    b.flip()
+    while (b.hasRemaining) ch.write(b)
+  }
+
+  private def readFully(ch: SocketChannel, b: ByteBuffer): Unit = {
+    while (b.hasRemaining)
+      if (ch.read(b) < 0) throw new EOFException("peer closed mid-header")
+  }
+
+  def close(): Unit = {
+    running = false
+    try server.close() catch { case _: Throwable => }
+    handlers.shutdownNow()
+  }
+}
+
+/** Client half: fetch one byte range from a peer's disk cache. Throws on
+  * any non-OK status; the caller (NonLocal chain) owns the fallback. */
+object PeerTransferClient {
+  def read(addr: InetSocketAddress, path: String, offset: Long, length: Int,
+      fileLen: Long, mtime: Long, buf: Array[Byte], bufOff: Int,
+      connectTimeoutMs: Int = 2000): Unit = {
+    val ch = SocketChannel.open()
+    try {
+      ch.socket().connect(addr, connectTimeoutMs)
+      ch.setOption[java.lang.Boolean](StandardSocketOptions.TCP_NODELAY, true)
+      val pathBytes = path.getBytes(UTF_8)
+      val req = ByteBuffer.allocate(4 + pathBytes.length + 8 + 4 + 8 + 8)
+      req.putInt(pathBytes.length).put(pathBytes)
+        .putLong(offset).putInt(length).putLong(fileLen).putLong(mtime)
+      req.flip()
+      while (req.hasRemaining) ch.write(req)
+
+      val head = ByteBuffer.allocate(4)
+      while (head.hasRemaining)
+        if (ch.read(head) < 0) throw new EOFException("peer closed on header")
+      val status = head.getInt(0)
+      if (status != PeerTransfer.StatusOk)
+        throw new IOException(s"peer refused range ($path@$offset+$length): status $status")
+      val payload = ByteBuffer.wrap(buf, bufOff, length)
+      while (payload.hasRemaining)
+        if (ch.read(payload) < 0)
+          throw new EOFException(s"peer closed mid-payload ($path@$offset)")
+    } finally ch.close()
+  }
+}
+
+/** Node-id -> peer-server address map. On a real cluster each executor
+  * registers its server's port with the driver CacheCoordinator heartbeat
+  * and the map is broadcast back (the analog of the reference's
+  * ClusterManager node list + fixed LDTS port 8898); in local/test mode
+  * entries are registered directly. Missing entries simply disable the
+  * peer path for that owner — locality stays a hint, never correctness. */
+object PeerRegistry {
+  private val peers = new ConcurrentHashMap[String, InetSocketAddress]()
+  def register(node: String, addr: InetSocketAddress): Unit = peers.put(node, addr)
+  def lookup(node: String): Option[InetSocketAddress] = Option(peers.get(node))
+  def unregister(node: String): Unit = peers.remove(node)
+  def clear(): Unit = peers.clear()
+}
+
+/** Split-ownership resolver feeding getCacheStatus: which node owns the
+  * split containing a byte offset, and who am I (reference
+  * BookKeeper.java:321-341 ring consultation). */
+final case class SplitOwnership(selfNode: String,
+    resolve: (String, Long) => Option[String])
+
+object SplitOwnership {
+  /** Ring-backed resolver over the live ClusterState membership. */
+  def fromClusterState(selfNode: String, splitSize: Long): SplitOwnership =
+    SplitOwnership(selfNode,
+      (path, off) => ClusterState.ring.flatMap(_.locateSplit(path, off, splitSize)))
+}
