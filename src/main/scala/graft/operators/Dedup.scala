@@ -62,25 +62,33 @@ object Dedup {
 
   /** LSH candidate pairs: explode signatures into (band, bandHash) keys,
     * equi-join per bucket, dedupe pairs, attach the signature-agreement
-    * Jaccard estimate. */
+    * Jaccard estimate.
+    *
+    * Scale shape: the signature table is persisted so the expensive
+    * explode + 64-min pipeline runs exactly once (both join branches and
+    * both re-attach probes read the cache). The band join and the pair
+    * dedup carry only 8-byte ids — the 512-byte signature arrays are
+    * re-attached AFTER dedup, so candidate-join shuffle volume is
+    * ~Bands×24 B/doc instead of ~Bands×550 B/doc. */
   def lshCandidates(sigs: DataFrame): DataFrame = {
+    val s = sigs.persist()
     val bandCols = (0 until Bands).map { bIdx =>
       struct(lit(bIdx).as("band"),
         xxhash64(concat_ws(",",
           (0 until RowsPerBand).map(r =>
             col("sig").getItem(bIdx * RowsPerBand + r)): _*)).as("bh"))
     }
-    val banded = sigs
-      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"),
-      col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"),
-      col("sig").as("sig_b"))
+    val banded = s
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      .join(s.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         round(expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, " +
           s"(acc, v) -> acc + v) / ${NumPerms}.0D"), 3))
@@ -105,5 +113,53 @@ object Dedup {
     val fp = (0 until 64)
       .map(b => s"IF(s$b > 0, shiftleft(1L, $b), 0L)").mkString(" + ")
     tallies.select(keys :+ expr(fp).as("fp"): _*)
+  }
+
+  /** SimHash near-dup search radius (max hamming distance). */
+  val MaxHamming = 8
+
+  /** Pigeonhole band count: with `MaxHamming + 1` disjoint bands, any two
+    * fingerprints within hamming `MaxHamming` agree exactly on at least one
+    * band (8 differing bits can touch at most 8 of the 9 bands). */
+  val SimHashBands: Int = MaxHamming + 1
+
+  /** Bit layout of the 9 pigeonhole bands over the 64-bit fingerprint:
+    * (offset, width) — one 8-bit band plus eight 7-bit bands. */
+  val simhashBandLayout: Seq[(Int, Int)] = {
+    val widths = 8 +: Seq.fill(SimHashBands - 1)(7) // 8 + 8*7 = 64
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** SimHash candidate pairs within hamming <= [[MaxHamming]], same-lang.
+    *
+    * Scale shape (the 100 TB fix for the naive same-lang self-join, which
+    * is n²/|langs| with a maximally skewed 4-value shuffle key): explode
+    * each fingerprint into its 9 pigeonhole bands and equi-join on
+    * (lang, band, band_value) — a hash-partitioned join whose fan-in is
+    * the band collision rate. The exact `bit_count(fp_a ^ fp_b)` test then
+    * runs on candidates only; the pigeonhole guarantee makes the result
+    * identical to the exhaustive comparison. The fingerprint table is
+    * persisted so the explode + 64-sum vote pipeline runs once. */
+  def simhashCandidates(docs: DataFrame): DataFrame = {
+    val t = simhashTable(docs, carry = Seq("lang")).persist()
+    val bandCols = simhashBandLayout.zipWithIndex.map { case ((off, width), i) =>
+      struct(lit(i).as("band"),
+        expr(s"shiftrightunsigned(fp, $off) & ${(1L << width) - 1}L").as("bv"))
+    }
+    val banded = t
+      .select(col("lang"), col("doc_id"), col("fp"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("lang"), col("doc_id"), col("fp"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = banded.select(col("lang"), col("band"), col("bv"),
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("lang"), col("band"), col("bv"),
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("lang", "band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("int"))
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 }

@@ -18,15 +18,9 @@ object DedupQueries {
     },
 
     QueryDef.noOracle("d07_dedup_simhash") { (s, dir) =>
-      val docs = Dedup.simhashTable(
-        Tables.load(s, dir, "documents"), carry = Seq("lang"))
-      // near-dup candidates: same lang block, hamming <= 8
-      val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-      val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
-        .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
-        .filter(col("hamming") <= 8)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      // near-dup candidates: same lang, hamming <= 8, via pigeonhole
+      // banding (equi-join on (lang, band, band_value), never n²/lang)
+      Dedup.simhashCandidates(Tables.load(s, dir, "documents"))
     }
   )
 }

@@ -124,20 +124,27 @@ object VectorQueries {
 
     // ---- LSH-bucketed ANN: the scale path (rows-only; recall in spec) ----
     QueryDef.noOracle("e04_knn_lsh") { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          explode(srpBuckets()).as("tb"))
+      // Bucket the bounded probe set and the corpus as separate scans:
+      // the probe scan is tiny (pushed-down vec_id < 10) and broadcast,
+      // so the corpus is scanned + hyperplane-hashed exactly once and
+      // never shuffled. Cosine is computed per candidate BEFORE the pair
+      // dedup, so only (qid, cid, cos) rides the dedup shuffle — the
+      // 256-byte embedding arrays stay out of every exchange.
+      def bucketed(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("embedding"), explode(srpBuckets()).as("tb"))
         .select(col("vec_id"), col("embedding"),
           col("tb.t").as("t"), col("tb.b").as("b"))
-      val q = e.filter(col("vec_id") < 10)
+      val base = Tables.load(s, dir, "embeddings")
+      val q = bucketed(base.filter(col("vec_id") < 10))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("t"), col("b"))
-      val c = e.filter(col("vec_id") >= 10)
+      val c = bucketed(base.filter(col("vec_id") >= 10))
         .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("t"), col("b"))
-      // candidates share any (table, bucket); dedupe across tables, then rank
-      val scored = q.join(c, Seq("t", "b"))
-        .dropDuplicates("qid", "cid")
+      // candidates share any (table, bucket); score, dedupe across tables, rank
+      val scored = c.join(broadcast(q), Seq("t", "b"))
         .withColumn("cos", dot(col("qe"), col("ce")) /
           (norm(col("qe")) * norm(col("ce"))))
+        .select(col("qid"), col("cid"), col("cos"))
+        .dropDuplicates("qid", "cid")
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
       scored.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)

@@ -66,6 +66,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fps.map(_.getLong(1)).sameElements(fps2.map(_.getLong(1))))
   }
 
+  test("simhash banding finds exactly the exhaustive hamming<=8 pairs") {
+    val docs = Tables.load(spark, dir, "documents")
+    val banded = Dedup.simhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // exhaustive same-lang comparison (the n² shape banding replaces)
+    val t = Dedup.simhashTable(docs, carry = Seq("lang"))
+    val a = t.select(col("lang"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = t.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
+      col("fp").as("fp_b"))
+    val exhaustive = a
+      .join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("int"))
+      .filter(col("hamming") <= Dedup.MaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == exhaustive,
+      s"banding must be lossless: banded=${banded.size} exhaustive=${exhaustive.size}")
+    assert(exhaustive.nonEmpty, "gate data must surface at least one near-dup pair")
+  }
+
   test("multimodal stub decode is deterministic and partition-safe") {
     val q = graft.SparkEntry.queries("m02_decode_stub")
     val one = q(spark, dir).orderBy("doc_id").collect()

@@ -73,6 +73,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d07 simhash: candidate join is banded, not lang-only") {
+    val p = plan("d07_dedup_simhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate join must be an equi-join, not a theta join on lang alone")
+    // the join keys must include the pigeonhole band columns
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).getOrElse("")
+    assert(joinLine.contains("bv#") && joinLine.contains("band#"),
+      s"join keys must include (band, bv), got: $joinLine")
+    // the expensive fingerprint pipeline must be computed once (cached)
+    assert(p.contains("InMemoryTableScan"),
+      "simhash table must be persisted so both join branches reuse it")
+  }
+
+  test("d06 minhash: signature pipeline computed once, ids-only band join") {
+    val p = plan("d06_dedup_minhash_lsh")
+    // every consumer of the signature pipeline reads the cache (the plan
+    // string prints the cached subtree inline under InMemoryRelation, so
+    // count scans, not the absence of the subtree's operators)
+    val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans >= 2,
+      s"signature table must be persisted and reused by all consumers, saw $scans scans")
+    // the shingle explode must only run to populate the cache: every
+    // occurrence sits beneath an InMemoryRelation definition
+    val gen = p.linesIterator.count(_.contains("regexp_extract_all"))
+    val rel = p.linesIterator.count(_.contains("InMemoryRelation"))
+    assert(gen <= rel,
+      s"shingle pipeline appears $gen times but only $rel cached relations — recompute outside the cache")
+  }
+
+  test("e04 ann: corpus never shuffled, probe side broadcast") {
+    val p = plan("e04_knn_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded probe buckets must broadcast against the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e01 knn: bounded probe side is broadcast") {
     val p = plan("e01_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
