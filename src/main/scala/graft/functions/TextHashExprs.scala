@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the document-fingerprinting hot paths.
+  *
+  * The round-1 formulation computed MinHash signatures and SimHash
+  * fingerprints as explode + 64 aggregates: correct and map-side-combined,
+  * but it still shuffles ~one row per doc per aggregate and burns a
+  * hash-aggregation pass. Both are really PER-ROW functions of the token /
+  * shingle array — so compute them as such: one tight loop per document,
+  * inside whole-stage codegen, zero shuffle. At 100 TB this turns
+  * signature generation from a shuffle stage into a streaming projection.
+  *
+  * Hash compatibility: uses Spark's own XXH64 (seed 42) so the values are
+  * bit-identical to the builtin `xxhash64(...)` the aggregates used —
+  * outputs are byte-for-byte the same as round 1 (asserted in
+  * FingerprintQueriesSpec / PipelineSpec).
+  */
+object TextHashes {
+  private final val Seed = 42L
+
+  /** SimHash over token strings: each token's 64-bit hash votes ±1 per
+    * bit; the sign of each tally becomes that bit (strictly-positive →
+    * 1, matching IF(s > 0, ...) of the aggregate formulation). Empty
+    * arrays return 0L — callers that want the old "token-less docs absent"
+    * semantics filter on size(tokens) > 0. */
+  def simhash64(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val tally = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(tokens.getUTF8String(i), Seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (tally(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  /** MinHash signature over shingle hashes: permutation i is
+    * h_i(x) = xxhash64(i, x) — exactly the builtin's two-field fold:
+    * hashLong(x, hashLong(i, seed)). Returns long[numPerms] of minima. */
+  def minhashSig(hashes: ArrayData, seeds: Array[Long]): ArrayData = {
+    val hs = hashes.toLongArray()
+    val out = Array.fill(seeds.length)(Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < seeds.length) {
+        val v = XXH64.hashLong(h, seeds(i))
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def permSeeds(numPerms: Int): Array[Long] =
+    Array.tabulate(numPerms)(i => XXH64.hashLong(i.toLong, Seed))
+
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 needs ARRAY<STRING>, got $other")
+    }
+    override def nullSafeEval(a: Any): Any =
+      simhash64(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextHashes.simhash64($a);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "simhash64"
+  }
+
+  case class MinHashSig(child: Expression, numPerms: Int)
+      extends UnaryExpression {
+    @transient private lazy val seeds: Array[Long] = permSeeds(numPerms)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig needs ARRAY<BIGINT>, got $other")
+    }
+    override def nullSafeEval(a: Any): Any =
+      minhashSig(a.asInstanceOf[ArrayData], seeds)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextHashes.minhashSig($a, $seedsRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_sig"
+  }
+
+  def simhash64Col(tokens: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SimHash64(org.apache.spark.sql.graft.ColumnBridge.expression(tokens)))
+  def minhashSigCol(hashes: Column, numPerms: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      MinHashSig(org.apache.spark.sql.graft.ColumnBridge.expression(hashes), numPerms))
+}

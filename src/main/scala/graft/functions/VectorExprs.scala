@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-similarity hot paths.
+  *
+  * The HOF formulations (`aggregate(zip_with(...))`) of dot products and
+  * hyperplane hashing stay interpreted — every element goes through a
+  * boxed lambda dispatch — and a stage carrying one loses whole-stage
+  * codegen above it. These expressions compute the same values (identical
+  * sequential fold order, so bit-identical doubles) in tight JIT-compiled
+  * loops invoked once per row from generated code.
+  *
+  * Reference behavior: brute-force + LSH-bucketed vector search over an
+  * embedding column (SURVEY.md §2 similarity-search rows).
+  */
+object VectorOps {
+  /** cos(a, b) = dot / (sqrt(|a|²) * sqrt(|b|²)), folded left-to-right in
+    * doubles — the exact order of `aggregate(zip_with(a, b, ...))`. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val av = a.toFloatArray()
+    val bv = b.toFloatArray()
+    val n = math.min(av.length, bv.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = av(i).toDouble; val y = bv(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def l2norm(a: ArrayData): Double = {
+    val av = a.toFloatArray()
+    var acc = 0.0
+    var i = 0
+    while (i < av.length) { val x = av(i).toDouble; acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: splitmix64 of
+    * (plane, dim) scaled to [-1, 1). Same constant on every executor. */
+  def hyperplane(plane: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims) { d =>
+      var z = plane.toLong * 131071 + d + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+  /** One bucket id per hash table: `planesPerTable` sign bits of
+    * hyperplane dot products, weighted 1 << p. Fold order per plane
+    * matches the HOF formulation (sequential, doubles). */
+  def srpBuckets(emb: ArrayData, planes: Array[Array[Double]],
+      planesPerTable: Int): ArrayData = {
+    val v = emb.toFloatArray()
+    val numTables = planes.length / planesPerTable
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val w = planes(t * planesPerTable + p)
+        val n = math.min(v.length, w.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += v(i).toDouble * w(i); i += 1 }
+        if (acc > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def requireFloatArray(dt: DataType, name: String): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name needs ARRAY<FLOAT>, got $other")
+    }
+
+  /** Register all vector expressions on a session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2norm",
+      exprs => L2Norm(exprs.head), "built-in")
+  }
+
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(left.dataType, prettyName) match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          requireFloatArray(right.dataType, prettyName)
+        case fail => fail
+      }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorOps.cosine($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "cosine_sim"
+  }
+
+  case class L2Norm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child.dataType, prettyName)
+    override def nullSafeEval(a: Any): Any = l2norm(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.l2norm($a);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "l2norm"
+  }
+
+  /** SRP-LSH bucket ids; the plane matrix is a deterministic function of
+    * (numTables, planesPerTable, dims), regenerated per executor — no
+    * broadcast state, identical everywhere. */
+  case class SrpBucketIds(child: Expression, numTables: Int,
+      planesPerTable: Int, dims: Int) extends UnaryExpression {
+    @transient private lazy val planes: Array[Array[Double]] =
+      Array.tabulate(numTables * planesPerTable)(hyperplane(_, dims))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child.dataType, prettyName)
+    override def nullSafeEval(a: Any): Any =
+      srpBuckets(a.asInstanceOf[ArrayData], planes, planesPerTable)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("srpPlanes", planes,
+        "double[][]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = graft.functions.VectorOps.srpBuckets(
+           |  $a, $planesRef, $planesPerTable);""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "srp_bucket_ids"
+  }
+
+  /** Column API: construct via the registry-free SQL parser path. */
+  def cosineSim(a: Column, b: Column): Column = exprCol(CosineSim(exprOf(a), exprOf(b)))
+  def l2normCol(a: Column): Column = exprCol(L2Norm(exprOf(a)))
+  def srpBucketIds(a: Column, numTables: Int, planesPerTable: Int,
+      dims: Int): Column =
+    exprCol(SrpBucketIds(exprOf(a), numTables, planesPerTable, dims))
+
+  private def exprOf(c: Column): Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+  private def exprCol(e: Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+}

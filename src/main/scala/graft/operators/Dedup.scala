@@ -42,23 +42,18 @@ object Dedup {
 
   /** documents(doc_id, text) -> (doc_id, sig array<long>[NumPerms]).
     *
-    * Shape: explode shingles, then NumPerms `min` aggregates grouped by
-    * doc — all whole-stage codegen'd. Partial (map-side) aggregation
-    * reduces each doc to one 64-long row before the shuffle, so shuffle
-    * volume is ~512 bytes/doc regardless of document size. (The HOF
-    * formulation — array_min(transform(...)) per permutation — stays
-    * interpreted and costs ~10ms/doc.) */
-  def signatures(docs: DataFrame): DataFrame = {
-    val exploded = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    * Shape: a pure per-row projection — the native [[graft.functions
+    * .TextHashes.MinHashSig]] expression loops the shingle array once and
+    * emits all NumPerms minima inside whole-stage codegen. Zero shuffle
+    * (the round-1 explode + 64 min-aggregates shape was map-side combined
+    * but still paid an exchange + hash-aggregation pass per doc); values
+    * are bit-identical because the expression reuses Spark's XXH64 fold.
+    * At 100 TB signature generation is now bounded by the scan. */
+  def signatures(docs: DataFrame): DataFrame =
+    docs
       .withColumn("__tok", tokenCol)
-      .select(col("doc_id"), explode(shingleHashes).as("h"))
-    val mins = (0 until NumPerms).map(i =>
-      min(xxhash64(lit(i.toLong), col("h"))).as(s"m$i"))
-    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
-        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
-  }
+        graft.functions.TextHashes.minhashSigCol(shingleHashes, NumPerms).as("sig"))
 
   /** LSH candidate pairs: explode signatures into (band, bandHash) keys,
     * equi-join per bucket, dedupe pairs, attach the signature-agreement
@@ -97,22 +92,18 @@ object Dedup {
 
   /** SimHash table: docs(doc_id, text, carry...) -> (doc_id, carry..., fp).
     * Per-token 64-bit hashes vote ±1 on each of 64 bits; the sign of each
-    * tally becomes that bit. Same codegen'd explode+aggregate shape as
-    * [[signatures]]: 64 conditional sums with map-side combine, then the
-    * fingerprint is assembled from the tally signs. */
+    * tally becomes that bit — computed per-row by the native
+    * [[graft.functions.TextHashes.SimHash64]] expression (one loop over
+    * the token array inside codegen; no explode, no aggregation, no
+    * shuffle — the round-1 64-conditional-sum shape is gone). Token-less
+    * docs are filtered out, matching the old groupBy-over-exploded
+    * semantics where they produced no row. */
   def simhashTable(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val keys = col("doc_id") +: carry.map(col)
-    val exploded = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(keys :+
-        explode(expr(s"transform($tokens, t -> xxhash64(t))")).as("h"): _*)
-    val sums = (0 until 64).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
-    val tallies = exploded.groupBy(keys: _*).agg(sums.head, sums.tail: _*)
-    // shiftleft(1, 63) folds to Long.MinValue, which has no SQL literal
-    val fp = (0 until 64)
-      .map(b => s"IF(s$b > 0, shiftleft(1L, $b), 0L)").mkString(" + ")
-    tallies.select(keys :+ expr(fp).as("fp"): _*)
+    docs
+      .withColumn("__tok", tokenCol)
+      .filter(size(col("__tok")) > 0)
+      .select(keys :+ graft.functions.TextHashes.simhash64Col(col("__tok")).as("fp"): _*)
   }
 
   /** SimHash near-dup search radius (max hamming distance). */

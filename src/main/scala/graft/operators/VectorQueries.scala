@@ -15,25 +15,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object VectorQueries {
 
-  /** Sequential-fold dot product of two array<float> columns in double. */
-  private def dot(a: Column, b: Column): Column =
-    expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, " +
-      "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
+  /** Cosine similarity as a native codegen expression (one JIT loop per
+    * row; the HOF `aggregate(zip_with(...))` form stays interpreted and
+    * breaks whole-stage codegen above it). Identical fold order → bit-
+    * identical doubles vs the round-1 formulation and the oracle. */
+  private def cos(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosineSim(a, b)
 
   private def norm(a: Column): Column =
-    expr(s"sqrt(aggregate(${a.toString}, 0.0D, " +
-      "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-
-  /** Deterministic pseudo-random hyperplane component: splitmix64 of
-    * (plane, dim) scaled to [-1, 1). Same constant on every executor. */
-  def hyperplane(plane: Int, dims: Int): Seq[Double] =
-    (0 until dims).map { d =>
-      var z = plane.toLong * 131071 + d + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
+    graft.functions.VectorOps.l2normCol(a)
 
   /** Multi-table LSH: `NumTables` independent hash tables of `PlanesPerTable`
     * sign bits each. More tables = higher recall at the same bucket size —
@@ -41,29 +31,12 @@ object VectorQueries {
   val NumTables = 8
   val PlanesPerTable = 4
 
-  /** Array of per-table (t, bucket) structs over `embedding`; candidates
-    * are pairs sharing (table, bucket). The plane matrix rides along as a
-    * single array<array<double>> literal, so the expression tree stays
-    * small (the naive fully-inlined form blows past codegen size limits
-    * and floods logs with fallback warnings). */
-  def srpBuckets(emb: String = "embedding", dims: Int = 64): Column = {
-    val nPlanes = NumTables * PlanesPerTable
-    val planes = typedlit((0 until nPlanes).map(i => hyperplane(i, dims)))
-    val signs = transform(sequence(lit(0), lit(nPlanes - 1)), k =>
-      when(aggregate(
-        zip_with(col(emb), element_at(planes, k + 1),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v) > 0, 1L).otherwise(0L))
-    val weights = typedlit((0 until PlanesPerTable).map(p => 1L << p))
-    val tables = (0 until NumTables).map { t =>
-      struct(lit(t).as("t"),
-        aggregate(
-          zip_with(slice(signs, t * PlanesPerTable + 1, PlanesPerTable),
-            weights, (s, w) => s * w),
-          lit(0L), (acc, v) => acc + v).as("b"))
-    }
-    array(tables: _*)
-  }
+  /** Per-table SRP bucket ids (array<long>, index = table): native
+    * expression computing all hyperplane dot products in one codegen'd
+    * loop — the plane matrix is a deterministic splitmix64 function of
+    * (plane, dim), regenerated per executor, no broadcast state. */
+  def srpBucketIds(emb: String = "embedding", dims: Int = 64): Column =
+    graft.functions.VectorOps.srpBucketIds(col(emb), NumTables, PlanesPerTable, dims)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -87,8 +60,7 @@ object VectorQueries {
       val c = e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val scored = q.join(broadcast(c))
-        .withColumn("cos", dot(col("qe"), col("ce")) /
-          (norm(col("qe")) * norm(col("ce"))))
+        .withColumn("cos", cos(col("qe"), col("ce")))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
       scored.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
@@ -131,9 +103,8 @@ object VectorQueries {
       // dedup, so only (qid, cid, cos) rides the dedup shuffle — the
       // 256-byte embedding arrays stay out of every exchange.
       def bucketed(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("vec_id"), col("embedding"), explode(srpBuckets()).as("tb"))
         .select(col("vec_id"), col("embedding"),
-          col("tb.t").as("t"), col("tb.b").as("b"))
+          posexplode(srpBucketIds()).as(Seq("t", "b")))
       val base = Tables.load(s, dir, "embeddings")
       val q = bucketed(base.filter(col("vec_id") < 10))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("t"), col("b"))
@@ -141,8 +112,7 @@ object VectorQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("t"), col("b"))
       // candidates share any (table, bucket); score, dedupe across tables, rank
       val scored = c.join(broadcast(q), Seq("t", "b"))
-        .withColumn("cos", dot(col("qe"), col("ce")) /
-          (norm(col("qe")) * norm(col("ce"))))
+        .withColumn("cos", cos(col("qe"), col("ce")))
         .select(col("qid"), col("cid"), col("cos"))
         .dropDuplicates("qid", "cid")
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen expressions must be BIT-IDENTICAL to the builtin /
+  * HOF formulations they replaced — otherwise round-2 outputs silently
+  * drift from round-1 (and from the DuckDB oracle, which was tuned against
+  * the HOF fold order). Each test recomputes the round-1 formulation
+  * inline and compares exactly. Runs on real gate data (sf0.001). */
+class NativeExprParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs = graft.operators.Tables.load(spark, dir, "documents")
+  private def embs = graft.operators.Tables.load(spark, dir, "embeddings")
+
+  test("simhash64 expression == explode + 64-sum aggregate formulation") {
+    val toks = docs
+      .withColumn("__tok", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("__tok")) > 0)
+    val native = toks
+      .select(col("doc_id"), TextHashes.simhash64Col(col("__tok")).as("fp"))
+    // round-1 shape: per-token hash votes aggregated per doc
+    val exploded = toks.select(col("doc_id"),
+      explode(expr("transform(__tok, t -> xxhash64(t))")).as("h"))
+    val sums = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
+    val fpExpr = (0 until 64)
+      .map(b => s"IF(s$b > 0, shiftleft(1L, $b), 0L)").mkString(" + ")
+    val agg = exploded.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), expr(fpExpr).as("fp"))
+    val diff = native.join(agg.withColumnRenamed("fp", "fp2"), "doc_id")
+      .filter(col("fp") =!= col("fp2")).count()
+    assert(diff == 0, s"$diff docs with mismatched simhash fingerprints")
+    assert(native.count() == agg.count())
+  }
+
+  test("minhash_sig expression == min(xxhash64(i, h)) aggregate formulation") {
+    import graft.operators.Dedup
+    val base = docs.withColumn("__tok", Dedup.tokenCol)
+      .select(col("doc_id"), Dedup.shingleHashes.as("sh"))
+    val native = base.select(col("doc_id"),
+      TextHashes.minhashSigCol(col("sh"), Dedup.NumPerms).as("sig"))
+    val exploded = base.select(col("doc_id"), explode(col("sh")).as("h"))
+    val mins = (0 until Dedup.NumPerms).map(i =>
+      min(xxhash64(lit(i.toLong), col("h"))).as(s"m$i"))
+    val agg = exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until Dedup.NumPerms).map(i => col(s"m$i")): _*).as("sig2"))
+    val diff = native.join(agg, "doc_id")
+      .filter(col("sig") =!= col("sig2")).count()
+    assert(diff == 0, s"$diff docs with mismatched minhash signatures")
+  }
+
+  test("cosine_sim and l2norm expressions == HOF fold formulation") {
+    val pairs = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("ida"), col("embedding").as("a"))
+      .crossJoin(embs.filter(col("vec_id").between(5, 9))
+        .select(col("vec_id").as("idb"), col("embedding").as("b")))
+    val hofDot = expr("aggregate(zip_with(a, b, " +
+      "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
+    def hofNorm(c: String) = expr(s"sqrt(aggregate($c, 0.0D, " +
+      "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    val cmp = pairs
+      .withColumn("hof", hofDot / (hofNorm("a") * hofNorm("b")))
+      .withColumn("nat", VectorOps.cosineSim(col("a"), col("b")))
+      .withColumn("hofn", hofNorm("a"))
+      .withColumn("natn", VectorOps.l2normCol(col("a")))
+    assert(cmp.filter(col("hof") =!= col("nat")).count() == 0,
+      "cosine must be bit-identical to the HOF fold")
+    assert(cmp.filter(col("hofn") =!= col("natn")).count() == 0,
+      "l2norm must be bit-identical to the HOF fold")
+  }
+
+  test("srp_bucket_ids expression == HOF hyperplane formulation") {
+    import graft.operators.VectorQueries.{NumTables, PlanesPerTable}
+    val nPlanes = NumTables * PlanesPerTable
+    val planes = typedlit((0 until nPlanes).map(i =>
+      VectorOps.hyperplane(i, 64).toSeq))
+    val signs = transform(sequence(lit(0), lit(nPlanes - 1)), k =>
+      when(aggregate(
+        zip_with(col("embedding"), element_at(planes, k + 1),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v) > 0, 1L).otherwise(0L))
+    val weights = typedlit((0 until PlanesPerTable).map(p => 1L << p))
+    val hofBuckets = array((0 until NumTables).map { t =>
+      aggregate(
+        zip_with(slice(signs, t * PlanesPerTable + 1, PlanesPerTable),
+          weights, (s, w) => s * w),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+    val cmp = embs.select(
+      hofBuckets.as("hof"),
+      graft.operators.VectorQueries.srpBucketIds().as("nat"))
+    assert(cmp.filter(col("hof") =!= col("nat")).count() == 0,
+      "bucket ids must match the HOF formulation exactly")
+  }
+}
