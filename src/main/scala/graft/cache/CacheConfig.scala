@@ -17,6 +17,11 @@ final case class CacheConfig(
     cacheDir: String,
     /** Max cache weight in MB of downloaded data; <=0 = unlimited. */
     maxSizeMB: Long,
+    /** Size the cache as a percentage of the cache volume's usable disk
+      * space: budget = 95% × usable × this% (reference
+      * BookKeeper.java:656-670 getCacheAvailableSize). Combined with
+      * maxSizeMB by taking the minimum; <=0 disables disk-based sizing. */
+    diskFullnessPercentage: Int,
     /** Max bytes a single collated read request may span before chunking. */
     maxReadRequestSize: Int,
     /** Re-check remote lastModified and invalidate on change. */
@@ -47,6 +52,7 @@ object CacheConfig {
   val SplitSizeKey = "graft.cache.file.split.size"
   val CacheDirKey = "graft.cache.dir"
   val MaxSizeKey = "graft.cache.max.size.mb"
+  val DiskFullnessKey = "graft.cache.disk.fullness.percentage"
   val MaxReadRequestKey = "graft.cache.max.read.request.size"
   val StalenessKey = "graft.cache.staleness.check"
   val StrictKey = "graft.cache.strict.mode"
@@ -67,6 +73,7 @@ object CacheConfig {
     cacheDir = conf.get(CacheDirKey,
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache"),
     maxSizeMB = conf.getLong(MaxSizeKey, 0L),
+    diskFullnessPercentage = conf.getInt(DiskFullnessKey, 0),
     maxReadRequestSize = conf.getInt(MaxReadRequestKey, 8 << 20),
     stalenessCheck = conf.getBoolean(StalenessKey, true),
     strict = conf.getBoolean(StrictKey, false),

@@ -25,8 +25,17 @@ final case class CacheStatus(generation: Int, blocks: IndexedSeq[BlockState])
   * numbers, weighted LRU eviction with on-disk file deletion
   * (BookKeeper.java:629-746 semantics via Guava's weighted cache).
   */
-final class CacheManager(val conf: CacheConfig) {
+final class CacheManager(val conf: CacheConfig,
+    usableDiskBytes: Long = -1L) {
   val metrics = new CacheMetrics
+
+  /** Effective cache budget in KB: min(95% × usable disk × fullness%,
+    * explicit maxSizeMB); 0 = unbounded. Computed once at startup against
+    * the cache volume (reference BookKeeper.java:656-670); tests inject
+    * `usableDiskBytes` to simulate a small volume. */
+  val budgetKB: Long = CacheManager.effectiveBudgetKB(conf,
+    if (usableDiskBytes >= 0) usableDiskBytes
+    else CacheManager.diskUsableBytes(conf.cacheDir))
 
   /** Optional async parallel-warmup service (set by the owning FS). */
   @volatile var warmup: Option[WarmupService] = None
@@ -53,10 +62,10 @@ final class CacheManager(val conf: CacheConfig) {
 
   private[cache] val registry: GCache[String, FileMetadata] = {
     val b = CacheBuilder.newBuilder().removalListener(removal)
-    (if (conf.maxSizeMB > 0)
+    (if (budgetKB > 0)
       b.weigher(new Weigher[String, FileMetadata] {
           override def weigh(k: String, v: FileMetadata): Int = v.weightKB
-        }).maximumWeight(conf.maxSizeMB * 1024)
+        }).maximumWeight(budgetKB)
      else b)
       .build[String, FileMetadata]()
   }
@@ -166,6 +175,27 @@ final class CacheManager(val conf: CacheConfig) {
 /** JVM-wide singleton access (one per executor). */
 object CacheManager {
   @volatile private var instance: CacheManager = _
+
+  /** Usable bytes on the volume holding `dir` (created if absent). */
+  def diskUsableBytes(dir: String): Long = {
+    val f = new java.io.File(dir)
+    f.mkdirs()
+    f.getUsableSpace
+  }
+
+  /** Reference cache sizing (BookKeeper.java:656-670): the budget is
+    * min(95% of the volume's usable space × fullness%, explicit maxMB),
+    * in KB (the Guava weigher unit); 0 = unbounded (neither knob set). */
+  def effectiveBudgetKB(conf: CacheConfig, usableBytes: Long): Long = {
+    val explicitKB =
+      if (conf.maxSizeMB > 0) conf.maxSizeMB * 1024 else Long.MaxValue
+    val diskKB =
+      if (conf.diskFullnessPercentage > 0)
+        (usableBytes * 0.95 * conf.diskFullnessPercentage / 100.0).toLong / 1024
+      else Long.MaxValue
+    val m = math.min(explicitKB, diskKB)
+    if (m == Long.MaxValue) 0L else m
+  }
 
   def getOrInit(conf: CacheConfig): CacheManager = {
     val cur = instance

@@ -36,6 +36,8 @@ class GraftFileSystem extends FileSystem {
     cacheConf = CacheConfig.from(conf)
     enabled = conf.getBoolean(CacheConfig.EnabledKey, true)
     manager = CacheManager.getOrInit(cacheConf)
+    if (conf.getBoolean("graft.cache.metrics.enabled", true))
+      CacheMetricsSource.register(manager)
     if (cacheConf.parallelWarmup && manager.warmup.isEmpty) manager.synchronized {
       if (manager.warmup.isEmpty) {
         val svc = new WarmupService(manager,
