@@ -9,10 +9,27 @@ object FingerprintQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // Native codegen'd FNV-1a fingerprint over documents (rows-only: the
-    // hash is our own spec; Fingerprint64Spec pins it against a reference
-    // implementation and DuckDB can't express the byte loop).
-    QueryDef.noOracle("d08_fingerprint64") { (s, dir) =>
+    // Native codegen'd FNV-1a fingerprint over documents. FNV-1a is fully
+    // specified (offset 0xcbf29ce484222325, prime 0x100000001b3), so the
+    // oracle reproduces the byte loop in DuckDB: list_reduce over UTF-8
+    // bytes in HUGEINT with mod-2^64 wraparound, folded back to a signed
+    // BIGINT. A full rows+schema+hash gate on a custom codegen expression.
+    QueryDef("d08_fingerprint64", MultimodalQueries.decodeOracle(
+      """SELECT doc_id, fp,
+        | CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same_fp
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN r >= 9223372036854775808::HUGEINT
+        |              THEN r - 18446744073709551616::HUGEINT ELSE r END
+        |         AS BIGINT) AS fp
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_reduce(
+        |        list_prepend(14695981039346656037::HUGEINT,
+        |          list_transform(bs, b -> CAST(b AS HUGEINT))),
+        |        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS r
+        |    FROM decoded) t1) t2""".stripMargin)) { (s, dir) =>
       Fingerprint64.register(s)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),

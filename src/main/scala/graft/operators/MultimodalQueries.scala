@@ -30,6 +30,22 @@ object MultimodalQueries {
     (w, h, ch, mean)
   }
 
+  /** Shared oracle CTE: per-doc UTF-8 byte values as a DuckDB list,
+    * decoded from hex(encode(text)) (DuckDB cannot index BLOBs directly).
+    * `body` selects from the `decoded(doc_id, lang, n, bs)` view. */
+  def decodeOracle(body: String): String =
+    s"""WITH hexed AS (
+       |  SELECT doc_id, lang, hex(encode(text)) AS h,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents),
+       |decoded AS (
+       |  SELECT doc_id, lang, n,
+       |    list_transform(range(1, n + 1), i ->
+       |      16 * (strpos('0123456789ABCDEF', upper(substring(h, CAST(2*i-1 AS INT), 1))) - 1)
+       |         + (strpos('0123456789ABCDEF', upper(substring(h, CAST(2*i AS INT), 1))) - 1)) AS bs
+       |  FROM hexed)
+       |$body""".stripMargin
+
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("byte_len", LongType),
@@ -51,8 +67,18 @@ object MultimodalQueries {
           sha2(col("text"), 256).as("digest"))
     },
 
-    // ---- batch "decode" over binary column via mapPartitions ----
-    QueryDef.noOracle("m02_decode_stub") { (s, dir) =>
+    // ---- batch "decode" over binary column via mapPartitions.
+    // Oracle-checkable: fakeDecode is deterministic byte arithmetic, so
+    // the same features are computable in DuckDB from hex(encode(text))
+    // (no rounding needed: width/height/channels are ints and mean_byte
+    // is BIGINT sum / count — the double division is bit-identical). ----
+    QueryDef("m02_decode_stub", MultimodalQueries.decodeOracle(
+      """SELECT doc_id, CAST(n AS BIGINT) AS byte_len,
+        | CAST(16 + CASE WHEN n = 0 THEN 0 ELSE bs[1] % 128 END AS INT) AS width,
+        | CAST(16 + CASE WHEN n < 2 THEN 0 ELSE bs[2] % 128 END AS INT) AS height,
+        | CAST(1 + CASE WHEN n < 3 THEN 0 ELSE bs[3] % 4 END AS INT) AS channels,
+        | CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(bs) AS DOUBLE) / n END AS mean_byte
+        |FROM decoded""".stripMargin)) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
@@ -61,13 +87,19 @@ object MultimodalQueries {
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val (w, h, ch, mean) = fakeDecode(payload)
-          Row(id, payload.length.toLong, w, h, ch, math.round(mean * 1000) / 1000.0)
+          Row(id, payload.length.toLong, w, h, ch, mean)
         }
       }(enc)
     },
 
     // ---- aggregate over decoded features (downstream-pipeline shape) ----
-    QueryDef.noOracle("m03_decoded_stats") { (s, dir) =>
+    QueryDef("m03_decoded_stats", MultimodalQueries.decodeOracle(
+      """SELECT lang, count(*) AS n,
+        | round(avg(16 + CASE WHEN n = 0 THEN 0 ELSE bs[1] % 128 END), 3) AS avg_w,
+        | round(avg(16 + CASE WHEN n < 2 THEN 0 ELSE bs[2] % 128 END), 3) AS avg_h,
+        | round(avg(CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(bs) AS DOUBLE) / n END), 3)
+        |   AS avg_mean_byte
+        |FROM decoded GROUP BY lang""".stripMargin)) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text").cast("binary").as("payload"))
       val schema = StructType(StructField("lang", StringType) +: decodedSchema.fields.toSeq)

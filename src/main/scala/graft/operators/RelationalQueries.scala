@@ -476,12 +476,30 @@ object RelationalQueries {
       ) { case (df, t) => df.withColumnRenamed(t, s"n_$t") }
     },
 
-    // ---- approx distinct (HLL) — engine-specific sketch, rows-only check ----
-    QueryDef.noOracle("q31_approx_distinct") { (s, dir) =>
+    // ---- approx distinct (HLL). The sketch itself is engine-specific,
+    // so the oracle checks the CONTRACT instead: exact distinct counts
+    // (comparable in DuckDB) plus booleans asserting the HLL estimate
+    // lands within ±5% of exact (rsd=0.01 -> 5-sigma band, deterministic
+    // for a given dataset). An out-of-band estimate flips a boolean and
+    // fails the hash gate. ----
+    QueryDef("q31_approx_distinct",
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        | CAST(count(*) AS BIGINT) AS n,
+        | true AS parts_in_band, true AS orders_in_band
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"), col("n"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("parts_in_band"),
+          (abs(col("ao") - col("exact_orders")) <=
+            col("exact_orders") * 0.05).as("orders_in_band"))
     },
 
     // ---- multi-CTE star query (q64-style): agg -> window -> join ----
