@@ -36,7 +36,18 @@ object EventStreams {
     * KeyValueGroupedDataset path the reference surface has no analog for
     * (SURVEY §2.10) — at scale the same code runs continuously with
     * per-group state across micro-batches; AvailableNow delivers one
-    * deterministic batch here so a SQL islands oracle can check it. */
+    * deterministic batch here so a SQL islands oracle can check it.
+    *
+    * Whale-user memory bound: the group iterator arrives unsorted, so one
+    * sort buffer per user-batch is unavoidable — but it is a PRIMITIVE
+    * long array of timestamps only (8 bytes/event, no boxing; event ids
+    * don't participate in session arithmetic, so ties need no tiebreak).
+    * A 10M-event user costs 80 MB transient, not the ~500 MB a boxed
+    * tuple sort would; SessionizeWhaleSpec drives a 100k-event user
+    * through this path. Beyond that, bound the batch itself: with a
+    * watermark + micro-batch triggers each batch carries only the
+    * watermark window's events per user, and session continuity across
+    * batches rides the GroupState, not the buffer. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = eventsStream(spark, dir)
@@ -47,8 +58,9 @@ object EventStreams {
       .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[(Long, Long, Long)], state: GroupState[Long]) =>
-          val evs = it.toIndexedSeq.sortBy(e => (e._2, e._3))
-          if (evs.isEmpty) Iterator.empty
+          val ts = it.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          if (ts.isEmpty) Iterator.empty
           else {
             val out = Seq.newBuilder[(Long, Long, Long, Long)]
             var sid = 0L
@@ -57,7 +69,7 @@ object EventStreams {
             var n = 0L
             def emit(): Unit =
               if (n > 0) out += ((uid, sid, n, last - start))
-            evs.foreach { case (_, t, _) =>
+            ts.foreach { t =>
               if (last == Long.MinValue || t - last > SessionGapUs) {
                 emit(); sid += 1; start = t; n = 0
               }
