@@ -72,6 +72,69 @@ object TextHashes {
   def permSeeds(numPerms: Int): Array[Long] =
     Array.tabulate(numPerms)(i => XXH64.hashLong(i.toLong, Seed))
 
+  /** Distinct 64-bit hashes of word k-gram shingles, one loop per doc —
+    * bit-identical to xxhash64(concat(tok_i, ' ', ..., tok_{i+k-1}))
+    * over array_distinct(transform(...)) but with no interpreted lambda
+    * dispatch and no intermediate gram strings kept alive. Docs with
+    * fewer than k tokens yield [xxhash64(text)] (the MinHash convention:
+    * every doc gets a signature) or [] when `emptyIfShort` (the exact-
+    * Jaccard convention: short docs never pair). */
+  def shingleHash64(text: org.apache.spark.unsafe.types.UTF8String,
+      tokens: ArrayData, k: Int, emptyIfShort: Boolean): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) {
+      return new GenericArrayData(
+        if (emptyIfShort) Array.emptyLongArray
+        else Array(XXH64.hashUTF8String(text, Seed)))
+    }
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * k - 1)
+    var j = 0
+    while (j < k - 1) { parts(2 * j + 1) = space; j += 1 }
+    var i = 0
+    while (i <= n - k) {
+      j = 0
+      while (j < k) { parts(2 * j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.concat(parts: _*), Seed))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class ShingleHash64(left: Expression, right: Expression, k: Int,
+      emptyIfShort: Boolean) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (StringType, ArrayType(StringType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"shingle_hash64 needs (STRING, ARRAY<STRING>), got $other")
+      }
+    override def nullSafeEval(t: Any, a: Any): Any =
+      shingleHash64(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        a.asInstanceOf[ArrayData], k, emptyIfShort)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, a) =>
+        s"${ev.value} = graft.functions.TextHashes.shingleHash64($t, $a, $k, $emptyIfShort);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "shingle_hash64"
+  }
+
+  def shingleHash64Col(text: Column, tokens: Column, k: Int,
+      emptyIfShort: Boolean = false): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ShingleHash64(org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens), k, emptyIfShort))
+
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

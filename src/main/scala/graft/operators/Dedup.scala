@@ -27,15 +27,14 @@ object Dedup {
 
   private val tokens = "regexp_extract_all(text, '\\\\S+', 0)"
 
-  /** Word 3-gram shingles, 64-bit hashed; empty/short-doc safe. The token
-    * array must be pre-materialized in column `__tok` — inlining the
-    * regexp would re-run it per sequence element (O(tokens^2) parses). */
-  def shingleHashes: Column = expr(
-    s"""CASE WHEN size(__tok) < 3 THEN array(xxhash64(text))
-       |ELSE array_distinct(transform(sequence(1, size(__tok) - 2),
-       |  i -> xxhash64(concat(element_at(__tok, i), ' ',
-       |                       element_at(__tok, i + 1), ' ',
-       |                       element_at(__tok, i + 2))))) END""".stripMargin)
+  /** Word 3-gram shingles, 64-bit hashed; empty/short-doc safe. Native
+    * codegen expression (one loop per doc); bit-identical to the HOF
+    * formulation xxhash64(concat(t_i, ' ', t_i+1, ' ', t_i+2)) over
+    * array_distinct (NativeExprParitySpec). The token array must be
+    * pre-materialized in column `__tok` — inlining the regexp would
+    * re-run it per sequence element (O(tokens^2) parses). */
+  def shingleHashes: Column =
+    graft.functions.TextHashes.shingleHash64Col(col("text"), col("__tok"), 3)
 
   /** Tokenization column for [[shingleHashes]]. */
   def tokenCol: Column = expr(tokens)

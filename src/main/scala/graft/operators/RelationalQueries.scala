@@ -489,12 +489,20 @@ object RelationalQueries {
         | CAST(count(*) AS BIGINT) AS n,
         | true AS parts_in_band, true AS orders_in_band
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
+      // Two separate aggregations joined on the tiny group key: mixing
+      // countDistinct (Expand) with HLL ImperativeAggregate buffers in ONE
+      // aggregate forces a SortAggregate over expanded rows carrying the
+      // sketch buffers — measured 77s vs 2s at sf0.1. rsd=0.016 keeps the
+      // sketch at 2^13 registers and ±5% at >3 sigma.
+      val li = Tables.load(s, dir, "lineitem")
+      val approx = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.016).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.016).as("ao"),
           count(lit(1)).as("n"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+      approx.join(exact, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"), col("n"),
           (abs(col("ap") - col("exact_parts")) <=
             col("exact_parts") * 0.05).as("parts_in_band"),

@@ -128,37 +128,26 @@ object TextQueries {
         |FROM sh a JOIN sh b
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE length(list_intersect(a.grams, b.grams)) > 0""".stripMargin) { (s, dir) =>
-      // Hoist tokenization into its own projection: element_at over an
-      // inlined regexp_extract_all would re-run the regex per sequence
-      // element (O(tokens^2) full-text parses). sequence(1, 0) would
-      // DESCEND in Spark, so short docs are guarded explicitly.
-      val grams = expr(
-        """CASE WHEN size(toks) < 3 THEN array()
-          |     ELSE array_distinct(transform(sequence(1, size(toks) - 2),
-          |  i -> concat(element_at(toks, i), ' ',
-          |              element_at(toks, i + 1), ' ',
-          |              element_at(toks, i + 2)))) END""".stripMargin)
-      // Scalable exact-jaccard shape: explode the (distinct) gram sets and
-      // count intersections with an equi-join on the gram itself — codegen
-      // end-to-end, shuffle keyed on (gram, lang, source), never a
-      // pairwise array_intersect.
-      // Materialize the gram table ONCE (persist): three consumers below
-      // (two size lookups + the exploded join) would otherwise each
-      // re-derive it, and Spark stages carrying interpreted HOF projections
-      // lose whole-stage codegen for everything above them — measured 12s
-      // vs 0.4s for the same explode over materialized arrays. At scale
-      // this is the "normalized corpus table" a real pipeline stages.
+      // Scalable exact-jaccard shape: hash the distinct gram set per doc
+      // with the native shingle_hash64 expression (one codegen'd loop; no
+      // gram strings materialized, no interpreted HOF in the stage), then
+      // explode and count intersections with an equi-join on the 8-byte
+      // hash — never a pairwise array_intersect. emptyIfShort: docs under
+      // 3 tokens have no grams and never pair (matches the oracle CTE).
+      // Materialize the hashed-gram table ONCE (persist): three consumers
+      // below (two size lookups + the exploded join) would otherwise each
+      // re-derive it. At scale this is the "normalized corpus table" a
+      // real pipeline stages.
       val sh = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("toks", tokensCol)
-        .select(col("doc_id"), col("lang"), col("source"), grams.as("grams"))
-        .persist()
-      val sizes = sh.select(col("doc_id"), size(col("grams")).as("n_grams"))
-      // 8-byte gram keys shrink the join shuffle
-      val gtab = sh.select(col("doc_id"), col("lang"), col("source"),
-          explode(col("grams")).as("g"))
         .select(col("doc_id"), col("lang"), col("source"),
-          xxhash64(col("g")).as("gh"))
+          graft.functions.TextHashes.shingleHash64Col(
+            col("text"), col("toks"), 3, emptyIfShort = true).as("ghs"))
+        .persist()
+      val sizes = sh.select(col("doc_id"), size(col("ghs")).as("n_grams"))
+      val gtab = sh.select(col("doc_id"), col("lang"), col("source"),
+        explode(col("ghs")).as("gh"))
       val inter = gtab.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("gh"))
         .join(gtab.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
           col("source").as("source_b"), col("gh").as("gh_b")),

@@ -94,6 +94,22 @@ object VectorQueries {
           round(sum(abs(col("e").cast("double"))), 3).as("sum_abs"))
     },
 
+    // ---- typed Aggregator (UDAF): per-label centroid — the IVF/k-means
+    // training primitive. Map-side partial aggregation ships one
+    // (sum[64], n) buffer per label per partition, not raw vectors. ----
+    QueryDef("e05_centroid_udaf",
+      """SELECT label, CAST(r.range AS BIGINT) AS dim,
+        | round(avg(CAST(embedding[r.range] AS DOUBLE)), 3) AS c
+        |FROM embeddings, range(1, 65) r
+        |GROUP BY label, r.range""".stripMargin) { (s, dir) =>
+      val cent = graft.functions.VectorCentroid.asUdaf
+      Tables.load(s, dir, "embeddings")
+        .groupBy("label").agg(cent(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("i", "v")))
+        .select(col("label"), (col("i") + 1).cast("long").as("dim"),
+          round(col("v"), 3).as("c"))
+    },
+
     // ---- LSH-bucketed ANN: the scale path (rows-only; recall in spec) ----
     QueryDef.noOracle("e04_knn_lsh") { (s, dir) =>
       // Bucket the bounded probe set and the corpus as separate scans:

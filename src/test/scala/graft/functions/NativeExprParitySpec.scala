@@ -65,6 +65,28 @@ class NativeExprParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0, s"$diff docs with mismatched minhash signatures")
   }
 
+  test("shingle_hash64 expression == HOF concat+xxhash64 formulation") {
+    val base = docs.withColumn("__tok",
+      expr("regexp_extract_all(text, '\\\\S+', 0)"))
+    val hof = expr(
+      """CASE WHEN size(__tok) < 3 THEN array(xxhash64(text))
+        |ELSE array_distinct(transform(sequence(1, size(__tok) - 2),
+        |  i -> xxhash64(concat(element_at(__tok, i), ' ',
+        |                       element_at(__tok, i + 1), ' ',
+        |                       element_at(__tok, i + 2))))) END""".stripMargin)
+    val cmp = base.select(col("doc_id"), hof.as("h"),
+      TextHashes.shingleHash64Col(col("text"), col("__tok"), 3).as("n"),
+      TextHashes.shingleHash64Col(col("text"), col("__tok"), 3,
+        emptyIfShort = true).as("ne"))
+    assert(cmp.filter(col("h") =!= col("n")).count() == 0,
+      "native shingle hashes must equal the HOF formulation exactly")
+    // emptyIfShort differs only for docs under 3 tokens
+    assert(cmp.filter(size(col("__tok")) >= 3)
+      .filter(col("h") =!= col("ne")).count() == 0)
+    assert(cmp.filter(size(col("__tok")) < 3)
+      .filter(size(col("ne")) =!= 0).count() == 0)
+  }
+
   test("cosine_sim and l2norm expressions == HOF fold formulation") {
     val pairs = embs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("ida"), col("embedding").as("a"))
