@@ -156,6 +156,111 @@ object VectorOps {
     override def prettyName: String = "srp_bucket_ids"
   }
 
+  /** Index of the nearest centroid by squared L2 distance (ties -> lowest
+    * index). Centroids ride along as a reference object — k × dims
+    * doubles, re-materialized per executor from the driver's literal. */
+  def nearestCentroid(emb: ArrayData, centroids: Array[Array[Double]]): Int = {
+    val v = emb.toFloatArray()
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      val n = math.min(v.length, c.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val t = v(i).toDouble - c(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest centroid indices by squared L2, ascending
+    * distance (ties -> lowest index): selection sort over k cells —
+    * k is small (coarse quantizer), rows are many. */
+  def nearestCentroids(emb: ArrayData, centroids: Array[Array[Double]],
+      nprobe: Int): ArrayData = {
+    val v = emb.toFloatArray()
+    val k = centroids.length
+    val d = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = centroids(j)
+      val n = math.min(v.length, c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val t = v(i).toDouble - c(i); acc += t * t; i += 1 }
+      d(j) = acc
+      j += 1
+    }
+    val take = math.min(nprobe, k)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](k)
+    var p = 0
+    while (p < take) {
+      var best = -1
+      var bestD = Double.MaxValue
+      j = 0
+      while (j < k) {
+        if (!used(j) && d(j) < bestD) { bestD = d(j); best = j }
+        j += 1
+      }
+      used(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Argmin-centroid assignment for IVF coarse quantization: per-row
+    * codegen'd loop over a k × dims centroid table. */
+  case class NearestCentroid(child: Expression,
+      centroids: Seq[Seq[Double]]) extends UnaryExpression {
+    @transient private lazy val cents: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child.dataType, prettyName)
+    override def nullSafeEval(a: Any): Any =
+      nearestCentroid(a.asInstanceOf[ArrayData], cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.nearestCentroid($a, $ref);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "nearest_centroid"
+  }
+
+  /** Multi-probe variant: the nprobe nearest cell ids, for the query side
+    * of an IVF search. */
+  case class NearestCentroids(child: Expression,
+      centroids: Seq[Seq[Double]], nprobe: Int) extends UnaryExpression {
+    @transient private lazy val cents: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child.dataType, prettyName)
+    override def nullSafeEval(a: Any): Any =
+      nearestCentroids(a.asInstanceOf[ArrayData], cents, nprobe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.nearestCentroids($a, $ref, $nprobe);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "nearest_centroids"
+  }
+
+  def nearestCentroidCol(a: Column, centroids: Seq[Seq[Double]]): Column =
+    exprCol(NearestCentroid(exprOf(a), centroids))
+  def nearestCentroidsCol(a: Column, centroids: Seq[Seq[Double]],
+      nprobe: Int): Column =
+    exprCol(NearestCentroids(exprOf(a), centroids, nprobe))
+
   /** Column API: construct via the registry-free SQL parser path. */
   def cosineSim(a: Column, b: Column): Column = exprCol(CosineSim(exprOf(a), exprOf(b)))
   def l2normCol(a: Column): Column = exprCol(L2Norm(exprOf(a)))

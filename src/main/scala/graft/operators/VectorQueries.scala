@@ -38,6 +38,31 @@ object VectorQueries {
   def srpBucketIds(emb: String = "embedding", dims: Int = 64): Column =
     graft.functions.VectorOps.srpBucketIds(col(emb), NumTables, PlanesPerTable, dims)
 
+  /** IVF coarse quantizer: deterministic-init Lloyd iterations. Init
+    * cells by hash of vec_id; each iteration assigns rows to the nearest
+    * centroid with the codegen'd [[graft.functions.VectorOps
+    * .NearestCentroid]] expression and recomputes centroids with the
+    * [[graft.functions.VectorCentroid]] Aggregator (map-side partial
+    * buffers). Only k × dims doubles ever reach the driver — the
+    * trainable-at-100TB shape. */
+  def kmeansCentroids(corpus: DataFrame, k: Int,
+      iters: Int): Seq[Seq[Double]] = {
+    val cent = graft.functions.VectorCentroid.asUdaf
+    def collectCents(assigned: DataFrame): Seq[Seq[Double]] = {
+      val got = assigned.groupBy("cell").agg(cent(col("embedding")).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // empty cells keep their slot (zero vector) so indices stay stable
+      (0 until k).map(j => got.getOrElse(j, Seq.fill(64)(0.0)))
+    }
+    var cents = collectCents(
+      corpus.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(k)).cast("int")))
+    (0 until iters).foreach { _ =>
+      cents = collectCents(corpus.withColumn("cell",
+        graft.functions.VectorOps.nearestCentroidCol(col("embedding"), cents)))
+    }
+    cents
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k: probe set (vec_id < 10) vs corpus ----
@@ -108,6 +133,35 @@ object VectorQueries {
         .select(col("label"), posexplode(col("centroid")).as(Seq("i", "v")))
         .select(col("label"), (col("i") + 1).cast("long").as("dim"),
           round(col("v"), 3).as("c"))
+    },
+
+    // ---- IVF ANN: the second scale path (SURVEY §2 "IVF or LSH"). Train
+    // a 16-cell coarse quantizer (2 Lloyd iterations), bucket the corpus
+    // by nearest cell, probe the 4 nearest cells per query — candidates
+    // are an equi-join on the cell id, bounded by nprobe/k of the corpus.
+    // Rows-only gate; recall-vs-brute-force in PipelineSpec. ----
+    QueryDef.noOracle("e06_knn_ivf") { (s, dir) =>
+      val k = 16; val nprobe = 4
+      val base = Tables.load(s, dir, "embeddings")
+      val corpus = base.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val cents = kmeansCentroids(
+        corpus.select(col("cid").as("vec_id"), col("ce").as("embedding")),
+        k, iters = 2)
+      val bucketed = corpus.withColumn("cell",
+        graft.functions.VectorOps.nearestCentroidCol(col("ce"), cents))
+      // nprobe nearest cells per query via the multi-probe expression
+      val probes = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .withColumn("cell", explode(
+          graft.functions.VectorOps.nearestCentroidsCol(col("qe"), cents, nprobe)))
+      val scored = bucketed.join(broadcast(probes), Seq("cell"))
+        .withColumn("cos", cos(col("qe"), col("ce")))
+        .select(col("qid"), col("cid"), col("cos"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
     },
 
     // ---- LSH-bucketed ANN: the scale path (rows-only; recall in spec) ----

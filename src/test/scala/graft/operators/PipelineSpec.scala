@@ -55,6 +55,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, f"LSH recall $recall%.2f < 0.5 vs brute force")
   }
 
+  test("ivf ann recalls most brute-force top-5 neighbors") {
+    val brute = SparkEntryQueries("e01_knn_brute")
+    val ivf = SparkEntryQueries("e06_knn_ivf")
+    val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSet = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet & ivfSet).size.toDouble / bruteSet.size
+    assert(ivfSet.size == bruteSet.size, "top-5 per probe expected")
+    assert(recall >= 0.5, f"IVF recall $recall%.2f < 0.5 vs brute force")
+  }
+
   private def SparkEntryQueries(name: String) =
     graft.SparkEntry.queries(name)(spark, dir)
 
