@@ -290,7 +290,7 @@ final class CachingInputStream(
     val backendStart = rs.head.backendStart
     val backendEnd = rs.last.backendEnd
     val span = (backendEnd - backendStart).toInt
-    val scratch = new Array[Byte](span)
+    val scratch = CachingInputStream.scratchBuffer(span)
     readFullyRemote(backendStart, scratch, 0, span, ownStream)
     // hand the caller their windows
     rs.foreach { r =>
@@ -305,7 +305,8 @@ final class CachingInputStream(
         val f = m.ensureDataFile()
         val ch = FileChannel.open(f.toPath, StandardOpenOption.WRITE)
         try {
-          val bb = ByteBuffer.wrap(scratch)
+          // bound the wrap: the pooled scratch may be longer than span
+          val bb = ByteBuffer.wrap(scratch, 0, span)
           var written = 0
           while (bb.hasRemaining) {
             val n = ch.write(bb, backendStart + written)
@@ -325,6 +326,26 @@ final class CachingInputStream(
 }
 
 object CachingInputStream {
+
+  /** Per-thread reusable scratch for remote warmup spans (the reference
+    * pools direct buffers for the same reason — per-read allocation churns
+    * GC at high read concurrency, CachedReadRequestChain.java:109-134).
+    * Spans are bounded by maxReadRequestSize; a SoftReference lets the GC
+    * reclaim idle buffers under pressure. Thread-confined: chains run
+    * either inline or on a dedicated pool thread, never sharing a span. */
+  private val scratchRef = new ThreadLocal[java.lang.ref.SoftReference[Array[Byte]]]
+
+  private[cache] def scratchBuffer(span: Int): Array[Byte] = {
+    val ref = scratchRef.get()
+    val cur = if (ref == null) null else ref.get()
+    if (cur != null && cur.length >= span) cur
+    else {
+      val fresh = new Array[Byte](span)
+      scratchRef.set(new java.lang.ref.SoftReference(fresh))
+      fresh
+    }
+  }
+
   @volatile private var pool: java.util.concurrent.ExecutorService = _
   /** Shared bounded executor for intra-read chain fan-out (one per JVM —
     * NOT per stream: the reference's per-client 100-thread pool would
