@@ -33,6 +33,26 @@ object StreamingQueries {
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
       EventStreams.sessionize(s, dir)
+    },
+
+    // Streaming dedup (watermarked dropDuplicates): output is the
+    // distinct key set, so plain SELECT DISTINCT is the exact oracle.
+    QueryDef("s03_stream_dedup",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, dir) =>
+      EventStreams.streamDedup(s, dir)
+    },
+
+    // Stream-stream interval join (purchases x preceding-hour clicks per
+    // user); oracle = the same interval join in batch SQL.
+    QueryDef("s04_stream_stream_join",
+      """SELECT p.user_id AS p_user, p.event_id AS p_id,
+        | count(*) AS n_clicks
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      EventStreams.streamStreamJoin(s, dir)
     }
   )
 }

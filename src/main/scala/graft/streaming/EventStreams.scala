@@ -108,6 +108,60 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Streaming deduplication: dropDuplicates over a watermarked stream —
+    * the streaming analog of exact dedup (state holds one entry per key
+    * inside the watermark; expired keys are evicted, bounding state at
+    * 100 TB/day ingest). Output is the distinct key SET (not "first
+    * occurrence" rows, whose payload would depend on arrival order), so
+    * a batch SELECT DISTINCT oracle checks it exactly. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark) {
+      val events = eventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      val name = s"graft_dedup_${counter.incrementAndGet()}"
+      val q = events.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      spark.table(name)
+    }
+
+  /** Stream-stream inner join with watermarks + a time-range condition:
+    * each purchase joined to the same user's clicks in the preceding
+    * hour. Both sides buffer state only within the watermark bound —
+    * the join state a 100 TB/day pipeline can actually hold. Output
+    * counts per purchase (event ids + count), deterministic, so a batch
+    * interval-join oracle checks it exactly. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark) {
+      val purchases = eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = eventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val name = s"graft_ssjoin_${counter.incrementAndGet()}"
+      // the streaming stage emits the raw join pairs (append mode — the
+      // only mode a stream-stream join supports); the count-per-purchase
+      // rollup happens as a batch step over the sink table
+      val q = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("p_user"), col("p_id"), col("c_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      spark.table(name)
+        .groupBy(col("p_user"), col("p_id"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_clicks"))
+    }
+
   /** Tumbling 6h windows of count/sum(value) per event_type.
     * Returns the final (complete-mode) result as a batch DataFrame. */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame =
