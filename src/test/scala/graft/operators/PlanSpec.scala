@@ -112,6 +112,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e05 centroid UDAF: partial aggregation before the shuffle") {
+    val p = plan("e05_centroid_udaf")
+    assert(p.contains("partial_vectorcentroid") ||
+      p.contains("partial_VectorCentroid") ||
+      (p.contains("ObjectHashAggregate") &&
+        p.indexOf("ObjectHashAggregate") !=
+          p.lastIndexOf("ObjectHashAggregate")),
+      s"Aggregator must run map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d09 embed near-dup: equi-join on the label block, no cartesian") {
+    val p = plan("d09_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("e01 knn: bounded probe side is broadcast") {
     val p = plan("e01_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
