@@ -460,6 +460,27 @@ object RelationalQueries {
         .agg(r3(avg(k)).as("avg_k"), max(k).as("max_k"), count(lit(1)).as("n"))
     },
 
+    // ---- map functions: JSON -> typed map, map_keys/values, map explode ----
+    QueryDef("q37_map_funcs",
+      """SELECT key, count(*) AS n,
+        | CAST(sum(val) AS BIGINT) AS sum_val,
+        | CAST(min(val) AS BIGINT) AS min_val,
+        | CAST(max(val) AS BIGINT) AS max_val
+        |FROM (SELECT unnest(json_keys(props)) AS key,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
+        |      FROM events)
+        |GROUP BY key""".stripMargin) { (s, dir) =>
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))
+      Tables.load(s, dir, "events")
+        .select(explode(m).as(Seq("key", "val")))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n"), sum("val").as("sum_val"),
+          min("val").as("min_val"), max("val").as("max_val"))
+    },
+
     // ---- pivot (conditional-agg oracle) ----
     QueryDef("q30_pivot",
       """SELECT user_id,
