@@ -22,6 +22,57 @@ object TextQueries {
   private def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** Exact n-gram Jaccard pairs over hashed 3-gram shingles (the d05
+    * body, shared with the d10 dedup-pipeline composition): candidates
+    * restricted to same (lang, source), intersection counted via an
+    * equi-join on the 8-byte gram hash, never a pairwise
+    * array_intersect. Returns (doc_a, doc_b, jaccard[round 3]). */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", tokensCol)
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.TextHashes.shingleHash64Col(
+          col("text"), col("toks"), 3, emptyIfShort = true).as("ghs"))
+      .persist()
+    val sizes = sh.select(col("doc_id"), size(col("ghs")).as("n_grams"))
+    val gtab = sh.select(col("doc_id"), col("lang"), col("source"),
+      explode(col("ghs")).as("gh"))
+    val inter = gtab.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("gh"))
+      .join(gtab.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("source").as("source_b"), col("gh").as("gh_b")),
+        col("gh") === col("gh_b") && col("lang") === col("lang_b") &&
+          col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 3).as("jaccard"))
+  }
+
+  /** The shared d05 oracle CTE producing (doc_a, doc_b, jaccard) from
+    * gram strings; `body` selects from `pairs`. */
+  def jaccardOracle(body: String): String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(regexp_extract_all(text,'\S+'))-2, 0)+1),
+      |      i -> concat(regexp_extract_all(text,'\S+')[i], ' ',
+      |                  regexp_extract_all(text,'\S+')[i+1], ' ',
+      |                  regexp_extract_all(text,'\S+')[i+2]))) AS grams
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |          (length(a.grams) + length(b.grams)
+      |           - length(list_intersect(a.grams, b.grams))), 3) AS jaccard
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE length(list_intersect(a.grams, b.grams)) > 0)
+      |""".stripMargin + body
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting + basic quality stats ----
@@ -113,53 +164,51 @@ object TextQueries {
     // Candidates are restricted to same (lang, source) — the blocked-join
     // pattern that keeps pair count linear-ish at scale.
     QueryDef("d05_ngram_jaccard",
-      """WITH sh AS (
-        |  SELECT doc_id, lang, source,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(regexp_extract_all(text,'\S+'))-2, 0)+1),
-        |      i -> concat(regexp_extract_all(text,'\S+')[i], ' ',
-        |                  regexp_extract_all(text,'\S+')[i+1], ' ',
-        |                  regexp_extract_all(text,'\S+')[i+2]))) AS grams
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |        (length(a.grams) + length(b.grams)
-        |         - length(list_intersect(a.grams, b.grams))), 3) AS jaccard
-        |FROM sh a JOIN sh b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE length(list_intersect(a.grams, b.grams)) > 0""".stripMargin) { (s, dir) =>
-      // Scalable exact-jaccard shape: hash the distinct gram set per doc
-      // with the native shingle_hash64 expression (one codegen'd loop; no
-      // gram strings materialized, no interpreted HOF in the stage), then
-      // explode and count intersections with an equi-join on the 8-byte
-      // hash — never a pairwise array_intersect. emptyIfShort: docs under
-      // 3 tokens have no grams and never pair (matches the oracle CTE).
-      // Materialize the hashed-gram table ONCE (persist): three consumers
-      // below (two size lookups + the exploded join) would otherwise each
-      // re-derive it. At scale this is the "normalized corpus table" a
-      // real pipeline stages.
-      val sh = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("toks", tokensCol)
-        .select(col("doc_id"), col("lang"), col("source"),
-          graft.functions.TextHashes.shingleHash64Col(
-            col("text"), col("toks"), 3, emptyIfShort = true).as("ghs"))
-        .persist()
-      val sizes = sh.select(col("doc_id"), size(col("ghs")).as("n_grams"))
-      val gtab = sh.select(col("doc_id"), col("lang"), col("source"),
-        explode(col("ghs")).as("gh"))
-      val inter = gtab.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("gh"))
-        .join(gtab.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-          col("source").as("source_b"), col("gh").as("gh_b")),
-          col("gh") === col("gh_b") && col("lang") === col("lang_b") &&
-            col("source") === col("source_b") && col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")), 3).as("jaccard"))
+      jaccardOracle("SELECT doc_a, doc_b, jaccard FROM pairs")) { (s, dir) =>
+      jaccardPairs(s, dir)
+    },
+
+    // ---- dedup pipeline: near-dup edges -> connected components ->
+    // canonical survivor per cluster. Components via min-label
+    // propagation to a fixpoint (each iteration = one equi-join shuffle;
+    // converges in O(cluster diameter) rounds — the standard large-scale
+    // CC shape). Only a 1-row convergence aggregate reaches the driver
+    // per round. Oracle: DuckDB recursive CTE over the same edge set. ----
+    QueryDef("d10_dedup_components", TextQueries.jaccardOracle(
+      """, und AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.3
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.3),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node)
+        |SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS comp,
+        |       min(comp) = node AS kept
+        |FROM walk GROUP BY node""".stripMargin)
+      .replaceFirst("WITH sh AS", "WITH RECURSIVE sh AS")) { (s, dir) =>
+      val edges = jaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      val und = edges.union(
+        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+      var labels = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("comp")).persist()
+      var converged = false
+      while (!converged) {
+        val prop = und.join(labels, und("doc_a") === labels("doc_id"))
+          .select(und("doc_b").as("doc_id"), col("comp"))
+        val next = labels.union(prop)
+          .groupBy("doc_id").agg(min("comp").as("comp")).persist()
+        // convergence: label sums are strictly decreasing until fixpoint
+        val oldSum = labels.agg(sum("comp")).first().getLong(0)
+        val newSum = next.agg(sum("comp")).first().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = oldSum == newSum
+      }
+      labels.select(col("doc_id"), col("comp"),
+        (col("doc_id") === col("comp")).as("kept"))
     }
   )
 }
