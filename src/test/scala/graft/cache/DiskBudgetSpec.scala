@@ -58,8 +58,12 @@ class DiskBudgetSpec extends AnyFunSuite with CacheFixture {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
         else Seq(f)
-      if (d.exists()) walk(d).filter(_.getName.endsWith(".data")) else Nil
+      if (d.exists())
+        walk(d).filter(f => f.getName.matches(".*_g\\d+") &&
+          !f.getName.contains("_mdfile"))
+      else Nil
     }
+    assert(dataFiles.nonEmpty, "surviving entries keep data files on disk")
     val onDiskKB = dataFiles.map(_.length() / 1024).sum
     assert(onDiskKB <= mgr.budgetKB + 110,
       s"deleted entries must not linger on disk: $onDiskKB KB")
