@@ -194,18 +194,20 @@ object TextQueries {
         edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
       var labels = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("doc_id").as("comp")).persist()
+      // convergence: the label sum is monotonically decreasing until the
+      // fixpoint; carry the previous round's sum instead of re-aggregating
+      var prevSum = labels.agg(sum("comp")).first().getLong(0)
       var converged = false
       while (!converged) {
         val prop = und.join(labels, und("doc_a") === labels("doc_id"))
           .select(und("doc_b").as("doc_id"), col("comp"))
         val next = labels.union(prop)
           .groupBy("doc_id").agg(min("comp").as("comp")).persist()
-        // convergence: label sums are strictly decreasing until fixpoint
-        val oldSum = labels.agg(sum("comp")).first().getLong(0)
         val newSum = next.agg(sum("comp")).first().getLong(0)
         labels.unpersist()
         labels = next
-        converged = oldSum == newSum
+        converged = prevSum == newSum
+        prevSum = newSum
       }
       labels.select(col("doc_id"), col("comp"),
         (col("doc_id") === col("comp")).as("kept"))
