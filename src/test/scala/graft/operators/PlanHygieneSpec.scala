@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Systematic plan hygiene across the ENTIRE batch gate: no query may
+  * plan a CartesianProduct, and BroadcastNestedLoopJoin may appear only
+  * where a bounded side makes it the intended plan (documented
+  * allowlist). Guards against regressions that stay correct at test
+  * scale but stop scaling — the class of defect a per-query spec misses
+  * when a new query is added without its own plan audit. */
+class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  // BNLJ is the intended plan where one side is provably tiny:
+  //   e01: bounded probe set (10 vectors) against the corpus
+  //   q24: theta join bounded by two selective predicates
+  //   q32: interval join with a tight range predicate
+  //   q28/q36: scalar/EXISTS subqueries over 3-row bounds
+  private val bnljAllowed = Set("e01_knn_brute", "q24_theta_join",
+    "q32_interval_join", "q28_correlated_subquery", "q36_exists_in_mix")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("no batch query plans a CartesianProduct; BNLJ only where bounded") {
+    val batchQueries = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("s0")) // streaming queries execute on build
+    assert(batchQueries.size >= 58)
+    val offenders = batchQueries.flatMap { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !bnljAllowed.contains(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, s"plan hygiene violations:\n${offenders.mkString("\n")}")
+  }
+}
