@@ -39,6 +39,48 @@ object FingerprintQueries {
             .as("n_same_fp"))
     },
 
+    // Deterministic content-hash sampling + train/val/test splitting: the
+    // canonical reproducible-pipeline op (any worker, any run, any engine
+    // assigns the same doc to the same split because the bucket is a pure
+    // function of the CONTENT fingerprint, not of row order or RNG state).
+    // 80/10/10 by FNV-1a bucket; oracle reproduces the fold in DuckDB.
+    QueryDef("d11_hash_split", MultimodalQueries.decodeOracle(
+      """SELECT lang, split, count(*) AS n,
+        | CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS sum_bytes
+        |FROM (
+        |  SELECT lang, n,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT lang, n,
+        |      CAST(list_reduce(
+        |        list_prepend(14695981039346656037::HUGEINT,
+        |          list_transform(bs, b -> CAST(b AS HUGEINT))),
+        |        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) % 100
+        |        AS BIGINT) AS bucket
+        |    FROM decoded) t1) t2
+        |GROUP BY lang, split""".stripMargin)) { (s, dir) =>
+      Fingerprint64.register(s)
+      // fp is the signed-long view of the unsigned 64-bit FNV value U
+      // (U = fp, or fp + 2^64 when fp < 0). The oracle buckets on
+      // U % 100; in long arithmetic that is
+      // pmod(pmod(fp, 100) + (fp < 0 ? 2^64 % 100 = 16 : 0), 100).
+      val fp = Fingerprint64.fingerprint64(col("text"))
+      val unsignedMod =
+        expr("pmod(pmod(fp, 100L) + IF(fp < 0, 16L, 0L), 100L)")
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("text"),
+          octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .withColumn("fp", fp)
+        .withColumn("bucket", unsignedMod)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), sum("n_bytes").as("sum_bytes"))
+    },
+
     // Salted two-phase aggregation: the skew pattern for hot keys at
     // scale. l_returnflag has only 3 values — a direct groupBy lands all
     // 600k rows on 3 reducers; salting fans the partial aggregation over
