@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator plans (GraftAsOf.join also self-registers its
+    // strategy per session for users without the extension)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+
     def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft", name, usage), builder))

@@ -209,6 +209,9 @@ object TextQueries {
         converged = prevSum == newSum
         prevSum = newSum
       }
+      // the final labels are materialized (the convergence aggregate ran),
+      // so the edge table can release its executors' memory now
+      und.unpersist()
       labels.select(col("doc_id"), col("comp"),
         (col("doc_id") === col("comp")).as("kept"))
     }
