@@ -29,19 +29,35 @@ object CacheFileLayout {
     dirs(((h % dirs.length) + dirs.length).toInt % dirs.length)
   }
 
+  /** Tolerant (authority, path) split: object-store keys legally contain
+    * characters that are invalid unescaped URI syntax (`%`, `+`, spaces),
+    * so never round-trip a remote path through java.net.URI. Handles
+    * `scheme://authority/path`, `scheme:/path`, and bare `/path`. */
+  private[cache] def splitAuthorityPath(remotePath: String): (String, String) = {
+    val netIdx = remotePath.indexOf("://")
+    if (netIdx >= 0) {
+      val rest = remotePath.substring(netIdx + 3)
+      val slash = rest.indexOf('/')
+      if (slash >= 0) (rest.substring(0, slash), rest.substring(slash))
+      else (rest, "/")
+    } else {
+      val c = remotePath.indexOf(':')
+      if (c >= 0 && remotePath.length > c + 1 && remotePath.charAt(c + 1) == '/')
+        ("", remotePath.substring(c + 1))
+      else ("", remotePath)
+    }
+  }
+
   /** Relative directory for a remote path: authority + parent dirs. */
   private def relDir(remotePath: String): String = {
-    val uri = java.net.URI.create(remotePath.replace(" ", "%20"))
-    val auth = Option(uri.getAuthority).filter(_.nonEmpty).getOrElse("local")
-    val p = Option(uri.getPath).getOrElse(remotePath)
+    val (auth0, p) = splitAuthorityPath(remotePath)
+    val auth = if (auth0.nonEmpty) auth0 else "local"
     val parent = Option(new File(p).getParent).getOrElse("/")
     auth + parent
   }
 
-  private def baseName(remotePath: String): String = {
-    val uri = java.net.URI.create(remotePath.replace(" ", "%20"))
-    new File(Option(uri.getPath).getOrElse(remotePath)).getName
-  }
+  private def baseName(remotePath: String): String =
+    new File(splitAuthorityPath(remotePath)._2).getName
 
   def dataFile(cacheDir: String, remotePath: String, generation: Int): File =
     new File(new File(diskFor(cacheDir, remotePath), relDir(remotePath)),

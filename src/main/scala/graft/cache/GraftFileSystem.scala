@@ -50,8 +50,10 @@ class GraftFileSystem extends FileSystem {
   }
 
   private def stripScheme(p: String): String = {
-    val u = URI.create(p.replace(" ", "%20"))
-    Option(u.getPath).filter(_.nonEmpty).getOrElse(p)
+    // tolerant split (never URI.create: object-store keys legally hold
+    // unescaped %, +, spaces — see CacheFileLayout.splitAuthorityPath)
+    val path = CacheFileLayout.splitAuthorityPath(p)._2
+    if (path.nonEmpty) path else p
   }
 
   override def getUri: URI = myUri
