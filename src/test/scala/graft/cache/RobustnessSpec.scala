@@ -58,6 +58,30 @@ class RobustnessSpec extends AnyFunSuite with CacheFixture {
     }
   }
 
+  test("zero-length file: immediate EOF, no cache entry churn") {
+    val f = TestFiles.write(tmp, "data/empty.bin", Array.emptyByteArray)
+    val s = openCaching(f)
+    assert(s.read() == -1)
+    val buf = new Array[Byte](8)
+    assert(s.read(buf, 0, 8) == -1)
+    s.close()
+  }
+
+  test("seek to EOF reads -1; seek past EOF throws; boundary reads clamp") {
+    val content = TestFiles.alphabetContent(1, 10) // 260 bytes
+    val f = TestFiles.write(tmp, "data/eof.bin", content)
+    val s = openCaching(f)
+    s.seek(content.length)
+    assert(s.read() == -1, "read at EOF must return -1")
+    intercept[java.io.EOFException] { s.seek(content.length + 1) }
+    // read request extending past EOF clamps to the remaining bytes
+    s.seek(content.length - 5)
+    val buf = new Array[Byte](100)
+    assert(s.read(buf, 0, 100) == 5)
+    assert(buf.take(5).sameElements(content.takeRight(5)))
+    s.close()
+  }
+
   test("single-byte file and single-byte reads") {
     val f = TestFiles.write(tmp, "data/one.bin", Array[Byte](42))
     val s = openCaching(f)
