@@ -22,7 +22,10 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
   /** cos(a, b) = dot / (sqrt(|a|²) * sqrt(|b|²)), folded left-to-right in
-    * doubles — the exact order of `aggregate(zip_with(a, b, ...))`. */
+    * doubles — the exact order of `aggregate(zip_with(a, b, ...))` for
+    * equal-length inputs. Ragged inputs use the common prefix (the HOF
+    * form would return NULL from the padded nulls — a number is the saner
+    * library contract; all gate embeddings are fixed 64-dim). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val av = a.toFloatArray()
     val bv = b.toFloatArray()

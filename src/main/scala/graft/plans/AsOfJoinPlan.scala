@@ -76,9 +76,22 @@ final case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val nullRight = new GenericInternalRow(rWidth)
       val joined = new JoinedRow
-      // one-row lookahead over the right side; `curMatch` is the latest
-      // right row whose (key, ts) is at-or-before the current left row
-      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      // one-row lookahead over the right side with its key/ts cached
+      // (re-evaluated only on advance, not per left row); `curMatch` is
+      // the latest right row whose (key, ts) is at-or-before the current
+      // left row. curMatchKey is evaluated from the COPIED row — an eval
+      // against the sorter's live row can point into a spill-reader
+      // buffer that gets reused after the iterator advances.
+      var rHead: InternalRow = null
+      var rk: Any = null
+      var rt: Any = null
+      def advance(): Unit =
+        if (rIter.hasNext) {
+          rHead = rIter.next()
+          rk = rKeyExpr.eval(rHead)
+          rt = rTsExpr.eval(rHead)
+        } else { rHead = null; rk = null; rt = null }
+      advance()
       var curMatch: InternalRow = null
       var curMatchKey: Any = null
 
@@ -90,19 +103,28 @@ final case class AsOfJoinExec(
         } else {
           var advancing = true
           while (advancing && rHead != null) {
-            val rk = rKeyExpr.eval(rHead)
-            val rt = rTsExpr.eval(rHead)
-            val cmp = if (rk == null) -1 else keyOrd.compare(rk, lk)
-            if (cmp < 0) {
-              // right side still on an earlier key: drop and advance
-              curMatch = null; curMatchKey = null
-              rHead = if (rIter.hasNext) rIter.next() else null
-            } else if (cmp == 0 && rt != null && tsOrd.compare(rt, lt) <= 0) {
-              // at-or-before row in our key group: becomes the candidate
-              curMatch = rHead.copy(); curMatchKey = rk
-              rHead = if (rIter.hasNext) rIter.next() else null
+            if (rk == null) {
+              // null-key right rows can never match anyone: skip them
+              // without disturbing the current candidate
+              advance()
             } else {
-              advancing = false
+              val cmp = keyOrd.compare(rk, lk)
+              if (cmp < 0) {
+                // right side still on an earlier key: drop and advance
+                curMatch = null; curMatchKey = null
+                advance()
+              } else if (cmp == 0 && rt == null) {
+                // null-ts row inside our key group (nulls sort first):
+                // unmatchable, skip — do NOT stall on it
+                advance()
+              } else if (cmp == 0 && tsOrd.compare(rt, lt) <= 0) {
+                // at-or-before row in our key group: becomes the candidate
+                curMatch = rHead.copy()
+                curMatchKey = rKeyExpr.eval(curMatch)
+                advance()
+              } else {
+                advancing = false
+              }
             }
           }
           val matched = curMatch != null && curMatchKey != null &&
@@ -143,6 +165,15 @@ object GraftAsOf {
     require(lPlan.output.map(_.exprId).toSet
       .intersect(rPlan.output.map(_.exprId).toSet).isEmpty,
       "as-of join sides must not share attributes — alias one side")
+    // fail fast on the driver: the exec compares with the LEFT side's
+    // ordering, so mismatched key/ts types would throw (or mis-compare)
+    // deep inside a task
+    require(attr(lPlan, leftKey).dataType == attr(rPlan, rightKey).dataType,
+      s"key types differ: ${attr(lPlan, leftKey).dataType} vs " +
+        s"${attr(rPlan, rightKey).dataType}")
+    require(attr(lPlan, leftTs).dataType == attr(rPlan, rightTs).dataType,
+      s"ts types differ: ${attr(lPlan, leftTs).dataType} vs " +
+        s"${attr(rPlan, rightTs).dataType}")
     org.apache.spark.sql.graft.ColumnBridge.dataFrame(spark,
       AsOfJoinNode(lPlan, rPlan,
         attr(lPlan, leftKey), attr(rPlan, rightKey),

@@ -54,6 +54,48 @@ class AsOfJoinPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("p3") == null, "key with no right rows yields nulls")
   }
 
+  test("null ts/key right rows are skipped, not stalled on") {
+    val s = spark
+    import s.implicits._
+    // nulls sort first: a null-ts row leads the key group and must not
+    // hide the real match behind it; null-key rows must not clear an
+    // established candidate
+    val left = Seq((1L, 10L, "p1")).toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), None: Option[Long], 99.0),
+      (None: Option[Long], Some(1L), 98.0),
+      (Some(1L), Some(5L), 7.0)).toDF("rk", "rt", "v")
+    val got = GraftAsOf.join(left, right, "k", "t", "rk", "rt")
+      .select("tag", "v").collect()
+    assert(got.length == 1 && got(0).getDouble(1) == 7.0,
+      s"null right rows must be transparent: ${got.toSeq}")
+  }
+
+  test("string keys work (reference-typed ordering + copied key)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("alpha", 10L, 1L), ("beta", 10L, 2L), ("gamma", 10L, 3L))
+      .toDF("k", "t", "lid").repartition(3)
+    val right = Seq(("alpha", 5L, 1.0), ("beta", 11L, 2.0), ("delta", 1L, 9.0))
+      .toDF("rk", "rt", "v").repartition(2)
+    val got = GraftAsOf.join(left, right, "k", "t", "rk", "rt")
+      .select(col("lid"), col("v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+      .toMap
+    assert(got == Map(1L -> 1.0, 2L -> -1.0, 3L -> -1.0), got.toString)
+  }
+
+  test("mismatched key types fail fast on the driver") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1, 10L)).toDF("k", "t")          // Int key
+    val right = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "v") // Long key
+    val e = intercept[IllegalArgumentException] {
+      GraftAsOf.join(left, right, "k", "t", "rk", "rt")
+    }
+    assert(e.getMessage.contains("key types differ"))
+  }
+
   test("many keys and partitions: agrees with a window formulation") {
     val s = spark
     import s.implicits._
