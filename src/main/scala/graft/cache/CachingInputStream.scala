@@ -133,6 +133,9 @@ final class CachingInputStream(
 
   override def read(buf: Array[Byte], off: Int, len: Int): Int = {
     if (closed) throw new IOException(s"stream closed: $path")
+    if (off < 0 || len < 0 || off + len > buf.length)
+      throw new IndexOutOfBoundsException(
+        s"read(off=$off, len=$len) into buf[${buf.length}]")
     if (len == 0) return 0
     if (pos >= fileLen) return -1
     val n = math.min(len.toLong, fileLen - pos).toInt
@@ -179,15 +182,12 @@ final class CachingInputStream(
         if conf.parallelWarmup && manager.warmup.isDefined =>
         // parallel-warmup routing (NonLocalRequestChain/RemoteFetch
         // analog): serve the caller via direct reads NOW, warm async
-        rs.foreach(r => readFullyRemote(r.actualStart, buf,
-          off + r.destOffset, r.actualLen, ownStream))
+        readGroupRemote(rs, buf, off, ownStream)
         manager.warmup.get.enqueue(path, rs.head.backendStart,
           rs.last.backendEnd, fileLen, mtime)
       case RemoteChain(rs) =>
         executeRemote(rs, at, buf, off, status.generation, ownStream)
-      case DirectChain(rs) => rs.foreach(r =>
-        readFullyRemote(r.actualStart, buf, off + r.destOffset, r.actualLen,
-          ownStream))
+      case DirectChain(rs) => readGroupRemote(rs, buf, off, ownStream)
     }
     if (conf.readThreads > 0 && chains.size > 1) {
       // intra-read fan-out on the shared executor pool (reference: the
@@ -214,6 +214,19 @@ final class CachingInputStream(
 
   private def directRead(at: Long, buf: Array[Byte], off: Int, len: Int): Unit =
     readFullyRemote(at, buf, off, len)
+
+  /** Serve a COLLATED group's user windows with ONE source read: ranges
+    * in a collated group are contiguous by construction
+    * (ReadRange.collate merges on adjacency), so per-range reads would
+    * multiply object-store round-trips by the block count — exactly on
+    * the paths that open a dedicated stream per call. */
+  private def readGroupRemote(rs: Vector[ReadRange], buf: Array[Byte],
+      bufOff: Int, ownStream: Boolean): Unit = {
+    if (rs.isEmpty) return
+    val start = rs.head.actualStart
+    val span = (rs.last.actualEnd - start).toInt
+    readFullyRemote(start, buf, bufOff + rs.head.destOffset, span, ownStream)
+  }
 
   private def readFullyRemote(at: Long, buf: Array[Byte], off: Int, len: Int,
       ownStream: Boolean = false): Unit = {
@@ -278,8 +291,7 @@ final class CachingInputStream(
       case e: Exception =>
         manager.metrics.peerFallbacks.incrementAndGet()
         if (conf.strict) throw e
-        rs.foreach(r => readFullyRemote(r.actualStart, buf,
-          bufOff + r.destOffset, r.actualLen, ownStream))
+        readGroupRemote(rs, buf, bufOff, ownStream)
     }
   }
 

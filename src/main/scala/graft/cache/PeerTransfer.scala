@@ -50,9 +50,16 @@ final class PeerTransferServer(manager: CacheManager,
     while (running) {
       try {
         val ch = server.accept()
-        handlers.submit(new Runnable { override def run(): Unit = handle(ch) })
+        try handlers.submit(new Runnable { override def run(): Unit = handle(ch) })
+        catch { case t: Throwable => // pool rejected: don't leak the fd
+          try ch.close() catch { case _: Throwable => }
+          if (!running) throw t
+        }
       } catch { case _: Throwable if !running => /* closed */
-                case _: Throwable => /* transient accept failure */ }
+                case _: Throwable =>
+                  // persistent failure (e.g. fd exhaustion): back off
+                  // instead of spinning a hot loop
+                  try Thread.sleep(50) catch { case _: InterruptedException => } }
     }
   }, "graft-peer-acceptor")
   acceptor.setDaemon(true)
@@ -62,6 +69,11 @@ final class PeerTransferServer(manager: CacheManager,
   def address: InetSocketAddress = new InetSocketAddress(bindHost, port)
 
   private def handle(ch: SocketChannel): Unit = {
+    // once StatusOk is on the wire, NEVER write again: a late error
+    // status would be consumed by the client's payload loop as file
+    // bytes (silent corruption). Closing mid-payload instead makes the
+    // client hit EOF and take its fallback.
+    var okSent = false
     try {
       ch.setOption[java.lang.Boolean](StandardSocketOptions.TCP_NODELAY, true)
       val head = ByteBuffer.allocate(4)
@@ -92,6 +104,7 @@ final class PeerTransferServer(manager: CacheManager,
       if (!file.exists()) { reply(ch, PeerTransfer.StatusNotCached); return }
 
       reply(ch, PeerTransfer.StatusOk)
+      okSent = true
       val fc = FileChannel.open(file.toPath, StandardOpenOption.READ)
       try {
         var sent = 0L
@@ -103,7 +116,9 @@ final class PeerTransferServer(manager: CacheManager,
       } finally fc.close()
       manager.metrics.bytesToPeers.addAndGet(length.toLong)
     } catch {
-      case _: Throwable => try reply(ch, PeerTransfer.StatusError) catch { case _: Throwable => }
+      case _: Throwable if !okSent =>
+        try reply(ch, PeerTransfer.StatusError) catch { case _: Throwable => }
+      case _: Throwable => // mid-payload failure: close only (see above)
     } finally {
       try ch.close() catch { case _: Throwable => }
     }
@@ -128,33 +143,46 @@ final class PeerTransferServer(manager: CacheManager,
 }
 
 /** Client half: fetch one byte range from a peer's disk cache. Throws on
-  * any non-OK status; the caller (NonLocal chain) owns the fallback. */
+  * any non-OK status; the caller (NonLocal chain) owns the fallback.
+  * Uses plain Socket streams so `soTimeout` bounds EVERY read — a hung
+  * peer (GC pause, partition after connect) must surface as an exception
+  * the caller can fall back from, never an indefinitely blocked task
+  * (blocking SocketChannel reads ignore soTimeout). */
 object PeerTransferClient {
   def read(addr: InetSocketAddress, path: String, offset: Long, length: Int,
       fileLen: Long, mtime: Long, buf: Array[Byte], bufOff: Int,
-      connectTimeoutMs: Int = 2000): Unit = {
-    val ch = SocketChannel.open()
+      connectTimeoutMs: Int = 2000, readTimeoutMs: Int = 10000): Unit = {
+    val sock = new java.net.Socket()
     try {
-      ch.socket().connect(addr, connectTimeoutMs)
-      ch.setOption[java.lang.Boolean](StandardSocketOptions.TCP_NODELAY, true)
+      sock.connect(addr, connectTimeoutMs)
+      sock.setSoTimeout(readTimeoutMs)
+      sock.setTcpNoDelay(true)
       val pathBytes = path.getBytes(UTF_8)
       val req = ByteBuffer.allocate(4 + pathBytes.length + 8 + 4 + 8 + 8)
       req.putInt(pathBytes.length).put(pathBytes)
         .putLong(offset).putInt(length).putLong(fileLen).putLong(mtime)
-      req.flip()
-      while (req.hasRemaining) ch.write(req)
+      val out = sock.getOutputStream
+      out.write(req.array(), 0, req.position())
+      out.flush()
 
-      val head = ByteBuffer.allocate(4)
-      while (head.hasRemaining)
-        if (ch.read(head) < 0) throw new EOFException("peer closed on header")
-      val status = head.getInt(0)
+      val in = sock.getInputStream
+      val head = new Array[Byte](4)
+      readFully(in, head, 0, 4, s"peer closed on header ($path@$offset)")
+      val status = ByteBuffer.wrap(head).getInt
       if (status != PeerTransfer.StatusOk)
         throw new IOException(s"peer refused range ($path@$offset+$length): status $status")
-      val payload = ByteBuffer.wrap(buf, bufOff, length)
-      while (payload.hasRemaining)
-        if (ch.read(payload) < 0)
-          throw new EOFException(s"peer closed mid-payload ($path@$offset)")
-    } finally ch.close()
+      readFully(in, buf, bufOff, length, s"peer closed mid-payload ($path@$offset)")
+    } finally sock.close()
+  }
+
+  private def readFully(in: java.io.InputStream, buf: Array[Byte],
+      off: Int, len: Int, eofMsg: String): Unit = {
+    var done = 0
+    while (done < len) {
+      val n = in.read(buf, off + done, len - done)
+      if (n < 0) throw new EOFException(eofMsg)
+      done += n
+    }
   }
 }
 

@@ -82,6 +82,35 @@ class RobustnessSpec extends AnyFunSuite with CacheFixture {
     s.close()
   }
 
+  test("hung peer surfaces as a timeout, not an indefinitely blocked task") {
+    // a server that accepts but never replies
+    val mute = new java.net.ServerSocket(0)
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[java.io.IOException] {
+        PeerTransferClient.read(
+          new java.net.InetSocketAddress("127.0.0.1", mute.getLocalPort),
+          "file:/x", 0L, 10, 100L, 0L, new Array[Byte](10), 0,
+          connectTimeoutMs = 1000, readTimeoutMs = 300)
+      }
+      val ms = (System.nanoTime() - t0) / 1000000
+      assert(ms < 5000, s"timed out in ${ms}ms (must not hang)")
+      assert(e.isInstanceOf[java.net.SocketTimeoutException] ||
+        e.getMessage != null)
+    } finally mute.close()
+  }
+
+  test("read() validates off/len against the InputStream contract") {
+    val f = TestFiles.write(tmp, "data/bounds.bin", TestFiles.alphabetContent(1, 10))
+    val s = openCaching(f)
+    val buf = new Array[Byte](10)
+    intercept[IndexOutOfBoundsException] { s.read(buf, 0, -5) }
+    intercept[IndexOutOfBoundsException] { s.read(buf, -1, 5) }
+    intercept[IndexOutOfBoundsException] { s.read(buf, 8, 5) }
+    assert(s.getPos == 0, "failed validation must not move the position")
+    s.close()
+  }
+
   test("single-byte file and single-byte reads") {
     val f = TestFiles.write(tmp, "data/one.bin", Array[Byte](42))
     val s = openCaching(f)
