@@ -18,6 +18,10 @@ import graft.functions.{Fingerprint64, TextHashes, VectorOps}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def arity(exprs: Seq[Expression], atLeast: Int, name: String): Unit =
+    if (exprs.length < atLeast) throw new IllegalArgumentException(
+      s"$name expects at least $atLeast argument(s), got ${exprs.length}")
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -40,32 +44,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name, usage), builder))
 
     reg("fingerprint64", "fingerprint64(str) - 64-bit FNV-1a fingerprint") {
-      exprs => Fingerprint64(exprs.head)
+      exprs => arity(exprs, 1, "fingerprint64"); Fingerprint64(exprs.head)
     }
     reg("simhash64", "simhash64(tokens) - 64-bit SimHash over token array") {
-      exprs => TextHashes.SimHash64(exprs.head)
+      exprs => arity(exprs, 1, "simhash64"); TextHashes.SimHash64(exprs.head)
     }
     reg("minhash_sig",
       "minhash_sig(hashes, numPerms) - MinHash signature over shingle hashes") {
-      exprs => TextHashes.MinHashSig(exprs(0), intLit(exprs(1), "numPerms"))
+      exprs => arity(exprs, 2, "minhash_sig")
+        TextHashes.MinHashSig(exprs(0), intLit(exprs(1), "numPerms"))
     }
     reg("shingle_hash64",
       "shingle_hash64(text, tokens, k[, emptyIfShort]) - distinct hashed word k-grams") {
-      exprs => TextHashes.ShingleHash64(exprs(0), exprs(1),
-        intLit(exprs(2), "k"),
-        if (exprs.length > 3) boolLit(exprs(3), "emptyIfShort") else false)
+      exprs => arity(exprs, 3, "shingle_hash64")
+        TextHashes.ShingleHash64(exprs(0), exprs(1),
+          intLit(exprs(2), "k"),
+          if (exprs.length > 3) boolLit(exprs(3), "emptyIfShort") else false)
     }
     reg("cosine_sim", "cosine_sim(a, b) - cosine similarity of float vectors") {
-      exprs => VectorOps.CosineSim(exprs(0), exprs(1))
+      exprs => arity(exprs, 2, "cosine_sim"); VectorOps.CosineSim(exprs(0), exprs(1))
     }
     reg("l2norm", "l2norm(a) - L2 norm of a float vector") {
-      exprs => VectorOps.L2Norm(exprs.head)
+      exprs => arity(exprs, 1, "l2norm"); VectorOps.L2Norm(exprs.head)
     }
     reg("srp_bucket_ids",
       "srp_bucket_ids(emb, numTables, planesPerTable, dims) - SRP-LSH bucket per table") {
-      exprs => VectorOps.SrpBucketIds(exprs.head,
-        intLit(exprs(1), "numTables"), intLit(exprs(2), "planesPerTable"),
-        intLit(exprs(3), "dims"))
+      exprs => arity(exprs, 4, "srp_bucket_ids")
+        VectorOps.SrpBucketIds(exprs.head,
+          intLit(exprs(1), "numTables"), intLit(exprs(2), "planesPerTable"),
+          intLit(exprs(3), "dims"))
     }
   }
 }

@@ -29,19 +29,24 @@ object TextHashes {
     * bit; the sign of each tally becomes that bit (strictly-positive →
     * 1, matching IF(s > 0, ...) of the aggregate formulation). Empty
     * arrays return 0L — callers that want the old "token-less docs absent"
-    * semantics filter on size(tokens) > 0. */
+    * semantics filter on size(tokens) > 0. Null array elements are
+    * skipped (they cannot vote). */
   def simhash64(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val tally = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(tokens.getUTF8String(i), Seed)
+      val tok = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      if (tok == null) { i += 1 }
+      else {
+      val h = XXH64.hashUTF8String(tok, Seed)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
         b += 1
       }
       i += 1
+      }
     }
     var fp = 0L
     var b = 0
@@ -94,10 +99,16 @@ object TextHashes {
     while (j < k - 1) { parts(2 * j + 1) = space; j += 1 }
     var i = 0
     while (i <= n - k) {
+      var hasNull = false
       j = 0
-      while (j < k) { parts(2 * j) = tokens.getUTF8String(i + j); j += 1 }
-      seen.add(XXH64.hashUTF8String(
-        org.apache.spark.unsafe.types.UTF8String.concat(parts: _*), Seed))
+      while (j < k) {
+        if (tokens.isNullAt(i + j)) hasNull = true
+        else parts(2 * j) = tokens.getUTF8String(i + j)
+        j += 1
+      }
+      if (!hasNull)
+        seen.add(XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.concat(parts: _*), Seed))
       i += 1
     }
     val out = new Array[Long](seen.size)

@@ -31,6 +31,10 @@ object VectorCentroid
   override def merge(x: CentroidBuf, y: CentroidBuf): CentroidBuf = {
     if (x.n == 0) return y
     if (y.n == 0) return x
+    // a side whose rows were all zero-length vectors carries an empty
+    // sum but n > 0: keep the other side's sums, add the counts
+    if (x.sum.length == 0) return CentroidBuf(y.sum, x.n + y.n)
+    if (y.sum.length == 0) return CentroidBuf(x.sum, x.n + y.n)
     val s = x.sum
     var i = 0
     val n = math.min(s.length, y.sum.length)

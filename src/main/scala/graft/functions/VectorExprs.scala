@@ -21,6 +21,17 @@ import org.apache.spark.sql.types._
   * embedding column (SURVEY.md §2 similarity-search rows).
   */
 object VectorOps {
+  /** True if any element slot is SQL NULL. The kernels read primitives
+    * via toFloatArray (null slots would silently read as 0.0), so the
+    * expressions return NULL for arrays with null elements — matching
+    * the HOF formulation's null propagation. */
+  def hasNullElement(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   /** cos(a, b) = dot / (sqrt(|a|²) * sqrt(|b|²)), folded left-to-right in
     * doubles — the exact order of `aggregate(zip_with(a, b, ...))` for
     * equal-length inputs. Ragged inputs use the common prefix (the HOF
@@ -111,11 +122,19 @@ object VectorOps {
           requireFloatArray(right.dataType, prettyName)
         case fail => fail
       }
-    override def nullSafeEval(a: Any, b: Any): Any =
-      cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (hasNullElement(aa) || hasNullElement(bb)) null else cosine(aa, bb)
+    }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.functions.VectorOps.cosine($a, $b);")
+        s"""if (graft.functions.VectorOps.hasNullElement($a) ||
+           |    graft.functions.VectorOps.hasNullElement($b)) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.VectorOps.cosine($a, $b);
+           |}""".stripMargin)
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -126,10 +145,15 @@ object VectorOps {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
       requireFloatArray(child.dataType, prettyName)
-    override def nullSafeEval(a: Any): Any = l2norm(a.asInstanceOf[ArrayData])
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      if (hasNullElement(aa)) null else l2norm(aa)
+    }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a =>
-        s"${ev.value} = graft.functions.VectorOps.l2norm($a);")
+        s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VectorOps.l2norm($a); }""".stripMargin)
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "l2norm"
@@ -145,14 +169,18 @@ object VectorOps {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
       requireFloatArray(child.dataType, prettyName)
-    override def nullSafeEval(a: Any): Any =
-      srpBuckets(a.asInstanceOf[ArrayData], planes, planesPerTable)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      if (hasNullElement(aa)) null else srpBuckets(aa, planes, planesPerTable)
+    }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val planesRef = ctx.addReferenceObj("srpPlanes", planes,
         "double[][]")
       nullSafeCodeGen(ctx, ev, a =>
-        s"""${ev.value} = graft.functions.VectorOps.srpBuckets(
-           |  $a, $planesRef, $planesPerTable);""".stripMargin)
+        s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VectorOps.srpBuckets(
+           |  $a, $planesRef, $planesPerTable); }""".stripMargin)
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -209,6 +237,12 @@ object VectorOps {
         if (!used(j) && d(j) < bestD) { bestD = d(j); best = j }
         j += 1
       }
+      if (best == -1) {
+        // all remaining distances NaN/untaken (NaN embedding component):
+        // fall back to the first unused slot instead of crashing
+        j = 0
+        while (best == -1 && j < k) { if (!used(j)) best = j; j += 1 }
+      }
       used(best) = true
       out(p) = best
       p += 1
@@ -225,12 +259,16 @@ object VectorOps {
     override def dataType: DataType = IntegerType
     override def checkInputDataTypes(): TypeCheckResult =
       requireFloatArray(child.dataType, prettyName)
-    override def nullSafeEval(a: Any): Any =
-      nearestCentroid(a.asInstanceOf[ArrayData], cents)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      if (hasNullElement(aa)) null else nearestCentroid(aa, cents)
+    }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
       nullSafeCodeGen(ctx, ev, a =>
-        s"${ev.value} = graft.functions.VectorOps.nearestCentroid($a, $ref);")
+        s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VectorOps.nearestCentroid($a, $ref); }""".stripMargin)
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -246,12 +284,16 @@ object VectorOps {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
       requireFloatArray(child.dataType, prettyName)
-    override def nullSafeEval(a: Any): Any =
-      nearestCentroids(a.asInstanceOf[ArrayData], cents, nprobe)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      if (hasNullElement(aa)) null else nearestCentroids(aa, cents, nprobe)
+    }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
       nullSafeCodeGen(ctx, ev, a =>
-        s"${ev.value} = graft.functions.VectorOps.nearestCentroids($a, $ref, $nprobe);")
+        s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VectorOps.nearestCentroids($a, $ref, $nprobe); }""".stripMargin)
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

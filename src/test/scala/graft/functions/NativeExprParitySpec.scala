@@ -107,6 +107,33 @@ class NativeExprParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "l2norm must be bit-identical to the HOF fold")
   }
 
+  test("null array elements: vector exprs return NULL, text hashes skip") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1).toDF("x").selectExpr(
+      "array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS va",
+      "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS vb",
+      "array('a', CAST(NULL AS STRING), 'b') AS toks")
+    val r = df.select(
+      VectorOps.cosineSim(col("va"), col("vb")).as("c"),
+      VectorOps.l2normCol(col("va")).as("n"),
+      graft.operators.VectorQueries.srpBucketIds("va").as("b"),
+      TextHashes.simhash64Col(col("toks")).as("sh")).collect()(0)
+    assert(r.isNullAt(0), "cosine over a null element must be NULL")
+    assert(r.isNullAt(1), "l2norm over a null element must be NULL")
+    assert(r.isNullAt(2), "bucket ids over a null element must be NULL")
+    // simhash skips null tokens: equals the hash of just ('a','b')
+    val want = df.selectExpr("array('a', 'b') AS toks")
+      .select(TextHashes.simhash64Col(col("toks"))).collect()(0).getLong(0)
+    assert(r.getLong(3) == want)
+    // centroid Aggregator: zero-length vectors count but don't poison sums
+    val cent = VectorCentroid.asUdaf
+    val mixed = Seq(Array(2.0f, 4.0f), Array.empty[Float], Array(4.0f, 8.0f))
+      .toDF("v").repartition(3)
+    val c = mixed.agg(cent(col("v"))).collect()(0).getSeq[Double](0)
+    assert(c == Seq(2.0, 4.0), s"empty vectors count toward n: $c")
+  }
+
   test("srp_bucket_ids expression == HOF hyperplane formulation") {
     import graft.operators.VectorQueries.{NumTables, PlanesPerTable}
     val nPlanes = NumTables * PlanesPerTable
