@@ -50,9 +50,13 @@ object EventStreams {
   /** Stateful sessionization with flatMapGroupsWithState: per-user
     * sessions split on >30min inactivity. Custom state management is the
     * KeyValueGroupedDataset path the reference surface has no analog for
-    * (SURVEY §2.10) — at scale the same code runs continuously with
-    * per-group state across micro-batches; AvailableNow delivers one
-    * deterministic batch here so a SQL islands oracle can check it.
+    * (SURVEY §2.10). Scope note: this runs in one-shot AvailableNow mode
+    * — every session is emitted from the single batch, and the GroupState
+    * only carries the per-user session counter. A continuously-running
+    * deployment would extend the state to the OPEN session and emit on
+    * inactivity timeout (GroupStateTimeout.EventTimeTimeout) instead of
+    * per batch; the per-batch islands computation below is unchanged by
+    * that extension.
     *
     * Whale-user memory bound: the group iterator arrives unsorted, so one
     * sort buffer per user-batch is unavoidable — but it is a PRIMITIVE
