@@ -91,10 +91,21 @@ final class CacheManager(val conf: CacheConfig,
         invalidate(path)
       }
       this.synchronized {
+        // re-run the SAME mismatch check under the lock: two racing opens
+        // that both saw a stale entry must not install metadata objects
+        // with different fileLen/mtime for one generation (they would
+        // share a data file and mix bytes of two file versions)
+        val racer = registry.getIfPresent(path)
+        if (racer != null && !racer.isDeleted &&
+          (racer.fileLen != fileLen ||
+            (conf.stalenessCheck && racer.lastModified != mtime))) {
+          invalidate(path)
+        }
         val gen2 = currentGeneration(path)
         val again = registry.getIfPresent(path)
         if (again != null && again.generation == gen2 && !again.isDeleted &&
-          again.fileLen == fileLen) again
+          again.fileLen == fileLen &&
+          (!conf.stalenessCheck || again.lastModified == mtime)) again
         else {
           val m = new FileMetadata(path, fileLen, mtime, gen2, conf)
           registry.put(path, m)
@@ -134,8 +145,8 @@ final class CacheManager(val conf: CacheConfig,
     if (m == null || m.isDeleted || m.generation != generation ||
       m.fileLen != fileLen ||
       (conf.stalenessCheck && m.lastModified != mtime)) return false
-    val bytes = m.setBlocksCached(startBlock, endBlock)
-    if (bytes > 0) registry.put(path, m) // re-weigh
+    val newly = m.setBlocksCached(startBlock, endBlock)
+    if (newly > 0) registry.put(path, m) // re-weigh
     true
   }
 

@@ -36,26 +36,15 @@ final class FileMetadata(
     !deleted && bitmap.allSet(startBlock, endBlock)
   }
 
-  /** Mark [startBlock, endBlock) cached; persist mdfile; returns newly
-    * cached byte weight (for eviction accounting). */
+  /** Mark [startBlock, endBlock) cached; persist mdfile; returns the
+    * count of NEWLY cached blocks (eviction weight itself always comes
+    * from [[weightKB]] — callers only need the did-anything-change flag
+    * to decide whether to re-weigh the registry entry). */
   def setBlocksCached(startBlock: Long, endBlock: Long): Long = synchronized {
     if (deleted) return 0L
     val newly = bitmap.set(startBlock, endBlock)
     if (newly > 0) persist()
-    // last block may be partial: weigh by real bytes
-    var bytes = 0L
-    if (newly > 0) {
-      // recompute precisely only for the touched range
-      var b = startBlock
-      while (b < math.min(endBlock, blockCount)) {
-        bytes += BlockMath.blockEnd(b, conf.blockSize, fileLen) -
-          BlockMath.blockStart(b, conf.blockSize)
-        b += 1
-      }
-      // over-counts re-set blocks inside the range; acceptable upper bound
-      bytes = math.min(bytes, newly.toLong * conf.blockSize)
-    }
-    bytes
+    newly.toLong
   }
 
   def cachedBlockCount: Int = synchronized(bitmap.cardinality)

@@ -27,6 +27,7 @@ final class WarmupService(
   private val conf = manager.conf
   private val queue = new ConcurrentLinkedQueue[FetchRequest]()
   private val running = new AtomicBoolean(false)
+  @volatile private var stopped = false
   private val drainer = Executors.newSingleThreadScheduledExecutor(r => {
     val t = new Thread(r, "graft-warmup-drain"); t.setDaemon(true); t
   })
@@ -34,13 +35,20 @@ final class WarmupService(
     val t = new Thread(r, "graft-warmup-worker"); t.setDaemon(true); t
   })
 
-  def start(): Unit =
+  def start(): Unit = {
+    if (stopped) throw new IllegalStateException(
+      "WarmupService is terminal once stopped — build a new instance")
     if (running.compareAndSet(false, true)) {
       drainer.scheduleWithFixedDelay(() => drainOnce(System.currentTimeMillis()),
         conf.warmupDrainMs, conf.warmupDrainMs, TimeUnit.MILLISECONDS)
     }
+  }
 
+  /** Terminal: the executors are shut down for good. `stopped` keeps
+    * enqueue() from growing an undrainable queue and start() from
+    * pretending to restart onto dead pools. */
   def stop(): Unit = {
+    stopped = true
     drainer.shutdownNow()
     workers.shutdownNow()
     running.set(false)
@@ -48,6 +56,7 @@ final class WarmupService(
 
   def enqueue(path: String, start: Long, end: Long, fileLen: Long,
       mtime: Long): Unit = {
+    if (stopped) return // nothing will ever drain it
     queue.add(FetchRequest(path, start, end, fileLen, mtime,
       System.currentTimeMillis()))
     manager.metrics.warmupRequests.incrementAndGet()
@@ -103,6 +112,9 @@ final class WarmupService(
       val sb = BlockMath.startBlock(start, bs)
       val eb = BlockMath.endBlock(start, end - start, bs)
       val status = manager.getCacheStatus(path, fileLen, mtime, sb, eb)
+      // the delay window often lets foreground reads cache everything:
+      // don't pay a remote open (object-store HEAD) for a no-op download
+      if (!status.blocks.exists(_ != BlockState.Cached)) return
       val m = manager.metadataFor(path).getOrElse(return)
       if (m.generation != status.generation) return
       val in = openRemote(path)
@@ -120,13 +132,15 @@ final class WarmupService(
             if (b < e2) {
               val from = BlockMath.blockStart(b, bs)
               val to = math.min(BlockMath.blockStart(e2, bs), fileLen)
-              val buf = new Array[Byte]((to - from).toInt)
-              in.readFully(from, buf, 0, buf.length)
-              val bb = ByteBuffer.wrap(buf)
+              val span = (to - from).toInt
+              // thread-confined pooled scratch (dedicated worker threads)
+              val buf = CachingInputStream.scratchBuffer(span)
+              in.readFully(from, buf, 0, span)
+              val bb = ByteBuffer.wrap(buf, 0, span)
               var written = 0
               while (bb.hasRemaining) written += ch.write(bb, from + written)
               manager.setAllCached(path, fileLen, mtime, status.generation, b, e2)
-              manager.metrics.warmupBytes.addAndGet(buf.length.toLong)
+              manager.metrics.warmupBytes.addAndGet(span.toLong)
             }
             b = e2 + (if (b == e2) 1 else 0)
           }

@@ -38,7 +38,9 @@ class MultiDiskSpec extends AnyFunSuite with CacheFixture {
       else Nil
     }
     val perDisk = dirs.map(d => dataFiles(d).size)
-    assert(perDisk.sum == 8, s"every file cached exactly once: $perDisk")
+    assert(perDisk.sum == 8,
+      s"every file cached exactly once: $perDisk; " +
+        s"files=${dirs.flatMap(dataFiles).map(_.getPath).mkString(", ")}")
     assert(perDisk.forall(_ > 0), s"both disks must carry load: $perDisk")
 
     // mapping is stable: re-reading after metadata reset finds the files
