@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Element-wise running sum + count for a vector centroid. */
-final case class CentroidBuf(sum: Array[Double], n: Long)
+/** Element-wise running fixed-point sum + count for a vector centroid. */
+final case class CentroidBuf(sum: Array[Long], n: Long)
 
 /** Per-group vector centroid as a typed `Aggregator` — the UDAF tier of
   * the extension ladder (compose built-ins > custom Expression > typed
@@ -13,18 +13,36 @@ final case class CentroidBuf(sum: Array[Double], n: Long)
   * carries one (sum[dims], n) buffer per group per partition instead of
   * raw vectors — exactly the shape a 100 TB centroid/k-means (IVF
   * training) step needs.
+  *
+  * Accumulation is FIXED-POINT: each float element is widened to double
+  * (exact), scaled by 1e6 and truncated toward zero into a long. Integer
+  * addition is associative and commutative, so the per-group sums are
+  * bit-identical regardless of partitioning, task order, or engine —
+  * unlike a double sum, whose low bits depend on reduction order. The
+  * finished centroid `sum/n/1e6` is then an integer-derived double
+  * (two IEEE divisions of exact integers), reproducible anywhere:
+  * DuckDB's `CAST(sum(CAST(trunc(CAST(x AS DOUBLE)*1000000) AS BIGINT))
+  * AS DOUBLE)/count(*)/1000000` lands on the same bits. Quantization
+  * error is <= 1e-6 per element — noise for an embedding centroid, and
+  * a price worth paying for a deterministic distributed aggregate.
   */
 object VectorCentroid
     extends Aggregator[Array[Float], CentroidBuf, Array[Double]] {
 
-  override def zero: CentroidBuf = CentroidBuf(Array.emptyDoubleArray, 0L)
+  /** Fixed-point scale: 1e-6 resolution, leaves |sum| far under 2^53
+    * (exact as a double) for any realistic group size × element range. */
+  val Scale = 1e6
+
+  @inline def toFixed(v: Float): Long = (v.toDouble * Scale).toLong
+
+  override def zero: CentroidBuf = CentroidBuf(Array.emptyLongArray, 0L)
 
   override def reduce(b: CentroidBuf, v: Array[Float]): CentroidBuf = {
     if (v == null) return b
-    val s = if (b.sum.length == 0) new Array[Double](v.length) else b.sum
+    val s = if (b.sum.length == 0) new Array[Long](v.length) else b.sum
     var i = 0
     val n = math.min(s.length, v.length)
-    while (i < n) { s(i) += v(i); i += 1 }
+    while (i < n) { s(i) += toFixed(v(i)); i += 1 }
     CentroidBuf(s, b.n + 1)
   }
 
@@ -43,7 +61,8 @@ object VectorCentroid
   }
 
   override def finish(b: CentroidBuf): Array[Double] =
-    if (b.n == 0) Array.emptyDoubleArray else b.sum.map(_ / b.n)
+    if (b.n == 0) Array.emptyDoubleArray
+    else b.sum.map(s => s.toDouble / b.n / Scale)
 
   override def bufferEncoder: Encoder[CentroidBuf] = Encoders.product[CentroidBuf]
   override def outputEncoder: Encoder[Array[Double]] =

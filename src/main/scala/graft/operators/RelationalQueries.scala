@@ -510,20 +510,30 @@ object RelationalQueries {
         | CAST(count(*) AS BIGINT) AS n,
         | true AS parts_in_band, true AS orders_in_band
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-      // Two separate aggregations joined on the tiny group key: mixing
-      // countDistinct (Expand) with HLL ImperativeAggregate buffers in ONE
-      // aggregate forces a SortAggregate over expanded rows carrying the
-      // sketch buffers — measured 77s vs 2s at sf0.1. rsd=0.016 keeps the
-      // sketch at 2^13 registers and ±5% at >3 sigma.
+      // SINGLE-SCAN multi-distinct without Expand: posexplode both key
+      // columns into (which, key) rows, dedup triples in a first-level
+      // hash agg (map-side partial dedups before the exchange, so the
+      // shuffle carries ~distinct pairs — the same traffic countDistinct's
+      // Expand would), then one tiny final agg computes exact distincts
+      // as plain count()s AND the HLL estimates over the already-distinct
+      // keys — valid because HLL depends only on the distinct set. This
+      // keeps HLL ImperativeAggregate buffers away from Expand rows (the
+      // 77s SortAggregate trap) and scans lineitem exactly once (the r2
+      // two-agg+join formulation scanned it twice: 1.54s vs r1's 0.49s).
+      // rsd=0.016 keeps the sketch at 2^13 registers and ±5% at >3 sigma.
       val li = Tables.load(s, dir, "lineitem")
-      val approx = li.groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.016).as("ap"),
-          approx_count_distinct(col("l_orderkey"), 0.016).as("ao"),
-          count(lit(1)).as("n"))
-      val exact = li.groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
-      approx.join(exact, "l_returnflag")
+      val triples = li
+        .select(col("l_returnflag"), posexplode(
+          array(col("l_partkey").cast("long"), col("l_orderkey").cast("long")))
+          .as(Seq("which", "key")))
+        .groupBy("l_returnflag", "which", "key")
+        .agg(count(lit(1)).as("cnt"))
+      triples.groupBy("l_returnflag").agg(
+        count(when(col("which") === 0, col("key"))).as("exact_parts"),
+        count(when(col("which") === 1, col("key"))).as("exact_orders"),
+        sum(when(col("which") === 0, col("cnt"))).as("n"),
+        approx_count_distinct(when(col("which") === 0, col("key")), 0.016).as("ap"),
+        approx_count_distinct(when(col("which") === 1, col("key")), 0.016).as("ao"))
         .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"), col("n"),
           (abs(col("ap") - col("exact_parts")) <=
             col("exact_parts") * 0.05).as("parts_in_band"),

@@ -45,22 +45,43 @@ object VectorQueries {
     * [[graft.functions.VectorCentroid]] Aggregator (map-side partial
     * buffers). Only k × dims doubles ever reach the driver — the
     * trainable-at-100TB shape. */
-  def kmeansCentroids(corpus: DataFrame, k: Int,
-      iters: Int): Seq[Seq[Double]] = {
-    val cent = graft.functions.VectorCentroid.asUdaf
-    def collectCents(assigned: DataFrame): Seq[Seq[Double]] = {
-      val got = assigned.groupBy("cell").agg(cent(col("embedding")).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      // empty cells keep their slot (zero vector) so indices stay stable
-      (0 until k).map(j => got.getOrElse(j, Seq.fill(64)(0.0)))
+  /** Deterministic training sample: pmod(xxhash64(vec_id), 100) < pct.
+    * Quantizer quality needs a SAMPLE, not the population — at 100 TB a
+    * k=16 coarse quantizer trained on ~`targetRows` rows places the same
+    * cells as a full pass. One cheap count (vec_id column only, filter
+    * pushed down) sizes the pct; tiny corpora train on everything. */
+  def trainingSample(corpus: DataFrame, targetRows: Long): DataFrame = {
+    val total = corpus.count()
+    if (total <= targetRows) corpus
+    else {
+      val pct = math.max(1L, math.min(100L, (targetRows * 100 + total - 1) / total))
+      corpus.filter(pmod(xxhash64(col("vec_id")), lit(100)) < pct)
     }
-    var cents = collectCents(
-      corpus.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(k)).cast("int")))
-    (0 until iters).foreach { _ =>
-      cents = collectCents(corpus.withColumn("cell",
-        graft.functions.VectorOps.nearestCentroidCol(col("embedding"), cents)))
-    }
-    cents
+  }
+
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+      trainTargetRows: Long = Long.MaxValue): Seq[Seq[Double]] = {
+    // ONE materialized pass over the training set: persist before the
+    // Lloyd loop so iterations 1..iters (and the init assignment) hit
+    // the cached partitions instead of re-scanning parquet 1+iters times.
+    val train = (if (trainTargetRows == Long.MaxValue) corpus
+                 else trainingSample(corpus, trainTargetRows)).persist()
+    try {
+      val cent = graft.functions.VectorCentroid.asUdaf
+      def collectCents(assigned: DataFrame): Seq[Seq[Double]] = {
+        val got = assigned.groupBy("cell").agg(cent(col("embedding")).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        // empty cells keep their slot (zero vector) so indices stay stable
+        (0 until k).map(j => got.getOrElse(j, Seq.fill(64)(0.0)))
+      }
+      var cents = collectCents(
+        train.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(k)).cast("int")))
+      (0 until iters).foreach { _ =>
+        cents = collectCents(train.withColumn("cell",
+          graft.functions.VectorOps.nearestCentroidCol(col("embedding"), cents)))
+      }
+      cents
+    } finally train.unpersist(blocking = false)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -122,9 +143,15 @@ object VectorQueries {
     // ---- typed Aggregator (UDAF): per-label centroid — the IVF/k-means
     // training primitive. Map-side partial aggregation ships one
     // (sum[64], n) buffer per label per partition, not raw vectors. ----
+    // Contract is bit-stable by construction (not by rounding): the
+    // Aggregator sums fixed-point longs (order-independent), and each
+    // emitted element is sum/n/1e6 — two IEEE divisions of exact
+    // integers, identical on any engine. round() would only re-introduce
+    // boundary flips (the r2 hash failure), so the value rides unrounded.
     QueryDef("e05_centroid_udaf",
       """SELECT label, CAST(r.range AS BIGINT) AS dim,
-        | round(avg(CAST(embedding[r.range] AS DOUBLE)), 3) AS c
+        | CAST(sum(CAST(trunc(CAST(embedding[r.range] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / count(*) / 1000000 AS c
         |FROM embeddings, range(1, 65) r
         |GROUP BY label, r.range""".stripMargin) { (s, dir) =>
       val cent = graft.functions.VectorCentroid.asUdaf
@@ -132,7 +159,7 @@ object VectorQueries {
         .groupBy("label").agg(cent(col("embedding")).as("centroid"))
         .select(col("label"), posexplode(col("centroid")).as(Seq("i", "v")))
         .select(col("label"), (col("i") + 1).cast("long").as("dim"),
-          round(col("v"), 3).as("c"))
+          col("v").as("c"))
     },
 
     // ---- IVF ANN: the second scale path (SURVEY §2 "IVF or LSH"). Train
@@ -147,7 +174,7 @@ object VectorQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val cents = kmeansCentroids(
         corpus.select(col("cid").as("vec_id"), col("ce").as("embedding")),
-        k, iters = 2)
+        k, iters = 2, trainTargetRows = 1000L)
       val bucketed = corpus.withColumn("cell",
         graft.functions.VectorOps.nearestCentroidCol(col("ce"), cents))
       // nprobe nearest cells per query via the multi-probe expression

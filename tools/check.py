@@ -28,12 +28,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 def eq(a, b):
+    # Exact float comparison: the driver gate HASHES values, so any
+    # bit difference fails there. A tolerant local gate hides that
+    # (bit us in round 2: e05 passed locally at 1e-9, failed the hash).
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        return a == b
     return a == b
 
 def main(sf_dir, out_dir):
