@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch A/B harness (not part of the driver contract): times isolated
+  * formulations of a query so plan choices are measured, not guessed.
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.QBench q31"
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.builder(master = "local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val which = args.headOption.getOrElse("q31")
+
+    def time(name: String, reps: Int = 3)(mk: => DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s min=${times.min}%.3f  all=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+
+    which match {
+      case "q31" => q31(spark, sfDir, time)
+      case "stream" => stream(spark, sfDir)
+      case "s04" => s04(spark, sfDir)
+      case _ => sys.error(s"unknown: $which")
+    }
+    spark.stop()
+  }
+
+  private def q31(spark: SparkSession, dir: String,
+      time: (String, Int) => (=> DataFrame) => Unit): Unit = {
+    def li = operators.Tables.load(spark, dir, "lineitem")
+    def band(df: DataFrame): DataFrame = df
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"), col("n"),
+        (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05).as("parts_in_band"),
+        (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.05).as("orders_in_band"))
+
+    // warmup
+    li.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+
+    // A: round-3 triples (current)
+    time("A_triples", 3) {
+      val triples = li
+        .select(col("l_returnflag"), posexplode(
+          array(col("l_partkey").cast("long"), col("l_orderkey").cast("long")))
+          .as(Seq("which", "key")))
+        .groupBy("l_returnflag", "which", "key")
+        .agg(count(lit(1)).as("cnt"))
+      band(triples.groupBy("l_returnflag").agg(
+        count(when(col("which") === 0, col("key"))).as("exact_parts"),
+        count(when(col("which") === 1, col("key"))).as("exact_orders"),
+        sum(when(col("which") === 0, col("cnt"))).as("n"),
+        approx_count_distinct(when(col("which") === 0, col("key")), 0.016).as("ap"),
+        approx_count_distinct(when(col("which") === 1, col("key")), 0.016).as("ao")))
+    }
+
+    // B: r2 two-agg + join
+    time("B_two_agg_join", 3) {
+      val approx = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.016).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.016).as("ao"),
+          count(lit(1)).as("n"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+      band(approx.join(exact, "l_returnflag"))
+    }
+
+    // C: two-level no-Expand per key column + join (two scans, no Generate)
+    time("C_two_level_join", 3) {
+      val parts = li.groupBy("l_returnflag", "l_partkey")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("exact_parts"), sum("cnt").as("n"),
+          approx_count_distinct(col("l_partkey"), 0.016).as("ap"))
+      val orders = li.groupBy("l_returnflag", "l_orderkey")
+        .agg(count(lit(1)).as("o_cnt"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.016).as("ao"))
+      band(parts.join(orders, "l_returnflag"))
+    }
+
+    // D: single agg, Expand + HLL together (the alleged 77s trap — verify)
+    time("D_single_agg", 1) {
+      band(li.groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("l_partkey"), 0.016).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.016).as("ao")))
+    }
+  }
+
+  private def s04(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def ev = {
+      val raw = spark.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    }
+    (1 to 2).foreach { rep =>
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val t0 = System.nanoTime()
+      val q = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("p_user"), col("p_id"), col("c_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"dbg_ssj_$rep").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      if (q.isActive) q.stop()
+      println(f"rep$rep total ${(System.nanoTime() - t0) / 1e9}%.2f s, batches=${q.recentProgress.length}")
+      q.recentProgress.foreach { p =>
+        println(s"  batch=${p.batchId} rows=${p.numInputRows} durationMs=${p.durationMs}")
+      }
+    }
+  }
+
+  private def stream(spark: SparkSession, dir: String): Unit = {
+    def run(tag: String): Unit = {
+      Seq("s01" -> (() => streaming.EventStreams.windowedCounts(spark, dir)),
+        "s02" -> (() => streaming.EventStreams.sessionize(spark, dir)),
+        "s03" -> (() => streaming.EventStreams.streamDedup(spark, dir)),
+        "s04" -> (() => streaming.EventStreams.streamStreamJoin(spark, dir))
+      ).foreach { case (n, f) =>
+        val t0 = System.nanoTime()
+        val cnt = f().count()
+        println(f"$tag $n%-4s ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$cnt")
+      }
+    }
+    run("hdfs1")
+    run("hdfs2")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    run("nodata1")
+    run("nodata2")
+  }
+}

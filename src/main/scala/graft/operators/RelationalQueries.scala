@@ -510,30 +510,30 @@ object RelationalQueries {
         | CAST(count(*) AS BIGINT) AS n,
         | true AS parts_in_band, true AS orders_in_band
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-      // SINGLE-SCAN multi-distinct without Expand: posexplode both key
-      // columns into (which, key) rows, dedup triples in a first-level
-      // hash agg (map-side partial dedups before the exchange, so the
-      // shuffle carries ~distinct pairs — the same traffic countDistinct's
-      // Expand would), then one tiny final agg computes exact distincts
-      // as plain count()s AND the HLL estimates over the already-distinct
-      // keys — valid because HLL depends only on the distinct set. This
-      // keeps HLL ImperativeAggregate buffers away from Expand rows (the
-      // 77s SortAggregate trap) and scans lineitem exactly once (the r2
-      // two-agg+join formulation scanned it twice: 1.54s vs r1's 0.49s).
-      // rsd=0.016 keeps the sketch at 2^13 registers and ±5% at >3 sigma.
+      // Per-key-column two-level agg, NO Expand anywhere: each key column
+      // gets its own first-level dedup (map-side partial dedups before the
+      // exchange, so the shuffle carries ~distinct (flag,key) pairs), then
+      // a tiny final agg computes the exact distinct as a plain count()
+      // AND the HLL estimate over the already-distinct keys — valid
+      // because HLL depends only on the distinct set. Keeping HLL
+      // ImperativeAggregate buffers away from Expand rows matters: the
+      // all-in-one-agg form plans a SortAggregate over expanded rows
+      // carrying 6KB sketch buffers — measured 31s at sf0.1 vs 1.07s for
+      // this shape (the r3 posexplode single-scan was 1.64s: the Generate
+      // + wider first-level agg cost more than this form's second scan of
+      // a 2-column parquet projection). rsd=0.016 keeps the sketch at
+      // 2^13 registers and ±5% at >3 sigma.
       val li = Tables.load(s, dir, "lineitem")
-      val triples = li
-        .select(col("l_returnflag"), posexplode(
-          array(col("l_partkey").cast("long"), col("l_orderkey").cast("long")))
-          .as(Seq("which", "key")))
-        .groupBy("l_returnflag", "which", "key")
+      val parts = li.groupBy("l_returnflag", "l_partkey")
         .agg(count(lit(1)).as("cnt"))
-      triples.groupBy("l_returnflag").agg(
-        count(when(col("which") === 0, col("key"))).as("exact_parts"),
-        count(when(col("which") === 1, col("key"))).as("exact_orders"),
-        sum(when(col("which") === 0, col("cnt"))).as("n"),
-        approx_count_distinct(when(col("which") === 0, col("key")), 0.016).as("ap"),
-        approx_count_distinct(when(col("which") === 1, col("key")), 0.016).as("ao"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("exact_parts"), sum("cnt").as("n"),
+          approx_count_distinct(col("l_partkey"), 0.016).as("ap"))
+      val orders = li.select("l_returnflag", "l_orderkey").distinct()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.016).as("ao"))
+      parts.join(orders, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"), col("n"),
           (abs(col("ap") - col("exact_parts")) <=
             col("exact_parts") * 0.05).as("parts_in_band"),

@@ -22,14 +22,37 @@ object EventStreams {
     * stage at `graft.streaming.state.partitions` (default 8) — the
     * stateless scan stages still parallelize by file split. At cluster
     * scale, set it to O(cores) like any shuffle; state partition count is
-    * fixed per checkpoint once a query starts. */
-  private def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
+    * fixed per checkpoint once a query starts.
+    *
+    * `noDataBatches=false` (the default here) additionally skips the
+    * trailing zero-row watermark-advance micro-batch, which re-executes
+    * the whole stateful plan against empty inputs just to evict state —
+    * measured 3.5 s of s04's 9 s, ~1 s of s03. That is safe ONLY for
+    * queries whose every output row is emitted in the data batch itself:
+    * inner stream-stream joins (eager emission), complete-mode aggs
+    * (state dump per batch), NoTimeout flatMapGroupsWithState, and
+    * dropDuplicates. Queries that rely on event-time TIMEOUTS firing
+    * after the last data batch (e.g. [[sessionizeOpen]]) MUST pass
+    * `noDataBatches=true` or their final sessions never emit.
+    *
+    * (RocksDB state store measured for the record: 2-4x SLOWER here —
+    * one native DB instance per store x 32 stores dwarfs these state
+    * sizes. The HDFS-backed provider is right until per-partition state
+    * stops fitting in executor memory.) */
+  private def withStreamConf[A](spark: SparkSession,
+      noDataBatches: Boolean = false)(body: => A): A = {
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val prevNoData = spark.conf.get(noDataKey)
     val n = spark.conf.getOption("graft.streaming.state.partitions")
       .getOrElse("8")
-    spark.conf.set(key, n)
-    try body finally spark.conf.set(key, prev)
+    spark.conf.set(shuffleKey, n)
+    spark.conf.set(noDataKey, noDataBatches.toString)
+    try body finally {
+      spark.conf.set(shuffleKey, prevShuffle)
+      spark.conf.set(noDataKey, prevNoData)
+    }
   }
 
   /** 30-minute inactivity gap used by [[sessionize]] (microseconds). */
@@ -69,7 +92,7 @@ object EventStreams {
     * watermark window's events per user, and session continuity across
     * batches rides the GroupState, not the buffer. */
   def sessionize(spark: SparkSession, dir: String): DataFrame =
-    withStatePartitions(spark) { sessionize0(spark, dir) }
+    withStreamConf(spark) { sessionize0(spark, dir) }
 
   private def sessionize0(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -119,7 +142,7 @@ object EventStreams {
     * occurrence" rows, whose payload would depend on arrival order), so
     * a batch SELECT DISTINCT oracle checks it exactly. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
-    withStatePartitions(spark) {
+    withStreamConf(spark) {
       val events = eventsStream(spark, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicates("user_id", "event_type")
@@ -138,7 +161,7 @@ object EventStreams {
     * counts per purchase (event ids + count), deterministic, so a batch
     * interval-join oracle checks it exactly. */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
-    withStatePartitions(spark) {
+    withStreamConf(spark) {
       val purchases = eventsStream(spark, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
@@ -169,7 +192,7 @@ object EventStreams {
   /** Tumbling 6h windows of count/sum(value) per event_type.
     * Returns the final (complete-mode) result as a batch DataFrame. */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame =
-    withStatePartitions(spark) { windowedCounts0(spark, dir) }
+    withStreamConf(spark) { windowedCounts0(spark, dir) }
 
   private def windowedCounts0(spark: SparkSession, dir: String): DataFrame = {
     val events = eventsStream(spark, dir)
