@@ -21,6 +21,8 @@ final class CacheMetrics {
   val bytesFromPeers = new AtomicLong
   val bytesToPeers = new AtomicLong
   val peerFallbacks = new AtomicLong
+  val peerWarmsSent = new AtomicLong
+  val peerWarmsAccepted = new AtomicLong
 
   /** Server-side hit rate: cached / (cached + remote) block requests
     * (reference BookKeeper.java:213-229). */
@@ -44,11 +46,14 @@ final class CacheMetrics {
     "corruption_fallbacks" -> corruptionFallbacks.get,
     "bytes_from_peers" -> bytesFromPeers.get,
     "bytes_to_peers" -> bytesToPeers.get,
-    "peer_fallbacks" -> peerFallbacks.get)
+    "peer_fallbacks" -> peerFallbacks.get,
+    "peer_warms_sent" -> peerWarmsSent.get,
+    "peer_warms_accepted" -> peerWarmsAccepted.get)
 
   def reset(): Unit = Seq(cachedRequests, remoteRequests, nonlocalRequests,
     bytesFromCache, bytesFromRemote, extraReadBytes, evictions,
     invalidations, warmupRequests, warmupBytes, corruptionFallbacks,
-    bytesFromPeers, bytesToPeers, peerFallbacks)
+    bytesFromPeers, bytesToPeers, peerFallbacks, peerWarmsSent,
+    peerWarmsAccepted)
     .foreach(_.set(0))
 }

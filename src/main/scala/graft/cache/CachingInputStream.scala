@@ -276,20 +276,37 @@ final class CachingInputStream(
     * buffer. Never warms the local cache — the owner's disk is the cache
     * for this split. Any failure (no registered peer, refused status,
     * socket error) falls back to a direct remote read; strict mode throws
-    * (NonLocalReadRequestChain.java:147-157 fallback lattice). */
+    * (NonLocalReadRequestChain.java:147-157 fallback lattice).
+    *
+    * When the owner REFUSES (alive but range not cached / stale), also
+    * ask it to warm its own cache for this range — the reference's
+    * readData semantics (BookKeeper.java:514-617): without it a
+    * locality-missed read never warms the owner, so repeated misses on a
+    * split scheduled off its owner stay on the slow path forever. Warm is
+    * fire-and-forget on the already-slow fallback path; transport errors
+    * (owner down) send nothing. */
   private def executeNonLocal(owner: String, rs: Vector[ReadRange],
       buf: Array[Byte], bufOff: Int, ownStream: Boolean): Unit = {
     val start = rs.head.actualStart
     val span = (rs.last.actualEnd - start).toInt
     val dest = bufOff + rs.head.destOffset
+    val addrOpt = PeerRegistry.lookup(owner)
     try {
-      val addr = PeerRegistry.lookup(owner).getOrElse(
+      val addr = addrOpt.getOrElse(
         throw new IOException(s"no peer endpoint registered for $owner"))
       PeerTransferClient.read(addr, path, start, span, fileLen, mtime, buf, dest)
       manager.metrics.bytesFromPeers.addAndGet(span.toLong)
     } catch {
       case e: Exception =>
         manager.metrics.peerFallbacks.incrementAndGet()
+        e match {
+          case r: PeerRefusedException if r.status != PeerTransfer.StatusError =>
+            try {
+              manager.metrics.peerWarmsSent.incrementAndGet()
+              PeerTransferClient.warm(addrOpt.get, path, start, span, fileLen, mtime)
+            } catch { case _: Exception => /* hint only */ }
+          case _ =>
+        }
         if (conf.strict) throw e
         readGroupRemote(rs, buf, bufOff, ownStream)
     }

@@ -30,7 +30,20 @@ object PeerTransfer {
   val StatusNotCached = 1
   val StatusStale = 2
   val StatusError = 3
+
+  /** First-int sentinel selecting the warm-on-behalf-of-peer op (the
+    * reference's BookKeeper.readData, BookKeeper.java:514-617): the
+    * requester asks the OWNER to warm the owner's own cache for a range
+    * the owner refused to serve. Read requests start with pathLen > 0,
+    * so a negative sentinel is unambiguous on the wire. */
+  val OpWarm: Int = -2
 }
+
+/** Owner refused the range (not cached / stale / error status) — the peer
+  * is alive and reachable, as opposed to transport failures. Callers use
+  * this to decide a warm request is worth sending. */
+final class PeerRefusedException(msg: String, val status: Int)
+  extends IOException(msg)
 
 /** Executor-local socket server streaming cached byte ranges to peers.
   * Serves only ranges whose blocks are fully cached here — it never
@@ -78,7 +91,9 @@ final class PeerTransferServer(manager: CacheManager,
       ch.setOption[java.lang.Boolean](StandardSocketOptions.TCP_NODELAY, true)
       val head = ByteBuffer.allocate(4)
       readFully(ch, head)
-      val pathLen = head.getInt(0)
+      val first = head.getInt(0)
+      if (first == PeerTransfer.OpWarm) { handleWarm(ch); return }
+      val pathLen = first
       if (pathLen <= 0 || pathLen > (1 << 16)) { reply(ch, PeerTransfer.StatusError); return }
       val rest = ByteBuffer.allocate(pathLen + 8 + 4 + 8 + 8)
       readFully(ch, rest)
@@ -121,6 +136,35 @@ final class PeerTransferServer(manager: CacheManager,
       case _: Throwable => // mid-payload failure: close only (see above)
     } finally {
       try ch.close() catch { case _: Throwable => }
+    }
+  }
+
+  /** Warm-on-behalf-of-peer: same header layout as a read request after
+    * the sentinel. The range is ENQUEUED on this node's WarmupService (the
+    * delay-window merge dedups storms of warm requests for a hot split);
+    * StatusOk means accepted, not yet warm — the requester keeps serving
+    * itself via direct reads until a later locality-missed read hits. */
+  private def handleWarm(ch: SocketChannel): Unit = {
+    val lenBuf = ByteBuffer.allocate(4)
+    readFully(ch, lenBuf)
+    val pathLen = lenBuf.getInt(0)
+    if (pathLen <= 0 || pathLen > (1 << 16)) { reply(ch, PeerTransfer.StatusError); return }
+    val rest = ByteBuffer.allocate(pathLen + 8 + 4 + 8 + 8)
+    readFully(ch, rest)
+    rest.flip()
+    val pathBytes = new Array[Byte](pathLen)
+    rest.get(pathBytes)
+    val path = new String(pathBytes, UTF_8)
+    val offset = rest.getLong
+    val length = rest.getInt
+    val fileLen = rest.getLong
+    val mtime = rest.getLong
+    manager.warmup match {
+      case Some(w) =>
+        w.enqueue(path, offset, math.min(offset + length, fileLen), fileLen, mtime)
+        manager.metrics.peerWarmsAccepted.incrementAndGet()
+        reply(ch, PeerTransfer.StatusOk)
+      case None => reply(ch, PeerTransfer.StatusNotCached)
     }
   }
 
@@ -170,8 +214,36 @@ object PeerTransferClient {
       readFully(in, head, 0, 4, s"peer closed on header ($path@$offset)")
       val status = ByteBuffer.wrap(head).getInt
       if (status != PeerTransfer.StatusOk)
-        throw new IOException(s"peer refused range ($path@$offset+$length): status $status")
+        throw new PeerRefusedException(
+          s"peer refused range ($path@$offset+$length): status $status", status)
       readFully(in, buf, bufOff, length, s"peer closed mid-payload ($path@$offset)")
+    } finally sock.close()
+  }
+
+  /** Ask the owner to warm ITS cache for [offset, offset+length) — the
+    * reference's readData RPC (BookKeeper.java:514-617). Returns true iff
+    * the owner accepted the request (it warms asynchronously). Short
+    * timeouts: this is an optimization hint on the miss path, never worth
+    * stalling the caller's direct read for. */
+  def warm(addr: InetSocketAddress, path: String, offset: Long, length: Int,
+      fileLen: Long, mtime: Long,
+      connectTimeoutMs: Int = 1000, readTimeoutMs: Int = 2000): Boolean = {
+    val sock = new java.net.Socket()
+    try {
+      sock.connect(addr, connectTimeoutMs)
+      sock.setSoTimeout(readTimeoutMs)
+      sock.setTcpNoDelay(true)
+      val pathBytes = path.getBytes(UTF_8)
+      val req = ByteBuffer.allocate(4 + 4 + pathBytes.length + 8 + 4 + 8 + 8)
+      req.putInt(PeerTransfer.OpWarm)
+        .putInt(pathBytes.length).put(pathBytes)
+        .putLong(offset).putInt(length).putLong(fileLen).putLong(mtime)
+      val out = sock.getOutputStream
+      out.write(req.array(), 0, req.position())
+      out.flush()
+      val head = new Array[Byte](4)
+      readFully(sock.getInputStream, head, 0, 4, s"peer closed on warm ack ($path@$offset)")
+      ByteBuffer.wrap(head).getInt == PeerTransfer.StatusOk
     } finally sock.close()
   }
 
