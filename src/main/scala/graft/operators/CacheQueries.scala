@@ -63,6 +63,28 @@ object CacheQueries {
         .groupBy("l_linestatus")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("rev"),
           countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+
+    // DSv2 source over a NON-parquet format: the cache layer is format-
+    // agnostic (reference CachingFileSystem.java:227-260 caches any
+    // FileSystem read identically). Materialize supplier as ORC once,
+    // read it back via format("graft").option("format","orc") through the
+    // block cache; the oracle checks against the original parquet rows.
+    QueryDef("c04_dsv2_orc",
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),3) AS bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin) { (s, dir) =>
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
+      if (hc.get("graft.cache.dir") == null)
+        hc.set("graft.cache.dir",
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+      val orcDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft-orc/" + new java.io.File(dir).getName + "/supplier.orc"
+      s.read.parquet(s"$dir/supplier.parquet")
+        .write.mode("overwrite").orc(orcDir)
+      s.read.format("graft").option("format", "orc").load(orcDir)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 3).as("bal"))
     }
   )
 

@@ -5,29 +5,43 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.FileFormat
+import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
+import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
+import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.FileDataSourceV2
+import org.apache.spark.sql.execution.datasources.v2.{FileDataSourceV2, FileTable}
+import org.apache.spark.sql.execution.datasources.v2.csv.CSVTable
+import org.apache.spark.sql.execution.datasources.v2.json.JsonTable
+import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** DataSource V2 caching parquet source — `spark.read.format("graft")` —
-  * the idiomatic Spark path of SURVEY §7 phase 7 (the FS-wrapper under
+/** DataSource V2 caching source — `spark.read.format("graft")` — the
+  * idiomatic Spark path of SURVEY §7 phase 7 (the FS-wrapper under
   * `graft://` paths remains for engine parity). Delegates all scan
-  * machinery to Spark's ParquetTable/ParquetScanBuilder (vectorized reader,
-  * filter + aggregate pushdown, nested-schema pruning all intact) while:
+  * machinery to Spark's own file tables — ParquetTable by default, or
+  * Orc/CSV/Json via `.option("format", "orc"|"csv"|"json")`, matching the
+  * reference's position that the cache is format-agnostic (any scan under
+  * a CachingFileSystem caches identically, rubix-core
+  * CachingFileSystem.java:227-260) — while:
   *
   *  - rewriting table paths onto the `graft://` scheme so every read goes
-  *    through the executor block cache;
-  *  - applying projected-column cache-admission control: the reference
-  *    only caches scans that select at least N columns
+  *    through the executor block cache (vectorized readers, filter +
+  *    aggregate pushdown, nested-schema pruning all intact);
+  *  - applying projected-column cache-admission control on the parquet
+  *    path: the reference only caches scans that select at least N columns
   *    (CacheUtil.minColumnsSelected, rubix-spi CacheUtil.java:385-388) —
-  *    here the pruned schema width is known exactly at build() time, and
-  *    the decision ships to executors inside the scan's broadcast Hadoop
-  *    conf (`graft.cache.enabled=false`), cluster-correct with
-  *    `fs.graft.impl.disable.cache=true`.
+  *    the pruned schema width is known exactly at build() time, and the
+  *    decision ships to executors inside the scan's broadcast Hadoop conf
+  *    (`graft.cache.enabled=false`), cluster-correct with
+  *    `fs.graft.impl.disable.cache=true`. (Orc/CSV/Json scans don't expose
+  *    a post-pushdown rebuild hook, so admission for those rides the
+  *    session-level CacheConfig keys the FS layer already honors.)
   */
 class GraftDataSource extends FileDataSourceV2 {
+  // Only consulted on the V1 fallback path, which "graft" never takes
+  // (custom sources are not in spark.sql.sources.useV1SourceList).
   override def fallbackFileFormat: Class[_ <: FileFormat] =
     classOf[ParquetFileFormat]
   override def shortName(): String = "graft"
@@ -43,9 +57,22 @@ class GraftDataSource extends FileDataSourceV2 {
       userSchema: Option[StructType]): Table = {
     val paths = getPaths(options).map(toGraft)
     val tableName = "graft " + paths.mkString(",")
-    val delegate = ParquetTable(tableName, sparkSession,
-      getOptionsWithoutPaths(options), paths, userSchema,
-      classOf[ParquetFileFormat])
+    val fmt = Option(options.get("format")).getOrElse("parquet").toLowerCase
+    // drop our routing key so the delegate sees only its own options
+    val delegateOpts = new CaseInsensitiveStringMap(
+      (getOptionsWithoutPaths(options).asScala - "format").asJava)
+    val delegate: FileTable = fmt match {
+      case "parquet" => ParquetTable(tableName, sparkSession, delegateOpts,
+        paths, userSchema, classOf[ParquetFileFormat])
+      case "orc" => OrcTable(tableName, sparkSession, delegateOpts,
+        paths, userSchema, classOf[OrcFileFormat])
+      case "csv" => CSVTable(tableName, sparkSession, delegateOpts,
+        paths, userSchema, classOf[CSVFileFormat])
+      case "json" => JsonTable(tableName, sparkSession, delegateOpts,
+        paths, userSchema, classOf[JsonFileFormat])
+      case other => throw new IllegalArgumentException(
+        s"graft source: unsupported format '$other' (parquet|orc|csv|json)")
+    }
     val minCols = options.getInt("graft.cache.min.projected.columns",
       sparkSession.sessionState.newHadoopConf()
         .getInt(graft.cache.CacheConfig.MinColumnsKey, 0))
@@ -61,7 +88,7 @@ class GraftDataSource extends FileDataSourceV2 {
 
 /** Read-side table wrapper; writes go through `df.write.parquet("graft://…")`
   * (pure FS delegation), so only read capabilities are advertised. */
-final class GraftTable(delegate: ParquetTable, minCols: Int)
+final class GraftTable(delegate: FileTable, minCols: Int)
     extends Table with SupportsRead {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
@@ -71,7 +98,10 @@ final class GraftTable(delegate: ParquetTable, minCols: Int)
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(delegate, minCols, options)
+    delegate match {
+      case p: ParquetTable => new GraftScanBuilder(p, minCols, options)
+      case t => t.newScanBuilder(options)
+    }
 }
 
 /** ParquetScanBuilder with cache-admission control at build() time, when

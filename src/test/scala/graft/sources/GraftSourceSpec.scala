@@ -75,4 +75,58 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.format("noop").mode("overwrite").save()
     assert(m.bytesFromCache.get > before, "wide scan must use the cache")
   }
+
+  test("format option routes to orc/csv/json delegates through the cache") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val expected = src.orderBy("n_nationkey").collect().map(_.toString)
+
+    src.write.mode("overwrite").orc(s"$tmp/nation.orc")
+    src.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation.csv")
+    src.write.mode("overwrite").json(s"$tmp/nation.json")
+
+    // metrics on CacheManager.current can belong to a manager swapped in
+    // by a per-scan conf (minColumns test above), while the JVM-cached
+    // graft:// FS keeps its original manager — so prove cache traffic by
+    // watching the cache DIRECTORY the FS-bound manager writes into.
+    def cacheFiles(): Set[String] = {
+      val root = new java.io.File(cacheDir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(root).map(_.getPath).toSet
+    }
+    val before = cacheFiles()
+
+    val orc = spark.read.format("graft").option("format", "orc")
+      .load(s"$tmp/nation.orc").orderBy("n_nationkey").collect().map(_.toString)
+    assert(orc.sameElements(expected))
+
+    val csv = spark.read.format("graft").option("format", "csv")
+      .option("header", "true").option("inferSchema", "true")
+      .load(s"$tmp/nation.csv")
+      .select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"))
+      .orderBy("n_nationkey").collect().map(_.toString)
+    assert(csv.sameElements(expected))
+
+    val json = spark.read.format("graft").option("format", "json")
+      .schema(src.schema).load(s"$tmp/nation.json")
+      .orderBy("n_nationkey").collect().map(_.toString)
+    assert(json.sameElements(expected))
+
+    // the non-parquet reads really went through the block cache: new
+    // cache data files appeared for each materialized format
+    val grown = cacheFiles() -- before
+    Seq("nation.orc", "nation.csv", "nation.json").foreach { n =>
+      assert(grown.exists(_.contains(n)),
+        s"expected cache files for $n, new files: $grown")
+    }
+
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("format", "avro")
+        .load(s"$tmp/nation.orc").collect()
+    }
+  }
 }
