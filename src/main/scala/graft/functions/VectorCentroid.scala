@@ -29,11 +29,24 @@ final case class CentroidBuf(sum: Array[Long], n: Long)
 object VectorCentroid
     extends Aggregator[Array[Float], CentroidBuf, Array[Double]] {
 
-  /** Fixed-point scale: 1e-6 resolution, leaves |sum| far under 2^53
-    * (exact as a double) for any realistic group size × element range. */
+  /** Fixed-point scale: 1e-6 resolution. |sum| stays under 2^53 (exact
+    * as a double) up to ~9e9 rows/group at |x|~1; beyond that the final
+    * long->double conversion ROUNDS, but identically on any IEEE-754
+    * engine, so the output stays bit-stable (just no longer exact to the
+    * last ulp). The hard bound is long overflow at ~9e12 rows/group —
+    * beyond centroid use; shard the group key first if you get there. */
   val Scale = 1e6
 
-  @inline def toFixed(v: Float): Long = (v.toDouble * Scale).toLong
+  /** Non-finite elements map to 0 — explicitly, not via d2l saturation:
+    * the JVM folds NaN to 0 but ±Inf to ±Long.MaxValue (an instant sum
+    * poison), and the DuckDB oracle's CAST(trunc(x*1e6) AS BIGINT) would
+    * ERROR on any non-finite instead. Zero on both sides keeps the
+    * engines aligned; the oracle mirrors this with
+    * CASE WHEN isfinite(x) THEN ... ELSE 0 END. */
+  @inline def toFixed(v: Float): Long = {
+    val d = v.toDouble * Scale
+    if (java.lang.Double.isFinite(d)) d.toLong else 0L
+  }
 
   override def zero: CentroidBuf = CentroidBuf(Array.emptyLongArray, 0L)
 

@@ -150,7 +150,9 @@ object VectorQueries {
     // boundary flips (the r2 hash failure), so the value rides unrounded.
     QueryDef("e05_centroid_udaf",
       """SELECT label, CAST(r.range AS BIGINT) AS dim,
-        | CAST(sum(CAST(trunc(CAST(embedding[r.range] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+        | CAST(sum(CASE WHEN isfinite(CAST(embedding[r.range] AS DOUBLE))
+        |   THEN CAST(trunc(CAST(embedding[r.range] AS DOUBLE) * 1000000) AS BIGINT)
+        |   ELSE 0 END) AS DOUBLE)
         |   / count(*) / 1000000 AS c
         |FROM embeddings, range(1, 65) r
         |GROUP BY label, r.range""".stripMargin) { (s, dir) =>

@@ -75,11 +75,13 @@ object EventStreams {
     * KeyValueGroupedDataset path the reference surface has no analog for
     * (SURVEY §2.10). Scope note: this runs in one-shot AvailableNow mode
     * — every session is emitted from the single batch, and the GroupState
-    * only carries the per-user session counter. A continuously-running
-    * deployment would extend the state to the OPEN session and emit on
-    * inactivity timeout (GroupStateTimeout.EventTimeTimeout) instead of
-    * per batch; the per-batch islands computation below is unchanged by
-    * that extension.
+    * only carries the per-user session counter. The continuously-running
+    * variant is [[sessionizeOpen]]: state carries the OPEN session and
+    * emits on inactivity timeout (GroupStateTimeout.EventTimeTimeout);
+    * the per-batch islands computation is shared arithmetic. This one
+    * stays the GATE query because its output is exactly the batch islands
+    * oracle — sessionizeOpen holds back sessions still inside the final
+    * watermark, which is correct continuously but not batch-comparable.
     *
     * Whale-user memory bound: the group iterator arrives unsorted, so one
     * sort buffer per user-batch is unavoidable — but it is a PRIMITIVE
@@ -133,6 +135,71 @@ object EventStreams {
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination(120000) finally if (q.isActive) q.stop()
     spark.table(name)
+  }
+
+  /** Continuous-deployment sessionization: GroupState carries the OPEN
+    * session across micro-batches and emits it when event time passes the
+    * inactivity gap (GroupStateTimeout.EventTimeTimeout) — the extension
+    * [[sessionize]]'s scope note promises. A session spanning a batch
+    * boundary emits ONCE, with the merged duration; the per-batch islands
+    * arithmetic is identical to [[sessionize]].
+    *
+    * Input: a streaming DataFrame with `user_id` and an event-time `ts`
+    * column that already carries the watermark (EventTimeTimeout requires
+    * one). Output rows: (user_id, sid, n_events, dur_us). Closed sessions
+    * emit in the batch that closes them; the open session emits when the
+    * WATERMARK (not wall clock) passes last+gap, so emission is
+    * deterministic under replay. State is one 4-long tuple per user —
+    * the 100 TB/day shape; the per-batch sort buffer is the same
+    * primitive long array as [[sessionize]] (whale bound applies).
+    *
+    * Callers MUST leave no-data micro-batches ENABLED (the session
+    * default; [[withStreamConf]] only disables them for the batch-
+    * emitting queries): the watermark-advance batch after the last data
+    * batch is what fires trailing timeouts. */
+  def sessionizeOpen(spark: SparkSession, events: DataFrame,
+      gapUs: Long = SessionGapUs): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    // state: (nextSid, startUs, lastUs, n); open session exists iff n > 0
+    val gapMs = gapUs / 1000
+    events
+      .selectExpr("user_id", "ts", "unix_micros(ts) AS tus")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (sid, start, last, n) = state.get
+            state.update((sid + 1, 0L, 0L, 0L)) // keep sid continuity, no open
+            if (n > 0) Iterator.single((uid, sid, n, last - start))
+            else Iterator.empty
+          } else {
+            val ts = it.map(_._3).toArray
+            java.util.Arrays.sort(ts)
+            if (ts.isEmpty) Iterator.empty
+            else {
+              val out = Seq.newBuilder[(Long, Long, Long, Long)]
+              var (sid, start, last, n) = state.getOption.getOrElse((1L, 0L, 0L, 0L))
+              ts.foreach { t =>
+                if (n > 0 && t - last > gapUs) {
+                  out += ((uid, sid, n, last - start))
+                  sid += 1; n = 0
+                }
+                if (n == 0) start = t
+                last = t; n += 1
+              }
+              state.update((sid, start, last, n))
+              // fire once the WATERMARK passes the inactivity gap; clamp
+              // above the current watermark (required by the API when
+              // late events put last+gap behind it)
+              state.setTimeoutTimestamp(
+                math.max(last / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
+              out.result().iterator
+            }
+          }
+      }
   }
 
   /** Streaming deduplication: dropDuplicates over a watermarked stream —
