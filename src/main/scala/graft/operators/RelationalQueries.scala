@@ -181,20 +181,31 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     },
 
-    // ---- TPC-H Q10 style: returned-item top customers ----
+    // ---- TPC-H Q10 style: returned-item top customers. Revenue rides a
+    // FIXED-POINT contract: price*(1-disc) has exactly 4 decimal digits
+    // (2+2), and both engines compute identical IEEE product bits, so
+    // floor(x*1e4) is the same long everywhere; the long sum is order-
+    // independent and the final /10000 is one shared IEEE divide. A
+    // round(sum(double),3) here IS order-dependent in the last bit and
+    // measurably lands on .0005 boundaries (seen at sf0.001 and sf0.1 —
+    // the e05-class failure; these small per-customer groups roll the
+    // dice ~1500 times per scale). ----
     QueryDef("q10_returned_top_customers",
       """SELECT c_custkey, c_name,
-        | round(sum(l_extendedprice*(1-l_discount)),3) AS revenue
+        | CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)
+        |   / 10000 AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
       val l = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val revUnits = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")
       l.join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.load(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(r3(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg((sum(revUnits).cast("double") / 10000).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     },
 
@@ -608,6 +619,100 @@ object RelationalQueries {
           col("user_id") === col("s_user") && col("ts") > col("s_ts") &&
             col("ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
         .groupBy("signup_id").agg(count(col("event_id")).as("n_follow"))
+    },
+
+    // ---- percentiles: exact interpolated median (integer-valued column,
+    // so a+(b-a)*f lands on exact .0/.5 doubles — bit-identical on any
+    // engine) + approx percentile checked IN-BAND against the exact one
+    // (q31 contract: the sketch is engine-specific, the band boolean
+    // rides the hash gate). The exact percentile over doubles exists
+    // ONLY as the band anchor — at 100 TB the approx sketch (mergeable,
+    // bounded memory) is the operator; exact-percentile-of-everything is
+    // not a scale path and isn't emitted raw for doubles. ----
+    QueryDef("q39_percentile",
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 3) AS med_qty,
+        | round(quantile_cont(l_quantity, 0.9), 3) AS p90_qty,
+        | CAST(count(*) AS BIGINT) AS n,
+        | true AS price_med_in_band
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5D)"), 3).as("med_qty"),
+          round(expr("percentile(l_quantity, 0.9D)"), 3).as("p90_qty"),
+          count(lit(1)).as("n"),
+          expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("ap"),
+          expr("percentile(l_extendedprice, 0.5D)").as("ex"))
+        .select(col("l_returnflag"), col("med_qty"), col("p90_qty"), col("n"),
+          (abs(col("ap") - col("ex")) <= col("ex") * 0.02).as("price_med_in_band"))
+    },
+
+    // ---- unpivot/melt: wide metrics -> (key, metric, value) rows — the
+    // inverse of q30's pivot. Narrow (3 cols) output regardless of how
+    // many metrics widen the input, so the shuffle stays thin at scale.
+    // Oracle is the UNION ALL expansion (engine-portable semantics). ----
+    QueryDef("q40_unpivot",
+      """WITH a AS (
+        |  SELECT o_orderpriority,
+        |    round(sum(o_totalprice), 3) AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n_orders
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'sum_price' AS metric, sum_price AS value FROM a
+        |UNION ALL
+        |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM a"""
+        .stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(round(sum("o_totalprice"), 3).as("sum_price"),
+          count(lit(1)).cast("double").as("n_orders"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("sum_price"), col("n_orders")), "metric", "value")
+    },
+
+    // ---- statistical aggregates (stddev/corr) with an EXACT-moments
+    // contract: the emitted columns are integer moments (order-
+    // independent long sums, so bit-stable across engines and the part
+    // a downstream consumer would reuse), and Spark's stddev_samp/corr
+    // are checked IN-BAND against the moment formulas (1e-6 relative).
+    // Cents fixed-point makes the price sum exact (TPC-H prices carry 2
+    // decimals; both engines IEEE-truncate identically). The band math
+    // runs in doubles so no intermediate overflows even where n*ssq
+    // would leave the long range. ----
+    QueryDef("q41_stats_moments",
+      """SELECT l_returnflag,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ssq_qty,
+        | CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | true AS stddev_in_band, true AS corr_in_band
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val qty = col("l_quantity").cast("long")
+      val cents = floor(col("l_extendedprice") * 100).cast("long")
+      val centsD = cents.cast("double")
+      Tables.load(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(qty).as("sum_qty"),
+          sum(qty * qty).as("ssq_qty"),
+          sum(cents).as("sum_cents"),
+          // double moments feed only the band checks (1e-6 tolerance
+          // swallows summation-order noise); exact longs are the contract
+          sum(qty.cast("double") * centsD).as("cross_d"),
+          sum(centsD * centsD).as("ssq_cents_d"),
+          stddev_samp(col("l_quantity")).as("sd"),
+          corr(col("l_quantity"), col("l_extendedprice")).as("cr"))
+        .select(col("l_returnflag"), col("n"), col("sum_qty"), col("ssq_qty"),
+          col("sum_cents"),
+          (abs(col("sd") - sqrt(
+            (col("n").cast("double") * col("ssq_qty") - col("sum_qty") * col("sum_qty")) /
+              (col("n").cast("double") * (col("n") - 1)))) <=
+            col("sd") * 1e-6).as("stddev_in_band"),
+          // corr is scale-invariant: the cents moments stand in for price
+          (abs(col("cr") -
+            (col("n").cast("double") * col("cross_d") -
+              col("sum_qty").cast("double") * col("sum_cents")) /
+            sqrt((col("n").cast("double") * col("ssq_qty") -
+                col("sum_qty").cast("double") * col("sum_qty")) *
+              (col("n").cast("double") * col("ssq_cents_d") -
+                col("sum_cents").cast("double") * col("sum_cents")))) <=
+            lit(1e-6)).as("corr_in_band"))
     }
   )
 }

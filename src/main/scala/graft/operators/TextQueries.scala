@@ -198,11 +198,18 @@ object TextQueries {
       // fixpoint; carry the previous round's sum instead of re-aggregating
       var prevSum = labels.agg(sum("comp")).first().getLong(0)
       var converged = false
+      var round = 0
       while (!converged) {
         val prop = und.join(labels, und("doc_a") === labels("doc_id"))
           .select(und("doc_b").as("doc_id"), col("comp"))
-        val next = labels.union(prop)
-          .groupBy("doc_id").agg(min("comp").as("comp")).persist()
+        var next = labels.union(prop)
+          .groupBy("doc_id").agg(min("comp").as("comp"))
+        // lineage grows by one join+agg per round; on a high-diameter
+        // graph the accumulated plan itself becomes the bottleneck
+        // (planning time + task serialization), so sever it periodically
+        round += 1
+        if (round % 10 == 0) next = next.localCheckpoint(eager = false)
+        next = next.persist()
         val newSum = next.agg(sum("comp")).first().getLong(0)
         labels.unpersist()
         labels = next
