@@ -51,7 +51,8 @@ object CacheQueries {
     // DSv2 caching source: format("graft") — same semantics as a plain
     // parquet scan, reads through the executor block cache
     QueryDef("c03_dsv2_source",
-      """SELECT l_linestatus, round(sum(l_extendedprice*(1-l_discount)),3) AS rev,
+      """SELECT l_linestatus,
+        | CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000 AS rev,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
       val hc = s.sparkContext.hadoopConfiguration
@@ -61,7 +62,10 @@ object CacheQueries {
           sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
       s.read.format("graft").load(s"$dir/lineitem.parquet")
         .groupBy("l_linestatus")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("rev"),
+        // fixed-point units: money-product sums flip .0005 boundaries
+        // under round(sum(double),3) — see RelationalQueries.fxSum
+        .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).cast("double") / 10000).as("rev"),
           countDistinct(col("l_orderkey")).as("n_orders"))
     },
 

@@ -10,12 +10,36 @@ import org.apache.spark.sql.expressions.Window
   * host engines and pins the expected SQL surface via its TPC-DS stress
   * corpus (rubix-stress/queries, see SURVEY.md §2.3-2.10). Here that
   * surface is expressed Spark-first over the star-schema testdata, each
-  * query paired with a DuckDB oracle. All double-typed outputs are rounded
-  * to 3 decimals on BOTH sides so engine-order-dependent floating summation
-  * cannot flip the hash compare.
+  * query paired with a DuckDB oracle. Double outputs follow one of two
+  * bit-stability contracts on BOTH sides: plain 2-decimal or integer
+  * sums are rounded to 3 decimals (their values sit on the 0.01 grid,
+  * far from any rounding boundary), while money-PRODUCT sums and
+  * averages ride order-independent fixed-point longs ([[fxSum]]/
+  * [[fxAvg]]) because their rounded values land ON .0005 boundaries
+  * with ~10% probability per emitted row.
   */
 object RelationalQueries {
   private def r3(c: Column): Column = round(c, 3)
+
+  /** Order-independent fixed-point sum for money-PRODUCT expressions
+    * (price*(1-disc) etc). Such products carry >2 exact decimal digits,
+    * so ~10% of group sums land exactly ON a .0005 rounding boundary and
+    * round(sum(double),3) flips with any summation-order last-bit drift
+    * (both engines compute identical IEEE bits per ROW, so floor(x*scale)
+    * is the same long everywhere; only the sum order varies — longs make
+    * it associative). Long capacity: ~1e9 units/row leaves ~9e9 rows per
+    * group before overflow; shard the group key past that (same posture
+    * as VectorCentroid's documented bound). Plain 2-decimal sums (sum of
+    * price) do NOT need this: they land on the 0.01 grid, 50x the
+    * accumulated drift away from any boundary. */
+  private def fxSum(e: Column, scale: Int): Column =
+    sum(floor(e * scale).cast("long")).cast("double") / scale
+
+  /** Bit-stable average of a 2-decimal column: exact cents sum, then two
+    * shared IEEE divides; emitted unrounded (rounding would reintroduce
+    * the boundary class this replaces). */
+  private def fxAvg(e: Column): Column =
+    sum(floor(e * 100).cast("long")).cast("double") / count(lit(1)) / 100
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -24,11 +48,11 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),3) AS sum_qty,
         | round(sum(l_extendedprice),3) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),3) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),3) AS sum_charge,
+        | CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000 AS sum_disc_price,
+        | CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*10000) AS BIGINT)) AS DOUBLE)/10000 AS sum_charge,
         | round(avg(l_quantity),3) AS avg_qty,
-        | round(avg(l_extendedprice),3) AS avg_price,
-        | round(avg(l_discount),3) AS avg_disc,
+        | CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/count(*)/100 AS avg_price,
+        | CAST(sum(CAST(floor(l_discount*100) AS BIGINT)) AS DOUBLE)/count(*)/100 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
@@ -38,11 +62,11 @@ object RelationalQueries {
         .agg(
           r3(sum("l_quantity")).as("sum_qty"),
           r3(sum("l_extendedprice")).as("sum_base_price"),
-          r3(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          r3(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          fxSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000).as("sum_disc_price"),
+          fxSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 10000).as("sum_charge"),
           r3(avg("l_quantity")).as("avg_qty"),
-          r3(avg("l_extendedprice")).as("avg_price"),
-          r3(avg("l_discount")).as("avg_disc"),
+          fxAvg(col("l_extendedprice")).as("avg_price"),
+          fxAvg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
     },
 
@@ -63,7 +87,7 @@ object RelationalQueries {
     // ---- TPC-H Q3 style: 3-way join + top-k by computed measure ----
     QueryDef("q03_top_revenue",
       """SELECT l_orderkey,
-        | round(sum(l_extendedprice*(1-l_discount)),3) AS revenue,
+        | CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000 AS revenue,
         | strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority
         |FROM customer, orders, lineitem
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -78,7 +102,7 @@ object RelationalQueries {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"), col("o_orderpriority"))
-        .agg(r3(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(fxSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000).as("revenue"))
         .select("l_orderkey", "revenue", "odate", "o_orderpriority")
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     },
@@ -101,7 +125,8 @@ object RelationalQueries {
 
     // ---- TPC-H Q5 style: 6-table star join, broadcast dims ----
     QueryDef("q05_region_revenue",
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),3) AS revenue
+      """SELECT n_name,
+        | CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000 AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -124,12 +149,12 @@ object RelationalQueries {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(r3(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(fxSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000).as("revenue"))
     },
 
     // ---- TPC-H Q6: filter + global agg (no shuffle beyond partial/final) ----
     QueryDef("q06_revenue_forecast",
-      """SELECT round(sum(l_extendedprice*l_discount),3) AS revenue, count(*) AS n
+      """SELECT CAST(sum(CAST(floor(l_extendedprice*l_discount*10000) AS BIGINT)) AS DOUBLE)/10000 AS revenue, count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -137,7 +162,7 @@ object RelationalQueries {
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
           col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-        .agg(r3(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        .agg(fxSum(col("l_extendedprice") * col("l_discount"), 10000).as("revenue"),
           count(lit(1)).as("n"))
     },
 
