@@ -125,21 +125,51 @@ class GraftFileSystem extends FileSystem {
     CacheAffinity.blockLocations(file, start, len, cacheConf)
 
   // ---- mutations: pure delegation (reference parity) ----
+  /** Eager invalidation on OUR mutation path — deliberately beyond the
+    * reference, whose create/append/rename/delete carry commented-out
+    * invalidation TODOs (CachingFileSystem.java:263-306) and rely purely
+    * on the lazy lastModified compare. Lazy-only is unsafe here because
+    * the TTL'd fileInfoCache can serve a pre-overwrite (size, mtime) for
+    * up to the TTL window, making a read-after-overwrite through the SAME
+    * filesystem return stale cached bytes. Mutations that bypass this FS
+    * (another writer on the object store) remain lazy, exactly the
+    * reference's documented trade. Directory deletes/renames only drop
+    * the exact path entry; children are caught by the mtime compare once
+    * their fileInfo TTL lapses. */
+  private def invalidateLocal(paths: Path*): Unit = paths.foreach { ip =>
+    fileInfoCache.invalidate(ip)
+    if (manager != null) manager.invalidate(ip.toString)
+  }
+
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
-      progress: Progressable): FSDataOutputStream =
-    inner.create(toInner(f), permission, overwrite, bufferSize, replication,
+      progress: Progressable): FSDataOutputStream = {
+    val ip = toInner(f)
+    invalidateLocal(ip)
+    inner.create(ip, permission, overwrite, bufferSize, replication,
       blockSize, progress)
+  }
 
   override def append(f: Path, bufferSize: Int,
-      progress: Progressable): FSDataOutputStream =
-    inner.append(toInner(f), bufferSize, progress)
+      progress: Progressable): FSDataOutputStream = {
+    val ip = toInner(f)
+    invalidateLocal(ip)
+    inner.append(ip, bufferSize, progress)
+  }
 
-  override def rename(src: Path, dst: Path): Boolean =
-    inner.rename(toInner(src), toInner(dst))
+  override def rename(src: Path, dst: Path): Boolean = {
+    val (is, id) = (toInner(src), toInner(dst))
+    val ok = inner.rename(is, id)
+    if (ok) invalidateLocal(is, id)
+    ok
+  }
 
-  override def delete(f: Path, recursive: Boolean): Boolean =
-    inner.delete(toInner(f), recursive)
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val ip = toInner(f)
+    val ok = inner.delete(ip, recursive)
+    if (ok) invalidateLocal(ip)
+    ok
+  }
 
   override def mkdirs(f: Path, permission: FsPermission): Boolean =
     inner.mkdirs(toInner(f), permission)

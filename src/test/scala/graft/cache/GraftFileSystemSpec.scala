@@ -73,4 +73,36 @@ class GraftFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = spark.read.parquet(out).count()
     assert(back == 100)
   }
+
+  test("overwrite through graft:// invalidates eagerly (no TTL stale reads)") {
+    // raw-byte file so the content is fully under our control
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-mut").toString
+    val p = java.nio.file.Paths.get(dataDir, "mut.bin")
+    java.nio.file.Files.write(p, Array.fill[Byte](4096)('a'))
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create("graft:///"), spark.sessionState.newHadoopConf())
+    val gp = new org.apache.hadoop.fs.Path(s"graft://$p")
+
+    def readFirst(n: Int): Array[Byte] = {
+      val in = fs.open(gp)
+      try { val b = new Array[Byte](n); in.readFully(0, b); b }
+      finally in.close()
+    }
+    assert(readFirst(16).forall(_ == 'a'), "warm the cache with the original bytes")
+
+    // overwrite THROUGH the caching FS: same length, same-second mtime is
+    // possible — only eager invalidation makes the next read correct
+    val outStream = fs.create(gp, true)
+    try outStream.write(Array.fill[Byte](4096)('b')) finally outStream.close()
+
+    assert(readFirst(16).forall(_ == 'b'),
+      "read-after-overwrite must see new bytes, not TTL-stale cache")
+
+    // delete through the FS drops the cache entry too
+    assert(fs.delete(gp, false))
+    assert(CacheManager.current.get.metadataFor("file:" + p).isEmpty ||
+      CacheManager.current.get.metadataFor("file:" + p).exists(_.isDeleted),
+      "delete must invalidate the cache entry")
+  }
 }
