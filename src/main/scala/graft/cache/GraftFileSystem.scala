@@ -141,20 +141,32 @@ class GraftFileSystem extends FileSystem {
     if (manager != null) manager.invalidate(ip.toString)
   }
 
+  /** Invalidate both at open AND at close of a write stream: a reader
+    * interleaving between create() and close() re-primes fileInfoCache
+    * with the mid-write (size, mtime), which would otherwise serve
+    * TTL-stale bytes after the writer finishes. */
+  private def invalidatingOnClose(ip: Path,
+      out: FSDataOutputStream): FSDataOutputStream =
+    new FSDataOutputStream(out, null, out.getPos) {
+      override def close(): Unit = {
+        try super.close() finally invalidateLocal(ip)
+      }
+    }
+
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
     val ip = toInner(f)
     invalidateLocal(ip)
-    inner.create(ip, permission, overwrite, bufferSize, replication,
-      blockSize, progress)
+    invalidatingOnClose(ip, inner.create(ip, permission, overwrite, bufferSize,
+      replication, blockSize, progress))
   }
 
   override def append(f: Path, bufferSize: Int,
       progress: Progressable): FSDataOutputStream = {
     val ip = toInner(f)
     invalidateLocal(ip)
-    inner.append(ip, bufferSize, progress)
+    invalidatingOnClose(ip, inner.append(ip, bufferSize, progress))
   }
 
   override def rename(src: Path, dst: Path): Boolean = {

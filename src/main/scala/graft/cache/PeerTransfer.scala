@@ -159,6 +159,12 @@ final class PeerTransferServer(manager: CacheManager,
     val length = rest.getInt
     val fileLen = rest.getLong
     val mtime = rest.getLong
+    // validate BEFORE enqueue: this is the only wire input that reaches a
+    // shared scheduled task, and a degenerate range would throw inside
+    // the drainer (killing all future drains for the JVM lifetime)
+    if (offset < 0 || length <= 0 || fileLen <= 0 || offset >= fileLen) {
+      reply(ch, PeerTransfer.StatusError); return
+    }
     manager.warmup match {
       case Some(w) =>
         w.enqueue(path, offset, math.min(offset + length, fileLen), fileLen, mtime)

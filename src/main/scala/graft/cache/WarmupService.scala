@@ -39,7 +39,11 @@ final class WarmupService(
     if (stopped) throw new IllegalStateException(
       "WarmupService is terminal once stopped — build a new instance")
     if (running.compareAndSet(false, true)) {
-      drainer.scheduleWithFixedDelay(() => drainOnce(System.currentTimeMillis()),
+      // a throw from a scheduled task silently cancels ALL future
+      // executions — the drainer must survive any single bad drain
+      drainer.scheduleWithFixedDelay(() =>
+        try drainOnce(System.currentTimeMillis())
+        catch { case _: Throwable => /* next drain retries */ },
         conf.warmupDrainMs, conf.warmupDrainMs, TimeUnit.MILLISECONDS)
     }
   }
@@ -57,6 +61,7 @@ final class WarmupService(
   def enqueue(path: String, start: Long, end: Long, fileLen: Long,
       mtime: Long): Unit = {
     if (stopped) return // nothing will ever drain it
+    if (start < 0 || end <= start) return // degenerate range: nothing to warm
     queue.add(FetchRequest(path, start, end, fileLen, mtime,
       System.currentTimeMillis()))
     manager.metrics.warmupRequests.incrementAndGet()

@@ -64,8 +64,8 @@ object CacheQueries {
         .groupBy("l_linestatus")
         // fixed-point units: money-product sums flip .0005 boundaries
         // under round(sum(double),3) — see RelationalQueries.fxSum
-        .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
-          .cast("long")).cast("double") / 10000).as("rev"),
+        .agg(RelationalQueries.fxSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 10000).as("rev"),
           countDistinct(col("l_orderkey")).as("n_orders"))
     },
 

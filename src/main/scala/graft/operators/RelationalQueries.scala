@@ -32,7 +32,7 @@ object RelationalQueries {
     * as VectorCentroid's documented bound). Plain 2-decimal sums (sum of
     * price) do NOT need this: they land on the 0.01 grid, 50x the
     * accumulated drift away from any boundary. */
-  private def fxSum(e: Column, scale: Int): Column =
+  private[operators] def fxSum(e: Column, scale: Int): Column =
     sum(floor(e * scale).cast("long")).cast("double") / scale
 
   /** Bit-stable average of a 2-decimal column: exact cents sum, then two
@@ -225,12 +225,10 @@ object RelationalQueries {
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
       val l = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      val revUnits = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
-        .cast("long")
       l.join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.load(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg((sum(revUnits).cast("double") / 10000).as("revenue"))
+        .agg(fxSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     },
 
@@ -726,7 +724,8 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("n"), col("sum_qty"), col("ssq_qty"),
           col("sum_cents"),
           (abs(col("sd") - sqrt(
-            (col("n").cast("double") * col("ssq_qty") - col("sum_qty") * col("sum_qty")) /
+            (col("n").cast("double") * col("ssq_qty") -
+              col("sum_qty").cast("double") * col("sum_qty")) /
               (col("n").cast("double") * (col("n") - 1)))) <=
             col("sd") * 1e-6).as("stddev_in_band"),
           // corr is scale-invariant: the cents moments stand in for price

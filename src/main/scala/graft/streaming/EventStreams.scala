@@ -149,9 +149,23 @@ object EventStreams {
     * one). Output rows: (user_id, sid, n_events, dur_us). Closed sessions
     * emit in the batch that closes them; the open session emits when the
     * WATERMARK (not wall clock) passes last+gap, so emission is
-    * deterministic under replay. State is one 4-long tuple per user —
-    * the 100 TB/day shape; the per-batch sort buffer is the same
-    * primitive long array as [[sessionize]] (whale bound applies).
+    * deterministic under replay. State is one 4-long tuple per ACTIVE
+    * user and is REMOVED on timeout — state size tracks users active
+    * within the gap+watermark horizon, not lifetime cardinality (the
+    * 100 TB/day bound that matters). Consequently `sid` is unique within
+    * one activity run; after an idle timeout a returning user restarts at
+    * 1, so a global session key is (user_id, session start), not sid.
+    * The per-batch sort buffer is the same primitive long array as
+    * [[sessionize]] (whale bound applies).
+    *
+    * Late events (accepted by the watermark but older than the open
+    * session's `last`) merge INTO the open session — extending `start`
+    * backward if they precede it — rather than splitting it: the batch
+    * boundary must not manufacture splits that a single-batch run of the
+    * same data would not produce. A late event older than start-gap
+    * logically belongs to an already-emitted session; it still merges
+    * (never a negative duration, never a retro-split) — the standard
+    * watermark-lateness approximation.
     *
     * Callers MUST leave no-data micro-batches ENABLED (the session
     * default; [[withStreamConf]] only disables them for the batch-
@@ -172,7 +186,9 @@ object EventStreams {
          state: GroupState[(Long, Long, Long, Long)]) =>
           if (state.hasTimedOut) {
             val (sid, start, last, n) = state.get
-            state.update((sid + 1, 0L, 0L, 0L)) // keep sid continuity, no open
+            // REMOVE, don't park: parked counters would leak one state
+            // entry per lifetime user (see scaladoc on sid semantics)
+            state.remove()
             if (n > 0) Iterator.single((uid, sid, n, last - start))
             else Iterator.empty
           } else {
@@ -183,12 +199,19 @@ object EventStreams {
               val out = Seq.newBuilder[(Long, Long, Long, Long)]
               var (sid, start, last, n) = state.getOption.getOrElse((1L, 0L, 0L, 0L))
               ts.foreach { t =>
-                if (n > 0 && t - last > gapUs) {
-                  out += ((uid, sid, n, last - start))
-                  sid += 1; n = 0
+                if (n > 0 && t <= last) {
+                  // late event inside (or before) the open session: merge,
+                  // never split or walk `last` backwards
+                  if (t < start) start = t
+                  n += 1
+                } else {
+                  if (n > 0 && t - last > gapUs) {
+                    out += ((uid, sid, n, last - start))
+                    sid += 1; n = 0
+                  }
+                  if (n == 0) start = t
+                  last = t; n += 1
                 }
-                if (n == 0) start = t
-                last = t; n += 1
               }
               state.update((sid, start, last, n))
               // fire once the WATERMARK passes the inactivity gap; clamp

@@ -77,6 +77,47 @@ class OpenSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("late events merge into the open session, never split or negate duration") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[(Long, Long)]
+    // generous watermark delay so batch-2 late events are ACCEPTED
+    val events = in.toDS().toDF("user_id", "tus")
+      .selectExpr("user_id", "timestamp_micros(tus) AS ts")
+      .withWatermark("ts", "2 hours")
+    val sessions = graft.streaming.EventStreams.sessionizeOpen(s, events)
+      .toDF("user_id", "sid", "n_events", "dur_us")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("open_sessions3").start()
+    try {
+      def us(sec: Long): Long = (86400L + sec) * 1000000L
+
+      in.addData((1L, us(3600)), (1L, us(3660)))
+      q.processAllAvailable()
+      // batch 2: a LATE event before the open session's start, an in-span
+      // late event, and a fresh one — all must merge into ONE session
+      in.addData((1L, us(3000)), (1L, us(3630)), (1L, us(3700)),
+        (9L, us(400000)))
+      q.processAllAvailable()
+
+      val deadline = System.currentTimeMillis() + 20000
+      def rows() = s.table("open_sessions3")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      while (System.currentTimeMillis() < deadline && !rows().exists(_._1 == 1L)) {
+        in.addData((9L, us(400001)))
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val u1 = rows().filter(_._1 == 1L)
+      assert(u1.length == 1, s"late events must not split the session: ${u1.mkString(",")}")
+      assert(u1(0) == ((1L, 1L, 5L, 700L * 1000000)),
+        s"merged session must span 3000..3700 with all 5 events, got ${u1(0)}")
+      assert(rows().forall(_._4 >= 0), "durations must never be negative")
+    } finally q.stop()
+  }
+
   test("separated batches produce two sessions with continuous sids") {
     val s = spark
     import s.implicits._
