@@ -81,6 +81,44 @@ object FingerprintQueries {
         .agg(count(lit(1)).as("n"), sum("n_bytes").as("sum_bytes"))
     },
 
+    // Stratified deterministic sampling: per-language keep rates over the
+    // same content-fingerprint buckets as d11 (en 50%, de 25%, rest 10%)
+    // — the corpus-rebalancing op (downsample the dominant language,
+    // keep the tail). Membership is a pure function of CONTENT, so any
+    // engine, any run, any partitioning keeps exactly the same docs. The
+    // keep-filter itself is a zero-shuffle per-row predicate; only the
+    // audit counts aggregate here.
+    QueryDef("d15_stratified_sample", MultimodalQueries.decodeOracle(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(sum(CASE WHEN bucket < (CASE lang WHEN 'en' THEN 50
+        |                              WHEN 'de' THEN 25 ELSE 10 END)
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM (
+        |  SELECT lang,
+        |    CAST(list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(bs, b -> CAST(b AS HUGEINT))),
+        |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT) % 100
+        |      AS BIGINT) AS bucket
+        |  FROM decoded) t
+        |GROUP BY lang""".stripMargin)) { (s, dir) =>
+      Fingerprint64.register(s)
+      // same unsigned-mod bridge as d11 (see comment there)
+      val fp = Fingerprint64.fingerprint64(col("text"))
+      val unsignedMod =
+        expr("pmod(pmod(fp, 100L) + IF(fp < 0, 16L, 0L), 100L)")
+      val rate = when(col("lang") === "en", 50L)
+        .when(col("lang") === "de", 25L).otherwise(10L)
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("text"))
+        .withColumn("fp", fp)
+        .withColumn("bucket", unsignedMod)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("bucket") < rate, 1L).otherwise(0L)).as("n_kept"))
+    },
+
     // Salted two-phase aggregation: the skew pattern for hot keys at
     // scale. l_returnflag has only 3 values — a direct groupBy lands all
     // 600k rows on 3 reducers; salting fans the partial aggregation over

@@ -52,9 +52,9 @@ object TextQueries {
           (col("na") + col("nb") - col("inter")), 3).as("jaccard"))
   }
 
-  /** The shared d05 oracle CTE producing (doc_a, doc_b, jaccard) from
-    * gram strings; `body` selects from `pairs`. */
-  def jaccardOracle(body: String): String =
+  /** Shared oracle CTE: per-doc distinct 3-gram shingle strings; `body`
+    * selects from `sh(doc_id, lang, source, grams)`. */
+  def shingleOracle(body: String): String =
     """WITH sh AS (
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_transform(
@@ -63,7 +63,12 @@ object TextQueries {
       |                  regexp_extract_all(text,'\S+')[i+1], ' ',
       |                  regexp_extract_all(text,'\S+')[i+2]))) AS grams
       |  FROM documents),
-      |pairs AS (
+      |""".stripMargin + body
+
+  /** The shared d05 oracle CTE producing (doc_a, doc_b, jaccard) from
+    * gram strings; `body` selects from `pairs`. */
+  def jaccardOracle(body: String): String = shingleOracle(
+    """pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
       |          (length(a.grams) + length(b.grams)
@@ -71,7 +76,7 @@ object TextQueries {
       |  FROM sh a JOIN sh b
       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       |  WHERE length(list_intersect(a.grams, b.grams)) > 0)
-      |""".stripMargin + body
+      |""".stripMargin + body)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -166,6 +171,107 @@ object TextQueries {
     QueryDef("d05_ngram_jaccard",
       jaccardOracle("SELECT doc_a, doc_b, jaccard FROM pairs")) { (s, dir) =>
       jaccardPairs(s, dir)
+    },
+
+    // ---- TF-IDF-style top terms per document: tf from an exploded-token
+    // aggregation, document frequency joined back per term. Ordering is
+    // pure integers (tf desc, df asc, term asc) so ranks are engine-exact;
+    // the float idf is a downstream one-liner and would only re-introduce
+    // the rounding-boundary class. Scale shape: both aggregations shuffle
+    // on their natural keys ((doc_id,term) then (term)); the df side is
+    // post-aggregation (vocabulary-sized, far smaller than the corpus) so
+    // AQE broadcasts it when it fits and shuffles when a web-scale vocab
+    // doesn't — never all-pairs, no driver state. tf is persisted because
+    // both the join input and the df aggregation consume it. ----
+    QueryDef("d12_tfidf_topterms",
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  row_number() OVER (PARTITION BY tf.doc_id
+        |                     ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk FROM r
+        |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(tokensCol).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist()
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+    },
+
+    // ---- within-document repetition (Gopher-style quality filter): the
+    // fraction of a doc's 3-gram occurrences that repeat an earlier gram.
+    // Pure per-row arithmetic over the codegen'd distinct-shingle
+    // expression — no shuffle anywhere; at 100 TB this is a streaming
+    // projection. round() of an exact-integer division is bit-identical
+    // IEEE on both engines (the d05 jaccard precedent). Docs under 3
+    // tokens have no grams and are excluded on both sides. ----
+    QueryDef("d13_repetition",
+      """SELECT doc_id, n_total, n_distinct,
+        | round(1.0 - CAST(n_distinct AS DOUBLE) / n_total, 3) AS rep_frac
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) - 2 AS BIGINT) AS n_total,
+        |    CAST(length(list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_extract_all(text,'\S+'))-2, 0)+1),
+        |      i -> concat(regexp_extract_all(text,'\S+')[i], ' ',
+        |                  regexp_extract_all(text,'\S+')[i+1], ' ',
+        |                  regexp_extract_all(text,'\S+')[i+2])))) AS BIGINT) AS n_distinct
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) >= 3) t""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), tokensCol.as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          (size(col("toks")) - 2).cast("long").as("n_total"),
+          size(graft.functions.TextHashes.shingleHash64Col(
+            col("text"), col("toks"), 3, emptyIfShort = true))
+            .cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_total"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_total"), 3)
+            .as("rep_frac"))
+    },
+
+    // ---- decontamination: per corpus doc, the fraction of its distinct
+    // 3-gram shingles that appear anywhere in a benchmark set (doc_id <
+    // 20 stands in for the eval-suite grams). The benchmark gram set is
+    // deduplicated then BROADCAST — eval suites are small by construction,
+    // so corpus grams are checked map-side and never shuffled; the only
+    // exchange is the per-doc count rollup. Grams ride as 8-byte xxhashes
+    // (the d05 convention), not strings. ----
+    QueryDef("d14_contamination", shingleOracle(
+      """c AS (SELECT doc_id, unnest(grams) AS gh FROM sh
+        |      WHERE doc_id >= 20 AND length(grams) > 0),
+        |b AS (SELECT DISTINCT unnest(grams) AS gh FROM sh WHERE doc_id < 20)
+        |SELECT c.doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN b.gh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+        | round(CAST(sum(CASE WHEN b.gh IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |       / count(*), 3) AS contam_frac
+        |FROM c LEFT JOIN b ON c.gh = b.gh
+        |GROUP BY c.doc_id""".stripMargin)) { (s, dir) =>
+      val sh = Tables.load(s, dir, "documents")
+        .withColumn("toks", tokensCol)
+        .select(col("doc_id"), graft.functions.TextHashes.shingleHash64Col(
+          col("text"), col("toks"), 3, emptyIfShort = true).as("ghs"))
+      val bench = sh.filter(col("doc_id") < 20)
+        .select(explode(col("ghs")).as("gh")).distinct()
+        .withColumn("hit", lit(1L))
+      val corpus = sh.filter(col("doc_id") >= 20 && size(col("ghs")) > 0)
+        .select(col("doc_id"), explode(col("ghs")).as("gh"))
+      corpus.join(broadcast(bench), Seq("gh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_grams"), 3).as("contam_frac"))
     },
 
     // ---- dedup pipeline: near-dup edges -> connected components ->

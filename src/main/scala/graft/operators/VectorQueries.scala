@@ -172,8 +172,14 @@ object VectorQueries {
     QueryDef.noOracle("e06_knn_ivf") { (s, dir) =>
       val k = 16; val nprobe = 4
       val base = Tables.load(s, dir, "embeddings")
+      // persisted because three consumers scan it: the training-sample
+      // sizing count, the sample filter, and the bucketing below — one
+      // parquet pass total instead of three. (At 100 TB you'd skip the
+      // persist and the count and sample at a fixed rate; here the corpus
+      // fits and the cache also serves the final candidate join.)
       val corpus = base.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .persist()
       val cents = kmeansCentroids(
         corpus.select(col("cid").as("vec_id"), col("ce").as("embedding")),
         k, iters = 2, trainTargetRows = 1000L)

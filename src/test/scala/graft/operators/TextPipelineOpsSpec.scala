@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic gates for the round-4 pipeline operators (d12-d15): top-term
+  * ranking is well-ordered, repetition and contamination fractions agree
+  * with independently-computed set arithmetic, and stratified sampling is
+  * a pure function of content (partitioning-invariant). Run on sf0.001 to
+  * keep the suite fast; the DuckDB oracle covers exact values at sf0.01.
+  */
+class TextPipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("d12 top terms: <=3 per doc, ranks well-ordered by (tf, -df, term)") {
+    val rows = q("d12_tfidf_topterms").collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.length <= 3, s"doc $doc emitted ${rs.length} terms")
+      val ordered = rs.sortBy(_.getAs[Long]("rnk"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val ka = (-a.getAs[Long]("tf"), a.getAs[Long]("df"), a.getAs[String]("term"))
+          val kb = (-b.getAs[Long]("tf"), b.getAs[Long]("df"), b.getAs[String]("term"))
+          assert(Ordering[(Long, Long, String)].lt(ka, kb),
+            s"doc $doc rank order violated: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("d13 repetition agrees with builtin distinct-gram arithmetic") {
+    val got = q("d13_repetition").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_distinct"))).toMap
+    assert(got.nonEmpty)
+    // independent formulation: gram strings via transform + array_distinct
+    val want = Tables.load(spark, dir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), (size(col("toks")) - 2).as("n_total"),
+        size(array_distinct(expr(
+          """transform(sequence(0, size(toks) - 3),
+            |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))""".stripMargin)))
+          .as("n_distinct"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_total").toLong, r.getAs[Int]("n_distinct").toLong)).toMap
+    assert(got == want)
+    got.values.foreach { case (total, distinct) =>
+      assert(distinct >= 1 && distinct <= total)
+    }
+  }
+
+  test("d14 contamination agrees with array_intersect against benchmark grams") {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .select(col("doc_id"), graft.functions.TextHashes.shingleHash64Col(
+        col("text"), col("toks"), 3, emptyIfShort = true).as("ghs"))
+    val benchGrams = docs.filter(col("doc_id") < 20)
+      .agg(array_distinct(flatten(collect_list("ghs")))).first().getSeq[Long](0)
+    val want = docs.filter(col("doc_id") >= 20 && size(col("ghs")) > 0)
+      .select(col("doc_id"), size(col("ghs")).as("n_grams"),
+        size(array_intersect(col("ghs"),
+          lit(benchGrams.toArray))).as("n_hit"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_grams").toLong, r.getAs[Int]("n_hit").toLong)).toMap
+    val got = q("d14_contamination").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))).toMap
+    assert(got == want)
+    // benchmark docs never appear in the output
+    assert(got.keys.forall(_ >= 20))
+  }
+
+  test("d15 stratified sample is partitioning-invariant and rate-shaped") {
+    val a = q("d15_stratified_sample").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // same computation over a different physical layout must agree exactly
+    graft.functions.Fingerprint64.register(spark)
+    val fp = graft.functions.Fingerprint64.fingerprint64(col("text"))
+    val b = Tables.load(spark, dir, "documents")
+      .repartition(13, col("doc_id"))
+      .select(col("lang"), col("text")).withColumn("fp", fp)
+      .withColumn("bucket", expr("pmod(pmod(fp, 100L) + IF(fp < 0, 16L, 0L), 100L)"))
+      .withColumn("rate", when(col("lang") === "en", 50L)
+        .when(col("lang") === "de", 25L).otherwise(10L))
+      .groupBy("lang").agg(count(lit(1)).as("n_total"),
+        sum(when(col("bucket") < col("rate"), 1L).otherwise(0L)).as("n_kept"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b)
+    a.foreach { case (lang, (total, kept)) =>
+      assert(kept <= total, s"$lang kept $kept of $total")
+    }
+  }
+}
