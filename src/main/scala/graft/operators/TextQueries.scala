@@ -257,10 +257,13 @@ object TextQueries {
         |       / count(*), 3) AS contam_frac
         |FROM c LEFT JOIN b ON c.gh = b.gh
         |GROUP BY c.doc_id""".stripMargin)) { (s, dir) =>
+      // persisted: both the benchmark and corpus branches consume it, and
+      // tokenize+shingle is the dominant per-row cost — one pass, not two
       val sh = Tables.load(s, dir, "documents")
         .withColumn("toks", tokensCol)
         .select(col("doc_id"), graft.functions.TextHashes.shingleHash64Col(
           col("text"), col("toks"), 3, emptyIfShort = true).as("ghs"))
+        .persist()
       val bench = sh.filter(col("doc_id") < 20)
         .select(explode(col("ghs")).as("gh")).distinct()
         .withColumn("hit", lit(1L))
