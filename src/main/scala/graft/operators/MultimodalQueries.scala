@@ -30,6 +30,29 @@ object MultimodalQueries {
     (w, h, ch, mean)
   }
 
+  /** STUB resize: stands in for image thumbnail/resample. Maps the byte
+    * grid onto a fixed K-bucket grid (bucket of 0-based byte i = i*K/n)
+    * and emits exact per-bucket sums — the downsample every real resizer
+    * performs, minus the codec. Exact longs keep the oracle hash-stable. */
+  val resizeBuckets = 8
+  def fakeResize(payload: Array[Byte]): Array[Long] = {
+    // ??? real resample goes here; bucketed byte sums derived from content
+    val out = new Array[Long](resizeBuckets)
+    val n = payload.length
+    var i = 0
+    while (i < n) {
+      out((i.toLong * resizeBuckets / n).toInt) += (payload(i) & 0xff)
+      i += 1
+    }
+    out
+  }
+
+  /** STUB frame sampling: stands in for video frame extraction. Treats the
+    * payload as fixed-size frames (64 bytes), keeps every 3rd complete
+    * frame, and emits the exact byte sum per sampled frame. */
+  val frameLen = 64
+  val frameStride = 3
+
   /** Shared oracle CTE: per-doc UTF-8 byte values as a DuckDB list,
     * decoded from hex(encode(text)) (DuckDB cannot index BLOBs directly).
     * `body` selects from the `decoded(doc_id, lang, n, bs)` view. */
@@ -118,6 +141,58 @@ object MultimodalQueries {
         round(avg("width"), 3).as("avg_w"),
         round(avg("height"), 3).as("avg_h"),
         round(avg("mean_byte"), 3).as("avg_mean_byte"))
+    },
+
+    // ---- fixed-grid "resize" over the binary column: per-row, zero
+    // shuffle; exact bucket sums make the stub oracle-checkable. ----
+    QueryDef("m04_resize_stub", MultimodalQueries.decodeOracle(
+      (0 until MultimodalQueries.resizeBuckets).map { b =>
+        s"""CAST(coalesce(list_sum([bs[CAST(i AS INT)]
+           |   for i in range(1, n + 1) if ((i-1)*${MultimodalQueries.resizeBuckets})//n = $b]), 0) AS BIGINT) AS b$b""".stripMargin
+      }.mkString("SELECT doc_id, ", ",\n ", "\nFROM decoded"))) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val schema = StructType(StructField("doc_id", LongType) +:
+        (0 until MultimodalQueries.resizeBuckets)
+          .map(b => StructField(s"b$b", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      docs.mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val sums = fakeResize(r.getAs[Array[Byte]](1))
+          Row.fromSeq(r.getLong(0) +: sums.toSeq)
+        }
+      }(enc)
+    },
+
+    // ---- frame sampling over the binary column: one output row per
+    // sampled frame (flatMap shape — decode emits 0..n rows per input). ----
+    QueryDef("m05_frame_sample", MultimodalQueries.decodeOracle(
+      s"""SELECT doc_id, CAST(k AS INT) AS frame_idx,
+         | CAST(list_sum([bs[CAST(k*${MultimodalQueries.frameLen} + j AS INT)]
+         |   for j in range(1, ${MultimodalQueries.frameLen} + 1)]) AS BIGINT) AS frame_sum
+         |FROM decoded, unnest(range(0, n//${MultimodalQueries.frameLen})) AS u(k)
+         |WHERE k % ${MultimodalQueries.frameStride} = 0""".stripMargin)) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("frame_sum", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      docs.mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val frames = payload.length / MultimodalQueries.frameLen
+          (0 until frames by MultimodalQueries.frameStride).iterator.map { k =>
+            var sum = 0L
+            var j = k * MultimodalQueries.frameLen
+            val end = j + MultimodalQueries.frameLen
+            while (j < end) { sum += (payload(j) & 0xff); j += 1 }
+            Row(id, k, sum)
+          }
+        }
+      }(enc)
     }
   )
 }

@@ -104,4 +104,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.map(_.toString).sameElements(two.map(_.toString)),
       "repartitioned decode must yield identical results")
   }
+
+  test("resize buckets partition the full byte sum; frame sums match slices") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .collect()
+    val payloads = docs.map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    payloads.values.take(50).foreach { payload =>
+      val buckets = MultimodalQueries.fakeResize(payload)
+      assert(buckets.sum == payload.map(b => (b & 0xff).toLong).sum,
+        "resize buckets must partition the total byte mass")
+    }
+    // gate queries: deterministic under repartition, frame sums = slices
+    val m04 = graft.SparkEntry.queries("m04_resize_stub")
+    val a = m04(spark, dir).orderBy("doc_id").collect()
+    val b = m04(spark, dir).repartition(7).orderBy("doc_id").collect()
+    assert(a.length == 500 && a.map(_.toString).sameElements(b.map(_.toString)))
+    val m05 = graft.SparkEntry.queries("m05_frame_sample")
+    val c = m05(spark, dir).collect()
+    assert(c.nonEmpty, "frame sampling must emit rows on the gate corpus")
+    val fl = MultimodalQueries.frameLen
+    c.foreach { row =>
+      val (id, k, sum) = (row.getLong(0), row.getInt(1), row.getLong(2))
+      assert(k % MultimodalQueries.frameStride == 0)
+      val expect = payloads(id).slice(k * fl, (k + 1) * fl)
+        .map(x => (x & 0xff).toLong).sum
+      assert(sum == expect, s"frame ($id, $k) sum mismatch")
+    }
+  }
 }
