@@ -27,6 +27,9 @@ object QBench {
       case "q31" => q31(spark, sfDir, time)
       case "stream" => stream(spark, sfDir)
       case "s04" => s04(spark, sfDir)
+      case name if SparkEntry.queries.contains(name) =>
+        // generic: any gate query by name, 1 warmup + 3 timed reps
+        time(name, 4)(SparkEntry.queries(name)(spark, sfDir))
       case _ => sys.error(s"unknown: $which")
     }
     spark.stop()
