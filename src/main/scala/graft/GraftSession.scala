@@ -18,6 +18,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Static conf, default 100: with ~80 distinct plan shapes per session
+      // (and far more on a long-lived cluster), Janino-compiled classes
+      // evict mid-session and every re-run pays full recompile + fresh JIT
+      // (measured: q31 warm 5.0s under eviction vs 1.3s compiled-cached).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.graft.impl", "graft.cache.GraftFileSystem")
       .config("spark.hadoop.graft.underlying.scheme", "file")

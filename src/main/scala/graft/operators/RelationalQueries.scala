@@ -557,6 +557,14 @@ object RelationalQueries {
       // + wider first-level agg cost more than this form's second scan of
       // a 2-column parquet projection). rsd=0.016 keeps the sketch at
       // 2^13 registers and ±5% at >3 sigma.
+      //
+      // The r3/r4 full-bench numbers for this query (2.3s/5.0s vs ~1.1s
+      // isolated) were NOT this plan: with the default 100-entry codegen
+      // cache, an 80-query session evicts compiled classes between the
+      // cold and warm passes and this query — with four codegen stages —
+      // paid the largest recompile+re-JIT bill. GraftSession now sizes
+      // spark.sql.codegen.cache.maxEntries for many-plan sessions; the
+      // r5 bench measures 0.9-1.0s warm, matching the isolated number.
       val li = Tables.load(s, dir, "lineitem")
       val parts = li.groupBy("l_returnflag", "l_partkey")
         .agg(count(lit(1)).as("cnt"))
