@@ -23,6 +23,12 @@ object GraftSession {
       // evict mid-session and every re-run pays full recompile + fresh JIT
       // (measured: q31 warm 5.0s under eviction vs 1.3s compiled-cached).
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Runtime bloom filters: semi-join-reduce big-big shuffle joins
+      // behind selective dim filters (the q44 shape). Spark's size
+      // thresholds (creation side <10MB, application side >10GB) keep
+      // the rule dormant at test scale; RuntimeFilterSpec drops them to
+      // prove injection works and preserves results.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.graft.impl", "graft.cache.GraftFileSystem")
       .config("spark.hadoop.graft.underlying.scheme", "file")

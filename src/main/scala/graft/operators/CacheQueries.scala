@@ -89,6 +89,39 @@ object CacheQueries {
       s.read.format("graft").option("format", "orc").load(orcDir)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 3).as("bal"))
+    },
+
+    // Partitioned sink + pruned source, both through graft://: lineitem
+    // is laid out hive-style by ship year, read back with a partition
+    // predicate, and aggregated. The read must scan ONLY yr=1997
+    // directories (partition pruning happens at the FileIndex, before
+    // any cached byte is touched — PartitionPruningSpec pins that), so
+    // at 100 TB the cache is never even asked for the other years'
+    // blocks. Oracle: the same aggregate straight off the fact table.
+    QueryDef("c05_partition_roundtrip",
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice),3) AS sum_price,
+        | round(sum(l_quantity),3) AS sum_qty
+        |FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1997
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
+      if (hc.get("graft.cache.dir") == null)
+        hc.set("graft.cache.dir",
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+      val partDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft-part/" + new java.io.File(dir).getName + "/lineitem_by_yr"
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity"), year(col("l_shipdate")).as("yr"))
+        .write.mode("overwrite").partitionBy("yr")
+        .parquet(s"graft://$partDir")
+      s.read.parquet(s"graft://$partDir")
+        .filter(col("yr") === 1997)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 3).as("sum_price"),
+          round(sum("l_quantity"), 3).as("sum_qty"))
     }
   )
 

@@ -745,6 +745,82 @@ object RelationalQueries {
               (col("n").cast("double") * col("ssq_cents_d") -
                 col("sum_cents").cast("double") * col("sum_cents")))) <=
             lit(1e-6)).as("corr_in_band"))
+    },
+
+    // ---- distribution window functions: ntile / percent_rank /
+    // cume_dist. The window ORDER BY includes o_orderkey so every row
+    // has a unique position — ntile assigns by row position, so ties in
+    // o_totalprice alone would make its output engine-dependent.
+    // percent_rank/cume_dist are single IEEE divisions of the same
+    // integers on both engines: bit-stable, no rounding needed. ----
+    QueryDef("q42_window_dist",
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(ntile(4) OVER w AS BIGINT) AS tile4,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("tile4"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    },
+
+    // ---- calendar spine: sequence + explode generates the day range
+    // (Spark's Generate vs DuckDB's generate_series), then a left join
+    // zero-fills days with no orders — the standard gap-filling shape
+    // for time series. The spine is built from a 1-row bounds aggregate
+    // cross-joined in (never collected), and both join sides post-agg
+    // are tiny relative to the fact table, so the only full-data pass
+    // is the daily aggregate itself. ----
+    QueryDef("q43_date_spine",
+      """WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+        |                  max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM b),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders,
+        |          round(sum(o_totalprice),3) AS sum_price
+        |          FROM orders GROUP BY 1)
+        |SELECT strftime(s.d, '%Y-%m-%d') AS day,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(sum_price, 0.0) AS sum_price
+        |FROM spine s LEFT JOIN daily USING (d)""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val daily = o.groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"),
+          r3(sum("o_totalprice")).as("sum_price"))
+      val spine = o.agg(min(to_date(col("o_orderdate"))).as("lo"),
+          max(to_date(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      spine.join(daily, Seq("d"), "left")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+    },
+
+    // ---- selective dim-filter join in the big-big shape: the merge
+    // hint pins a shuffle join (at 100 TB neither side broadcasts), the
+    // case where Spark's runtime bloom filter — enabled in GraftSession —
+    // earns its keep by semi-join-reducing the fact scan before the
+    // shuffle. Size thresholds keep the rule dormant at toy scale;
+    // RuntimeFilterSpec drops them and asserts the bloom actually
+    // injects and preserves results. ----
+    QueryDef("q44_selective_join",
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice),3) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      Tables.load(s, dir, "lineitem")
+        .join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r3(sum("l_extendedprice")).as("rev"))
     }
   )
 }

@@ -53,6 +53,15 @@ object StreamingQueries {
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       EventStreams.streamStreamJoin(s, dir)
+    },
+
+    // Streaming parquet sink through graft:// (file-sink commit protocol
+    // over the caching FS), read back through the cache for the
+    // aggregate; oracle = the same aggregate on the batch table.
+    QueryDef("s05_stream_cache_sink",
+      """SELECT event_type, count(*) AS n, round(sum(value),3) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      EventStreams.streamToCacheSink(s, dir)
     }
   )
 }

@@ -330,6 +330,62 @@ object TextQueries {
       und.unpersist()
       labels.select(col("doc_id"), col("comp"),
         (col("doc_id") === col("comp")).as("kept"))
+    },
+
+    // ---- corpus-LM coverage scoring (bigram language-model shape
+    // without the floats): pass 1 aggregates corpus bigram counts and
+    // keeps those above a corpus-relative threshold (ndocs/20 — scale-
+    // invariant, so the op is equally discriminative at every SF); pass
+    // 2 re-joins the frequent set to score each doc by how much of its
+    // text is made of corpus-frequent bigrams. All-integer outputs, so
+    // bit-stable with no rounding contract. Scale shape: bigram counts
+    // hash-partition on the gram (the d05 convention), the threshold
+    // rides a 1-row broadcast instead of a driver collect, and the
+    // frequent set (vocabulary-bounded, threshold-pruned) broadcasts
+    // back — the same equi-join works unbroadcast if a corpus's frequent
+    // set ever outgrows that. ----
+    QueryDef("d16_bigram_coverage",
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(regexp_extract_all(text, '\S+'))),
+        |                i -> regexp_extract_all(text, '\S+')[i] || ' ' ||
+        |                     regexp_extract_all(text, '\S+')[i+1])) AS bg
+        |  FROM documents),
+        |freq AS (SELECT bg FROM bg GROUP BY bg
+        |         HAVING count(*) >= (SELECT count(*) FROM documents) / 20),
+        |per AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |         count(*) FILTER (WHERE f.bg IS NOT NULL) AS n_frequent,
+        |         count(DISTINCT f.bg) AS n_frequent_distinct
+        |  FROM bg b LEFT JOIN freq f USING (bg) GROUP BY b.doc_id)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |       coalesce(n_frequent, 0) AS n_frequent,
+        |       coalesce(n_frequent_distinct, 0) AS n_frequent_distinct
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val bigrams = docs
+        .select(col("doc_id"), tokensCol.as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+          .as("bg"))
+        .persist()
+      val thr = docs.agg((count(lit(1)) / 20).as("thr"))
+      val freq = bigrams.groupBy("bg").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(thr))
+        .filter(col("c") >= col("thr"))
+        .select(col("bg"), lit(1).as("isf"))
+      val per = bigrams.join(broadcast(freq), Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(col("isf")).as("n_frequent"),
+          countDistinct(when(col("isf").isNotNull, col("bg")))
+            .as("n_frequent_distinct"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_frequent"), lit(0L)).as("n_frequent"),
+          coalesce(col("n_frequent_distinct"), lit(0L)).as("n_frequent_distinct"))
     }
   )
 }

@@ -48,8 +48,11 @@ object VectorQueries {
   /** Deterministic training sample: pmod(xxhash64(vec_id), 100) < pct.
     * Quantizer quality needs a SAMPLE, not the population — at 100 TB a
     * k=16 coarse quantizer trained on ~`targetRows` rows places the same
-    * cells as a full pass. One cheap count (vec_id column only, filter
-    * pushed down) sizes the pct; tiny corpora train on everything. */
+    * cells as a full pass. The sizing count() is expected to hit either
+    * a caller-persisted corpus (e06 persists before calling, so the
+    * count IS the materializing pass, not an extra one) or a no-filter
+    * parquet scan (zero-column footer-only read); callers at open scale
+    * that can do neither should pass a fixed rate instead of a target. */
   def trainingSample(corpus: DataFrame, targetRows: Long): DataFrame = {
     val total = corpus.count()
     if (total <= targetRows) corpus

@@ -302,4 +302,39 @@ object EventStreams {
     try q.awaitTermination(120000) finally if (q.isActive) q.stop()
     spark.table(name)
   }
+
+  /** Streaming parquet sink THROUGH the caching filesystem: the events
+    * stream is written as graft:// parquet (exercising create/commit/
+    * rename through the FS wrapper under the streaming file-sink commit
+    * protocol), then read back — also through the cache — for the
+    * aggregate the oracle checks against the batch table. Checkpoint
+    * stays on the local FS: state/offset durability belongs to the
+    * streaming engine, not the block cache. Output + checkpoint are
+    * recreated as a pair each run — a stale checkpoint against an empty
+    * output dir would silently skip every batch. */
+  def streamToCacheSink(spark: SparkSession, dir: String): DataFrame =
+    withStreamConf(spark) {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
+      if (hc.get("graft.cache.dir") == null)
+        hc.set("graft.cache.dir",
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+      val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft-ssink/" + new java.io.File(dir).getName
+      val localFs = org.apache.hadoop.fs.FileSystem.getLocal(hc)
+      localFs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val q = eventsStream(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"graft://$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      spark.read.parquet(s"graft://$base/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+    }
 }

@@ -19,8 +19,11 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   //   q24: theta join bounded by two selective predicates
   //   q32: interval join with a tight range predicate
   //   q28/q36: scalar/EXISTS subqueries over 3-row bounds
+  //   d16: 1-row threshold aggregate cross-joined into the frequent-set
+  //        filter (broadcast of a single row, never data-dependent)
   private val bnljAllowed = Set("e01_knn_brute", "q24_theta_join",
-    "q32_interval_join", "q28_correlated_subquery", "q36_exists_in_mix")
+    "q32_interval_join", "q28_correlated_subquery", "q36_exists_in_mix",
+    "d16_bigram_coverage")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
