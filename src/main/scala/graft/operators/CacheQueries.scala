@@ -122,6 +122,39 @@ object CacheQueries {
         .agg(count(lit(1)).as("n"),
           round(sum("l_extendedprice"), 3).as("sum_price"),
           round(sum("l_quantity"), 3).as("sum_qty"))
+    },
+
+    // Small-file compaction through graft://: events is deliberately
+    // shattered into 64 tiny files (the pathological object-store layout
+    // 100 TB pipelines inherit), then compacted with a single
+    // repartition write into O(1) right-sized files, both passes through
+    // the caching FS. The aggregate off the compacted copy is the
+    // oracle-checked proof compaction is content-preserving;
+    // CompactionSpec pins the file-count reduction itself. At scale the
+    // repartition count comes from bytes/targetFileSize, not a constant.
+    QueryDef("c06_compaction",
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
+      if (hc.get("graft.cache.dir") == null)
+        hc.set("graft.cache.dir",
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+      val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft-compact/" + new java.io.File(dir).getName
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "event_type", "value")
+      ev.repartition(64).write.mode("overwrite")
+        .parquet(s"graft://$base/shattered")
+      val small = s.read.parquet(s"graft://$base/shattered")
+      small.repartition(2).write.mode("overwrite")
+        .parquet(s"graft://$base/compacted")
+      s.read.parquet(s"graft://$base/compacted")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100).cast("long")).cast("double") / 100)
+            .as("sum_value"))
     }
   )
 

@@ -821,6 +821,47 @@ object RelationalQueries {
         .join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), r3(sum("l_extendedprice")).as("rev"))
+    },
+
+    // ---- MERGE/upsert without a table format: the full-outer-join
+    // formulation (match on key → update, unmatched source → insert,
+    // unmatched target → keep) every lakehouse MERGE compiles down to.
+    // Updates and inserts are derived deterministically from orders so
+    // the oracle can rebuild them. One shuffle, hash-partitioned on the
+    // merge key on both sides — the canonical upsert shape; per-row
+    // price arithmetic is identical IEEE on both engines, so round(,3)
+    // is safe (no order-dependent sums anywhere). ----
+    QueryDef("q45_merge_upsert",
+      """WITH upd AS (
+        |  SELECT o_orderkey AS k, 'U' AS status,
+        |         round(o_totalprice * 1.1, 3) AS price
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS k, 'N' AS status,
+        |         round(o_totalprice * 0.5, 3) AS price
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT coalesce(u.k, b.o_orderkey) AS o_orderkey,
+        |       coalesce(u.status, b.o_orderstatus) AS status,
+        |       coalesce(u.price, round(b.o_totalprice, 3)) AS price,
+        |       CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |            WHEN u.k IS NULL THEN 'keep'
+        |            ELSE 'update' END AS action
+        |FROM orders b FULL JOIN upd u ON b.o_orderkey = u.k""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val upd = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("status"),
+          round(col("o_totalprice") * 1.1, 3).as("price"))
+        .union(base.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 100000000L).as("k"), lit("N").as("status"),
+            round(col("o_totalprice") * 0.5, 3).as("price")))
+      base.join(upd, col("o_orderkey") === col("k"), "full_outer")
+        .select(coalesce(col("k"), col("o_orderkey")).as("o_orderkey"),
+          coalesce(col("status"), col("o_orderstatus")).as("status"),
+          coalesce(col("price"), round(col("o_totalprice"), 3)).as("price"),
+          when(col("o_orderkey").isNull, "insert")
+            .when(col("k").isNull, "keep")
+            .otherwise("update").as("action"))
     }
   )
 }

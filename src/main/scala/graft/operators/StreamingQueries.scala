@@ -62,6 +62,16 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n, round(sum(value),3) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       EventStreams.streamToCacheSink(s, dir)
+    },
+
+    // foreachBatch incremental ETL: per-batch partial aggregates (exact
+    // cents longs) appended to a graft:// log, folded on read; oracle =
+    // the same fixed-point aggregate over the batch table.
+    QueryDef("s06_foreach_batch",
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      EventStreams.foreachBatchPartials(s, dir)
     }
   )
 }

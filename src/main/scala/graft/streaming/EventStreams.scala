@@ -337,4 +337,45 @@ object EventStreams {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
     }
+
+  /** foreachBatch incremental ETL: each micro-batch is pre-aggregated
+    * into per-type partials (count + exact cents sum — longs, so the
+    * final re-aggregation is order-independent no matter how many
+    * batches the trigger slices the input into) and APPENDED to a
+    * graft:// parquet log; the returned frame folds the partials. This
+    * is the production sink pattern for engines without streaming-MERGE
+    * support — foreachBatch gives the batch DataFrame API (and exactly-
+    * once via batchId-keyed idempotence at real deployments) inside a
+    * streaming query. */
+  def foreachBatchPartials(spark: SparkSession, dir: String): DataFrame =
+    withStreamConf(spark) {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
+      if (hc.get("graft.cache.dir") == null)
+        hc.set("graft.cache.dir",
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+      val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft-febatch/" + new java.io.File(dir).getName
+      val localFs = org.apache.hadoop.fs.FileSystem.getLocal(hc)
+      localFs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val q = eventsStream(spark, dir)
+        .select(col("event_type"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(floor(col("value") * 100).cast("long")).as("cents"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"graft://$base/partials")
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      spark.read.parquet(s"graft://$base/partials")
+        .groupBy("event_type")
+        .agg(sum("n").as("n"),
+          (sum("cents").cast("double") / 100).as("sum_value"))
+    }
 }
