@@ -155,6 +155,48 @@ object CacheQueries {
         .agg(count(lit(1)).as("n"),
           (sum(floor(col("value") * 100).cast("long")).cast("double") / 100)
             .as("sum_value"))
+    },
+
+    // Z-order clustering for multi-dimensional data skipping: lineitem
+    // rewritten through graft:// range-partitioned + sorted by the
+    // Morton value of (l_partkey, l_suppkey), small row groups so the
+    // footer min/max stats are tight in BOTH dimensions; the box
+    // predicate then prunes row groups a 1-D sort could only prune on
+    // its leading column (ZOrderSpec counts surviving row groups from
+    // the footers: z-layout a fraction, linear layout ~all). Oracle =
+    // the same box aggregate straight off the fact table, proving the
+    // rewrite is content-preserving. ----
+    QueryDef("c07_zorder_skipping",
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice),3) AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 199 AND l_suppkey BETWEEN 2 AND 5
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
+      if (hc.get("graft.cache.dir") == null)
+        hc.set("graft.cache.dir",
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+      val zDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft-zorder/" + new java.io.File(dir).getName + "/lineitem_z"
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+          col("l_extendedprice"))
+        .withColumn("zv",
+          graft.functions.ZOrder.zvalue2(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(4, col("zv"))
+        .sortWithinPartitions("zv")
+        .drop("zv")
+        .write.mode("overwrite")
+        .option("parquet.block.size", "65536")
+        .option("parquet.page.size", "8192")
+        .parquet(s"graft://$zDir")
+      s.read.parquet(s"graft://$zDir")
+        .filter(col("l_partkey").between(100, 199) &&
+          col("l_suppkey").between(2, 5))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 3).as("sum_price"))
     }
   )
 
