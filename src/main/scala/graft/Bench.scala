@@ -34,7 +34,13 @@ object Bench {
         shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def materialize(name: String): Double = {
+    // Each query runs inside a PinScope: intermediates it persists (dedup
+    // signature tables, CC label frontier, IVF training set) are
+    // unpersisted as soon as the query materializes, so pinned storage
+    // can't accumulate across the 2×N executions and silently tax later
+    // queries' execution memory (the r5 bench measured code-unchanged
+    // per-row projections at 3× their prior time from exactly this).
+    def materialize(name: String): Double = PinScope.run(spark) {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -43,11 +49,30 @@ object Bench {
     }
 
     val names = SparkEntry.allDefs.map(_.name)
-    val coldTotal = names.map(materialize).filter(_ >= 0).sum
+    val coldTotal = names.map { n =>
+      val t = materialize(n)
+      require(PinScope.pinnedCount(spark) == 0,
+        s"$n leaked ${PinScope.pinnedCount(spark)} pinned RDDs past its scope")
+      t
+    }.filter(_ >= 0).sum
     val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"queries":$qs,"sf":"$sfDir"}""")
+
+    // Cache hit rate over the whole run (c* queries rescan warmed files):
+    // server formula = (cached + nonlocal) / all block requests
+    // (BASELINE.md "Server hit rate"; reference BookKeeper.java:213-229).
+    val m = operators.CacheQueries.metricsSnapshot
+    val hits = m.getOrElse("cached_requests", 0L) + m.getOrElse("nonlocal_requests", 0L)
+    val reqs = hits + m.getOrElse("remote_requests", 0L)
+    val hitRate = if (reqs == 0) 0.0 else hits.toDouble / reqs
+
+    // Totals FIRST, on their own compact line: the driver's tail capture
+    // truncates long lines, and r5's cold total was unrecoverable because
+    // it sat mid-way through the one giant JSON line. The driver parses
+    // the LAST line as the artifact; this leading line is belt-and-braces.
+    println(f"""{"metric":"totals_first","warm_total_sec":$total%.3f,"cold_total_sec":$coldTotal%.3f,"cache_hit_rate":$hitRate%.4f,"cache_block_requests":$reqs,"n_queries":${names.size}}""")
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"cache_hit_rate":$hitRate%.4f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.cache.CacheManager
 
@@ -9,6 +10,21 @@ import graft.cache.CacheManager
   */
 object CacheQueries {
 
+  /** Registers the graft:// scheme + a default cache dir on the session's
+    * hadoop conf. Shared by every c* query (was repeated per-query). */
+  private[graft] def enableCacheFs(s: SparkSession): Unit = {
+    val hc = s.sparkContext.hadoopConfiguration
+    hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
+    if (hc.get("graft.cache.dir") == null)
+      hc.set("graft.cache.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+  }
+
+  /** Scratch dir namespaced by purpose + scale-factor dir name. */
+  private def tmpBase(prefix: String, dir: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/$prefix/" +
+      new java.io.File(dir).getName
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("c01_cached_scan_agg",
@@ -16,11 +32,7 @@ object CacheQueries {
         | round(sum(l_extendedprice),3) AS sum_price,
         | round(sum(l_quantity),3) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-      val hc = s.sparkContext.hadoopConfiguration
-      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
-      if (hc.get("graft.cache.dir") == null)
-        hc.set("graft.cache.dir",
-          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+      enableCacheFs(s)
       // scan twice: cold warms the block cache, returned result is the warm
       // scan — correctness of cache reads is what the oracle checks
       val cached = s.read.parquet(s"graft://$dir/lineitem.parquet")
@@ -36,11 +48,7 @@ object CacheQueries {
       """SELECT o_orderstatus, round(sum(l_extendedprice),3) AS rev, count(*) AS n
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
-      val hc = s.sparkContext.hadoopConfiguration
-      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
-      if (hc.get("graft.cache.dir") == null)
-        hc.set("graft.cache.dir",
-          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+      enableCacheFs(s)
       val o = s.read.parquet(s"graft://$dir/orders.parquet")
       val l = s.read.parquet(s"graft://$dir/lineitem.parquet")
       o.join(l, col("o_orderkey") === col("l_orderkey"))
@@ -55,11 +63,7 @@ object CacheQueries {
         | CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000 AS rev,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
-      val hc = s.sparkContext.hadoopConfiguration
-      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
-      if (hc.get("graft.cache.dir") == null)
-        hc.set("graft.cache.dir",
-          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
+      enableCacheFs(s)
       s.read.format("graft").load(s"$dir/lineitem.parquet")
         .groupBy("l_linestatus")
         // fixed-point units: money-product sums flip .0005 boundaries
@@ -77,13 +81,8 @@ object CacheQueries {
     QueryDef("c04_dsv2_orc",
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),3) AS bal
         |FROM supplier GROUP BY s_nationkey""".stripMargin) { (s, dir) =>
-      val hc = s.sparkContext.hadoopConfiguration
-      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
-      if (hc.get("graft.cache.dir") == null)
-        hc.set("graft.cache.dir",
-          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
-      val orcDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-orc/" + new java.io.File(dir).getName + "/supplier.orc"
+      enableCacheFs(s)
+      val orcDir = tmpBase("graft-orc", dir) + "/supplier.orc"
       s.read.parquet(s"$dir/supplier.parquet")
         .write.mode("overwrite").orc(orcDir)
       s.read.format("graft").option("format", "orc").load(orcDir)
@@ -104,13 +103,8 @@ object CacheQueries {
         | round(sum(l_quantity),3) AS sum_qty
         |FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1997
         |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-      val hc = s.sparkContext.hadoopConfiguration
-      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
-      if (hc.get("graft.cache.dir") == null)
-        hc.set("graft.cache.dir",
-          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
-      val partDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-part/" + new java.io.File(dir).getName + "/lineitem_by_yr"
+      enableCacheFs(s)
+      val partDir = tmpBase("graft-part", dir) + "/lineitem_by_yr"
       Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_quantity"), year(col("l_shipdate")).as("yr"))
@@ -126,30 +120,24 @@ object CacheQueries {
 
     // Small-file compaction through graft://: events is deliberately
     // shattered into 64 tiny files (the pathological object-store layout
-    // 100 TB pipelines inherit), then compacted with a single
-    // repartition write into O(1) right-sized files, both passes through
-    // the caching FS. The aggregate off the compacted copy is the
+    // 100 TB pipelines inherit), then compacted into
+    // ceil(bytes/targetFileSize) right-sized files (Compaction.compact —
+    // sized from the FileSystem listing, NOT a constant), both passes
+    // through the caching FS. The aggregate off the compacted copy is the
     // oracle-checked proof compaction is content-preserving;
-    // CompactionSpec pins the file-count reduction itself. At scale the
-    // repartition count comes from bytes/targetFileSize, not a constant.
+    // CompactionSpec pins the file-count reduction + output size band.
     QueryDef("c06_compaction",
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
-      val hc = s.sparkContext.hadoopConfiguration
-      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
-      if (hc.get("graft.cache.dir") == null)
-        hc.set("graft.cache.dir",
-          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
-      val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-compact/" + new java.io.File(dir).getName
+      enableCacheFs(s)
+      val base = tmpBase("graft-compact", dir)
       val ev = Tables.load(s, dir, "events")
         .select("event_id", "event_type", "value")
       ev.repartition(64).write.mode("overwrite")
         .parquet(s"graft://$base/shattered")
-      val small = s.read.parquet(s"graft://$base/shattered")
-      small.repartition(2).write.mode("overwrite")
-        .parquet(s"graft://$base/compacted")
+      Compaction.compact(s, s"graft://$base/shattered",
+        s"graft://$base/compacted", targetFileBytes = 128L * 1024 * 1024)
       s.read.parquet(s"graft://$base/compacted")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -172,13 +160,8 @@ object CacheQueries {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 199 AND l_suppkey BETWEEN 2 AND 5
         |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-      val hc = s.sparkContext.hadoopConfiguration
-      hc.set("fs.graft.impl", "graft.cache.GraftFileSystem")
-      if (hc.get("graft.cache.dir") == null)
-        hc.set("graft.cache.dir",
-          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
-      val zDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-zorder/" + new java.io.File(dir).getName + "/lineitem_z"
+      enableCacheFs(s)
+      val zDir = tmpBase("graft-zorder", dir) + "/lineitem_z"
       Tables.load(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
           col("l_extendedprice"))
