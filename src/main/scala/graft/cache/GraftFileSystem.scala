@@ -34,7 +34,8 @@ class GraftFileSystem extends FileSystem {
     val underScheme = conf.get("graft.underlying.scheme", "file")
     inner = FileSystem.get(URI.create(s"$underScheme:///"), conf)
     cacheConf = CacheConfig.from(conf)
-    enabled = conf.getBoolean(CacheConfig.EnabledKey, true)
+    enabled = conf.getBoolean(CacheConfig.EnabledKey, true) &&
+      projectionAdmitted(conf)
     manager = CacheManager.getOrInit(cacheConf)
     if (conf.getBoolean("graft.cache.metrics.enabled", true))
       CacheMetricsSource.register(manager)
@@ -76,12 +77,42 @@ class GraftFileSystem extends FileSystem {
   }
 
   // ---- admission control (CacheUtil.skipCache:203-222 analog) ----
+  // Three gates, all reference-paralleled: (1) enabled flag — per-scan
+  // confs from GraftScanBuilder land here via fs.graft.impl.disable.cache;
+  // (2) path skip/allow regexes; (3) projection width (below,
+  // CacheUtil.java:385-388 minColumnsSelected).
   private[cache] def admitted(path: Path): Boolean = {
     if (!enabled || cacheConf == null) return false
     val s = path.toUri.getPath
     val skip = cacheConf.skipCachePattern
     val allow = cacheConf.allowPattern
     (skip.isEmpty || !s.matches(skip)) && (allow.isEmpty || s.matches(allow))
+  }
+
+  /** Projection-width admission (reference `minColumnsSelected`,
+    * rubix-spi CacheUtil.java:385-388, knobs CacheConfig.java:136-141):
+    * a scan that selects fewer than `graft.cache.min.projected.columns`
+    * top-level columns is not worth caching — it would pin whole blocks
+    * of a wide table for bytes it mostly skips. The pushed projection is
+    * read from Spark's parquet requested-schema key in the conf this FS
+    * instance was initialized with. On the DSv2 path GraftScanBuilder
+    * decides at build() time and ships `graft.cache.enabled=false` in the
+    * scan's broadcast conf (gate 1); this FS-side gate additionally
+    * covers the raw `graft://` path when per-scan FS instances are in
+    * play (`fs.graft.impl.disable.cache=true`), where each task's conf —
+    * carrying the scan's own requested schema — initializes a fresh
+    * instance. With the default JVM-cached FS the session-level conf has
+    * no requested schema, so this gate stays open (width unknown ≠
+    * refused), exactly like the reference when the engine passes no
+    * column hint. */
+  private def projectionAdmitted(conf: Configuration): Boolean = {
+    if (cacheConf.minProjectedColumns <= 0) return true
+    val json = conf.get("org.apache.spark.sql.parquet.row.requested_schema")
+    if (json == null) return true
+    val width = scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fields.length)
+    width.toOption.forall(_ >= cacheConf.minProjectedColumns)
   }
 
   // TTL'd (size, mtime) lookup cache — the reference's getFileInfo path

@@ -29,10 +29,21 @@ object ZOrder {
     (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x5555555555555555L))
   }
 
+  /** Range guard: keys outside [0, 2^32) would silently FOLD the curve
+    * (the mask drops high bits, aliasing distant keys onto the same
+    * z-range and quietly destroying skipping selectivity), so they raise
+    * instead — callers with wider domains must bucketize first, e.g.
+    * `zvalue2(shiftrightunsigned(k, 16), other)`. */
+  private def checked(x: Column, name: String): Column = {
+    val v = x.cast("long")
+    when(v >= 0 && v < lit(1L << 32), v)
+      .otherwise(raise_error(concat(
+        lit(s"zvalue2: $name key out of [0, 2^32): "), v.cast("string"))))
+  }
+
   /** 64-bit Morton value interleaving the low 32 bits of `a` (even bit
     * positions) and `b` (odd positions). Inputs must be non-negative
-    * and < 2^32 for a faithful curve; key columns beyond that range
-    * should be bucketed/truncated first. */
+    * and < 2^32 for a faithful curve (enforced — see `checked`). */
   def zvalue2(a: Column, b: Column): Column =
-    spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
+    spread(checked(a, "left")).bitwiseOR(shiftleft(spread(checked(b, "right")), 1))
 }

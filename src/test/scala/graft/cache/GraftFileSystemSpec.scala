@@ -105,4 +105,32 @@ class GraftFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
       CacheManager.current.get.metadataFor("file:" + p).exists(_.isDeleted),
       "delete must invalidate the cache entry")
   }
+
+  test("projection-width admission refuses narrow scans at the FS layer") {
+    import org.apache.spark.sql.types._
+    // A per-scan FS instance (the fs.graft.impl.disable.cache deployment)
+    // is initialized with the scan's own conf, which carries Spark's
+    // pushed parquet projection — admission must key on its width
+    // (reference minColumnsSelected, CacheUtil.java:385-388).
+    def fsWith(minCols: Int, schema: Option[StructType]): GraftFileSystem = {
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sessionState.newHadoopConf())
+      conf.setInt(CacheConfig.MinColumnsKey, minCols)
+      schema.foreach(s =>
+        conf.set("org.apache.spark.sql.parquet.row.requested_schema", s.json))
+      val f = new GraftFileSystem
+      f.initialize(java.net.URI.create("graft:///"), conf)
+      f
+    }
+    val p = new org.apache.hadoop.fs.Path(s"graft://$sfDir/lineitem.parquet")
+    val narrow = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType)))
+    val wide = StructType((1 to 5).map(i => StructField(s"c$i", LongType)))
+    assert(!fsWith(3, Some(narrow)).admitted(p),
+      "2-col projection below floor 3 must bypass the cache")
+    assert(fsWith(3, Some(wide)).admitted(p), "5-col projection is admitted")
+    assert(fsWith(3, None).admitted(p),
+      "unknown projection width stays admitted (no column hint = no gate)")
+    assert(fsWith(0, Some(narrow)).admitted(p), "floor 0 disables the gate")
+  }
 }

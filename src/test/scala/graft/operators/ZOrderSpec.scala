@@ -81,6 +81,23 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zHit.toDouble / zTotal <= 0.4, s"zorder: $zHit/$zTotal")
   }
 
+  test("out-of-range keys raise instead of silently folding the curve") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L << 32, 1L), (-1L, 1L)).toDF("a", "b")
+    val ok = Seq((0L, (1L << 32) - 1)).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.ZOrder.zvalue2(col("a"), col("b"))).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+    assert(rootMsg(e).contains("zvalue2"), s"unexpected error: $e")
+    // boundary values pass
+    assert(ok.select(graft.functions.ZOrder.zvalue2(col("a"), col("b")))
+      .collect().length == 1)
+  }
+
   test("both layouts return identical box-query results") {
     def agg(sub: String): Long = spark.read.parquet(s"$base/$sub")
       .filter(col("l_partkey").between(pLo, pHi) &&

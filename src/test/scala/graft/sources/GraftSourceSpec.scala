@@ -50,10 +50,21 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("GreaterThan(l_quantity"), p)
   }
 
+  /** Recursive listing of the cache data directory — the ground truth for
+    * "did this scan create cache state". */
+  private def cacheFiles(): Set[String] = {
+    val root = new java.io.File(cacheDir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(root).map(_.getPath).toSet
+  }
+
   test("narrow projections are refused cache admission (minColumns rule)") {
     val m = CacheManager.current.get.metrics
     val warmupBefore = m.warmupBytes.get
     val remoteBefore = m.bytesFromRemote.get
+    val filesBefore = cacheFiles()
     // 2-column projection below the 5-column admission floor
     val narrow = spark.read.format("graft")
       .option("graft.cache.min.projected.columns", "5")
@@ -62,11 +73,14 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     narrow.write.format("noop").mode("overwrite").save()
     // (schema-inference footer reads still go through the warm cache via
     // the session-level FS — that is desirable; only the data scan must
-    // bypass, so no bytes may be warmed and none fetched from the source)
+    // bypass, so no bytes may be warmed, none fetched from the source,
+    // and no cache files may appear)
     assert(m.warmupBytes.get == warmupBefore,
       "narrow scan must not warm the cache")
     assert(m.bytesFromRemote.get == remoteBefore,
       "narrow scan data path must bypass cache bookkeeping")
+    assert(cacheFiles() == filesBefore,
+      "narrow scan must not create cache files")
     // wide projection passes admission and hits the (already warm) cache
     val before = m.bytesFromCache.get
     spark.read.format("graft")
@@ -74,6 +88,33 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .load(table)
       .write.format("noop").mode("overwrite").save()
     assert(m.bytesFromCache.get > before, "wide scan must use the cache")
+  }
+
+  test("minColumns floor is honored from the session conf, not just options") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt(graft.cache.CacheConfig.MinColumnsKey, 5)
+    try {
+      // metrics must come from the manager bound to the JVM-cached session
+      // FS — per-scan confs (the narrow path) swap CacheManager.current to
+      // a different instance, but wide scans ride the session FS
+      val m = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create("graft:///"), spark.sessionState.newHadoopConf())
+        .asInstanceOf[graft.cache.GraftFileSystem].cacheManager.metrics
+      val warmupBefore = m.warmupBytes.get
+      val filesBefore = cacheFiles()
+      spark.read.format("graft").load(table)
+        .select("l_orderkey", "l_quantity")
+        .write.format("noop").mode("overwrite").save()
+      assert(m.warmupBytes.get == warmupBefore,
+        "session-keyed narrow scan must not warm the cache")
+      assert(cacheFiles() == filesBefore,
+        "session-keyed narrow scan must not create cache files")
+      val cachedBefore = m.bytesFromCache.get
+      spark.read.format("graft").load(table)
+        .write.format("noop").mode("overwrite").save()
+      assert(m.bytesFromCache.get > cachedBefore,
+        "session-keyed wide scan must use the cache")
+    } finally hc.unset(graft.cache.CacheConfig.MinColumnsKey)
   }
 
   test("format option routes to orc/csv/json delegates through the cache") {
@@ -90,13 +131,6 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // by a per-scan conf (minColumns test above), while the JVM-cached
     // graft:// FS keeps its original manager — so prove cache traffic by
     // watching the cache DIRECTORY the FS-bound manager writes into.
-    def cacheFiles(): Set[String] = {
-      val root = new java.io.File(cacheDir)
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-        else Seq(f)
-      walk(root).map(_.getPath).toSet
-    }
     val before = cacheFiles()
 
     val orc = spark.read.format("graft").option("format", "orc")
