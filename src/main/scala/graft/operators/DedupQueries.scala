@@ -2,25 +2,72 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-/** Gate entries for the near-dup operators (not SQL-expressible in the
-  * oracle dialect — LSH banding and bit-vote fingerprints — so they get
-  * rows-only driver checks; exactness is covered by DedupSpec, which
-  * cross-checks the MinHash estimate against exact shingle Jaccard). */
+/** Gate entries for the near-dup operators. The signatures themselves are
+  * not SQL-expressible in the oracle dialect, so the emitted rows follow
+  * the q31/q39 contract: every emitted CELL is something DuckDB computes
+  * independently (exact shingle-Jaccard pairs, planted-twin pair lists),
+  * and the engine-specific sketch results ride as in-band columns the
+  * oracle states the expected value of — the hash gate then fails on any
+  * recall/precision/estimate defect. Deeper engine-side exactness
+  * (banded == exhaustive, est-vs-exact distributions) stays in
+  * DedupSpec/PipelineSpec. */
 object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
-    QueryDef.noOracle("d06_dedup_minhash_lsh") { (s, dir) =>
+    // MinHash+LSH over the same-(lang,source) co-shingle pair universe
+    // (the d05 oracle set — DuckDB recomputes it exactly). For each pair,
+    // `lsh_candidate` is the ACTUAL banded-join membership; the oracle
+    // asserts it equals `jaccard >= 0.5` — on this corpus the Jaccard
+    // distribution is bimodal (<0.1 / >=0.8), the 16x4 banding catches
+    // every >=0.8 pair and none below 0.1 (verified at sf0.001/0.01/0.1),
+    // so both recall misses AND band-collision false positives
+    // hash-mismatch. `est_in_band` pins |signature estimate - exact| <=
+    // 0.15 on candidates (observed max 0.03; ~4 sigma for 64 perms).
+    QueryDef("d06_dedup_minhash_lsh", TextQueries.jaccardOracle(
+      """SELECT doc_a, doc_b, jaccard,
+        | jaccard >= 0.5 AS lsh_candidate,
+        | true AS est_in_band
+        |FROM pairs""".stripMargin)) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      Dedup.lshCandidates(Dedup.signatures(docs))
-        .filter(col("est_jaccard") >= 0.2)
-        .orderBy(col("doc_a"), col("doc_b"))
+      val cands = Dedup.lshCandidates(Dedup.signatures(docs))
+      TextQueries.jaccardPairs(s, dir)
+        .join(cands, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          col("est_jaccard").isNotNull.as("lsh_candidate"),
+          coalesce(abs(col("est_jaccard") - col("jaccard")) <= 0.15, lit(true))
+            .as("est_in_band"))
     },
 
-    QueryDef.noOracle("d07_dedup_simhash") { (s, dir) =>
-      // near-dup candidates: same lang, hamming <= 8, via pigeonhole
-      // banding (equi-join on (lang, band, band_value), never n²/lang)
-      Dedup.simhashCandidates(Tables.load(s, dir, "documents"))
+    // SimHash via planted twins: union the corpus with an id-shifted copy
+    // of itself, run the full pigeonhole-banded candidate join, and emit
+    // one row per planted (doc, twin) pair with the ACTUAL hamming the
+    // engine measured (-1 if the pair was missed). Identical token
+    // streams give identical fingerprints, so hamming is 0 and pigeonhole
+    // capture is guaranteed by construction — the oracle's literal 0
+    // makes any banding/fingerprint defect a hash mismatch. Token-less
+    // docs produce no fingerprint on either side. Near-dup (hamming 1-8)
+    // behavior over the real corpus is covered by DedupSpec's
+    // banded == exhaustive sweep, which no SQL oracle can express.
+    QueryDef("d07_dedup_simhash",
+      """WITH d AS (SELECT doc_id, lang FROM documents
+        |           WHERE len(regexp_extract_all(text, '\S+')) > 0)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_a,
+        |  CAST(doc_id + 1000000 AS BIGINT) AS doc_b, lang,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM d""".stripMargin) { (s, dir) =>
+      val offset = 1000000L
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "text")
+      val twins = docs.withColumn("doc_id", col("doc_id") + offset)
+      val cands = Dedup.simhashCandidates(docs.unionByName(twins))
+      docs
+        .filter(size(expr("regexp_extract_all(text, '\\\\S+', 0)")) > 0)
+        .select(col("doc_id").cast("long").as("doc_a"),
+          (col("doc_id") + offset).cast("long").as("doc_b"), col("lang"))
+        .join(cands, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("lang"),
+          coalesce(col("hamming"), lit(-1)).cast("long").as("hamming"))
     },
 
     // ---- embedding-cosine near-dup: EXACT pairs above a cosine

@@ -78,12 +78,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "candidate join must be an equi-join, not a theta join on lang alone")
-    // the join keys must include the pigeonhole band columns
-    val joinLine = p.linesIterator.find(l =>
+    // the candidate join's keys must include the pigeonhole band columns
+    // (the query also has an outer join attaching candidates to the
+    // planted-pair list — scan every join line for the banded one)
+    val joinLines = p.linesIterator.filter(l =>
       l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
-        l.contains("BroadcastHashJoin")).getOrElse("")
-    assert(joinLine.contains("bv#") && joinLine.contains("band#"),
-      s"join keys must include (band, bv), got: $joinLine")
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(joinLines.exists(l => l.contains("bv#") && l.contains("band#")),
+      s"some join's keys must include (band, bv), got: ${joinLines.mkString("\n")}")
     // the expensive fingerprint pipeline must be computed once (cached)
     assert(p.contains("InMemoryTableScan"),
       "simhash table must be persisted so both join branches reuse it")
