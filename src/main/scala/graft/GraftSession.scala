@@ -35,4 +35,46 @@ object GraftSession {
     cacheDir.foreach(d => b.config("spark.hadoop.graft.cache.dir", d))
     b
   }
+
+  /** Out-of-the-box metric sink wiring (reference parity:
+    * BookKeeperMetrics.java ships JMX/StatsD/Ganglia reporters configured
+    * from rubix.metrics.* keys). The cache already registers a Dropwizard
+    * source (`graft.bookkeeper`, CacheMetricsSource) with Spark's
+    * MetricsSystem; these helpers turn on the matching SINKS with one
+    * call instead of hand-writing spark.metrics.conf.* properties:
+    *
+    *   GraftSession.withJmxMetrics(GraftSession.builder(...))
+    *     — every gauge under `graft.bookkeeper` appears as a JMX MBean
+    *       (`metrics:name=...graft.bookkeeper...`), the reference's
+    *       default reporter.
+    *   GraftSession.withCsvMetrics(b, dir, periodSec)
+    *     — periodic CSV dumps, the drop-in for StatsD/Ganglia-style
+    *       shipping where no JMX scraper exists.
+    *
+    * Spark reads metrics properties once at SparkContext start, so these
+    * must be applied to the builder BEFORE getOrCreate(). */
+  def jmxMetricsConf: Map[String, String] = Map(
+    "spark.metrics.conf.*.sink.jmx.class" ->
+      "org.apache.spark.metrics.sink.JmxSink")
+
+  def csvMetricsConf(dir: String, periodSec: Int = 10): Map[String, String] =
+    Map(
+      "spark.metrics.conf.*.sink.csv.class" ->
+        "org.apache.spark.metrics.sink.CsvSink",
+      "spark.metrics.conf.*.sink.csv.directory" -> dir,
+      "spark.metrics.conf.*.sink.csv.period" -> periodSec.toString,
+      "spark.metrics.conf.*.sink.csv.unit" -> "seconds")
+
+  private def applyConf(b: SparkSession.Builder,
+      conf: Map[String, String]): SparkSession.Builder = {
+    conf.foreach { case (k, v) => b.config(k, v) }
+    b
+  }
+
+  def withJmxMetrics(b: SparkSession.Builder): SparkSession.Builder =
+    applyConf(b, jmxMetricsConf)
+
+  def withCsvMetrics(b: SparkSession.Builder, dir: String,
+      periodSec: Int = 10): SparkSession.Builder =
+    applyConf(b, csvMetricsConf(dir, periodSec))
 }
