@@ -180,6 +180,34 @@ object CacheQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           round(sum("l_extendedprice"), 3).as("sum_price"))
+    },
+
+    // BASELINE.md's repeat-scan contract (server hit rate >= 95% once a
+    // table is warm) promoted INTO the hash gate: scan part twice
+    // through graft://, measure the second scan's hit rate from the
+    // block-request metrics delta, and emit it as an in-band boolean
+    // next to the data aggregate. A cache that silently stopped serving
+    // (admission regression, eviction storm, path-translation bug)
+    // flips warm_hits_ok and fails the gate even though the data —
+    // served via remote fallback — would still be correct.
+    QueryDef("c08_warm_hitrate",
+      """SELECT p_brand, count(*) AS n,
+        | round(sum(p_retailprice),3) AS price, true AS warm_hits_ok
+        |FROM part GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      enableCacheFs(s)
+      def agg = s.read.parquet(s"graft://$dir/part.parquet")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 3).as("price"))
+      agg.count() // cold: warms every touched block
+      val before = metricsSnapshot
+      agg.count() // warm: must be served from cache
+      val after = metricsSnapshot
+      val hits = after.getOrElse("cached_requests", 0L) -
+        before.getOrElse("cached_requests", 0L)
+      val misses = after.getOrElse("remote_requests", 0L) -
+        before.getOrElse("remote_requests", 0L)
+      val ok = hits + misses > 0 && hits.toDouble / (hits + misses) >= 0.95
+      agg.withColumn("warm_hits_ok", lit(ok))
     }
   )
 

@@ -869,6 +869,57 @@ object RelationalQueries {
           when(col("o_orderkey").isNull, "insert")
             .when(col("k").isNull, "keep")
             .otherwise("update").as("action"))
+    },
+
+    // ---- LATERAL correlated subquery: per-nation top-2 suppliers by
+    // account balance via a LATERAL (... ORDER BY ... LIMIT 2) — the
+    // SQL-standard formulation of "top-k per outer row". Catalyst
+    // decorrelates it into a window/partial-sort per join group rather
+    // than re-executing the inner query per row, so the plan is one
+    // shuffle on the correlation key — the same shape q17's explicit
+    // window uses, reached from the declarative SQL surface. ----
+    QueryDef("q46_lateral_join",
+      """SELECT n.n_name, s.s_name, round(s.s_acctbal, 3) AS bal
+        |FROM nation n,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier
+        |         WHERE s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2) s""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "nation").createOrReplaceTempView("lat_nation")
+      Tables.load(s, dir, "supplier").createOrReplaceTempView("lat_supplier")
+      s.sql(
+        """SELECT n.n_name, s.s_name, round(s.s_acctbal, 3) AS bal
+          |FROM lat_nation n,
+          |LATERAL (SELECT s_name, s_acctbal FROM lat_supplier
+          |         WHERE s_nationkey = n.n_nationkey
+          |         ORDER BY s_acctbal DESC, s_name LIMIT 2) s""".stripMargin)
+    },
+
+    // ---- event-time RANGE window frame: per-user trailing-1h sliding
+    // aggregate, frame bounds in MICROSECONDS (exact integers — no
+    // epoch-flooring or double-rounding ambiguity between engines; sums
+    // are over scaled longs for the same reason). RANGE frames demand a
+    // single ordering column, so the per-user sort is (user, ts_us) —
+    // one hash-partition shuffle on user_id then a per-partition sort,
+    // the same cost model as every other window here; frame evaluation
+    // is the running two-pointer pass, O(n) per partition. ----
+    QueryDef("q47_range_frame",
+      """SELECT event_id, user_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |  CAST(sum(CAST(trunc(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS sum_v,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_frame
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          (col("value") * 1000).cast("long").as("v_fixed"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          sum("v_fixed").over(w).as("sum_v"),
+          count(lit(1)).over(w).as("n_frame"))
     }
   )
 }

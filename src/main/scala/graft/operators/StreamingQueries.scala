@@ -72,6 +72,18 @@ object StreamingQueries {
         | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       EventStreams.foreachBatchPartials(s, dir)
+    },
+
+    // Stream-static broadcast join (dimension enrichment) + aggregation;
+    // oracle = the same join/agg in batch SQL. sum(value) per group is
+    // order-dependent double addition in principle, but identical at
+    // round(,3) (the s01 contract, green since r1).
+    QueryDef("s07_stream_static_join",
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+        | round(sum(e.value),3) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      EventStreams.streamStaticJoin(s, dir)
     }
   )
 }

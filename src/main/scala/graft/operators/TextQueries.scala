@@ -386,6 +386,115 @@ object TextQueries {
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           coalesce(col("n_frequent"), lit(0L)).as("n_frequent"),
           coalesce(col("n_frequent_distinct"), lit(0L)).as("n_frequent_distinct"))
+    },
+
+    // ---- PII redaction: scrub emails / phone numbers / IPv4 addresses
+    // with regex replacement and count what was found. The synthetic
+    // corpus carries no PII, so both engines append the SAME
+    // deterministic doc_id-derived PII tail in-query, then redact it —
+    // the redaction logic (not the augmentation) is the operator under
+    // test. Regexes stay in the Java∩RE2 common subset (char classes,
+    // bounded repeats, \b) so both engines compile them identically;
+    // equality of the full redacted text is pinned by md5, not a
+    // truncated sample. Per-row codegen'd projection: zero shuffles,
+    // embarrassingly parallel at 100 TB. ----
+    QueryDef("d17_pii_redact",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.com or +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |      CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(length(regexp_extract_all(t,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(length(regexp_extract_all(t,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS red_md5,
+        |  CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS BIGINT)
+        |    AS red_len
+        |FROM aug""".stripMargin) { (s, dir) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+      val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val aug = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 7) % 256).cast("string")).as("t"))
+      val red = regexp_replace(regexp_replace(regexp_replace(col("t"),
+        emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+      aug.select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+        size(regexp_extract_all(col("t"), lit(ipRe), lit(0))).cast("long").as("n_ip"),
+        md5(red.cast("binary")).as("red_md5"),
+        length(red).cast("long").as("red_len"))
+    },
+
+    // ---- paragraph/chunk-level dedup (the C4/RefinedWeb line-dedup
+    // shape): the corpus has no newlines, so "paragraphs" are fixed
+    // 20-token chunks — the operator is the corpus-wide first-occurrence
+    // keep rule, which is chunking-agnostic. One window over the chunk
+    // text picks the globally-first (doc_id, idx) occurrence; per-doc
+    // rollup reports how much text survives. Scale shape: the shuffle
+    // key is the chunk itself (hash-partitioned, like d04's exact
+    // dedup); at 100 TB swap the window for a groupBy(chunk).agg(min
+    // (first_key)) + re-join on a 16-byte chunk hash so shuffled rows
+    // carry the hash, not the text — same semantics, narrower exchange
+    // (kept_chars then rides the pre-hashed row). ----
+    QueryDef("d18_chunk_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(tk)/20.0) AS INT)),
+        |      i -> list_aggregate(tk[i*20+1 : i*20+20], 'string_agg', ' ')) AS cs
+        |  FROM toks),
+        |occ AS (
+        |  SELECT doc_id, unnest(cs) AS chunk, unnest(range(0, len(cs))) AS idx
+        |  FROM chunks),
+        |keyed AS (
+        |  SELECT doc_id, idx, chunk,
+        |    min(doc_id * 100000 + idx) OVER (PARTITION BY chunk) AS first_key
+        |  FROM occ)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN doc_id * 100000 + idx = first_key
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN doc_id * 100000 + idx = first_key
+        |                THEN length(chunk) ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM keyed GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val occ = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokensCol.as("tk"))
+        // guard: sequence(0, -1) is DESCENDING in Spark, so an empty doc
+        // must short-circuit to an empty chunk list (DuckDB range(0,0)
+        // is already empty)
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(tk) = 0 THEN array()
+            |ELSE transform(sequence(0, cast(ceil(size(tk)/20.0) AS INT) - 1),
+            |               i -> array_join(slice(tk, i*20+1, 20), ' ')) END"""
+            .stripMargin).as("cs"))
+        .select(col("doc_id"), posexplode(col("cs")).as(Seq("idx", "chunk")))
+      val firstKey = min(col("doc_id") * 100000 + col("idx"))
+        .over(Window.partitionBy("chunk"))
+      val kept = (col("doc_id") * 100000 + col("idx")) === col("first_key")
+      occ.withColumn("first_key", firstKey)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(kept, length(col("chunk")).cast("long")).otherwise(0L))
+            .as("kept_chars"))
     }
   )
 }

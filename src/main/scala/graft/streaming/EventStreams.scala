@@ -303,6 +303,34 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Stream-static join: the events stream enriched with the customer
+    * dimension, then aggregated per (segment, event_type). The static
+    * side is re-planned per micro-batch (so a dimension update between
+    * batches is picked up) and explicitly broadcast — at 100 TB/day of
+    * stream the dimension rides to every executor once per batch and the
+    * join never shuffles the stream side, which is THE stream-enrichment
+    * shape. Aggregation runs in complete mode onto a memory sink so the
+    * batch oracle (same join + agg in SQL) can check it. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+    withStreamConf(spark) {
+      val events = eventsStream(spark, dir)
+      val cust = graft.operators.Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = events
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+      val name = s"graft_ssj_${counter.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      spark.table(name)
+    }
+
   /** Streaming parquet sink THROUGH the caching filesystem: the events
     * stream is written as graft:// parquet (exercising create/commit/
     * rename through the FS wrapper under the streaming file-sink commit

@@ -137,4 +137,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"corpus side must broadcast against the bounded probe set:\n$p")
   }
+
+  test("q46 lateral: decorrelated to a group-limit window + broadcast join") {
+    val p = plan("q46_lateral_join")
+    // Catalyst must NOT execute the correlated subquery per outer row:
+    // the decorrelated plan ranks suppliers per nation with a map-side
+    // WindowGroupLimit (top-k pushed below the exchange) and broadcasts
+    // the 25-row nation side.
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral fell back to a nested loop:\n$p")
+  }
+
+  test("q47 range frame: one hash exchange on user_id feeding one Window") {
+    val p = plan("q47_range_frame")
+    assert(p.contains("Window"), s"no window exec:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"range frame must not global-sort:\n$p")
+  }
 }

@@ -65,4 +65,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = Tables.load(spark, dir, "events").count()
     assert(total == expected, s"windowed n sums to $total, expected $expected")
   }
+
+  test("stream-static join matches the batch join+agg") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventStreams.streamStaticJoin(spark, dir)
+      .orderBy("c_mktsegment", "event_type").collect()
+    val batch = Tables.load(spark, dir, "events")
+      .join(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+      .orderBy("c_mktsegment", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty,
+      s"${streamed.length} vs ${batch.length}")
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toString == b.toString, s"row mismatch: $s vs $b")
+    }
+  }
 }

@@ -110,4 +110,64 @@ class TextPipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(kept <= total, s"$lang kept $kept of $total")
     }
   }
+
+  test("d17 redaction: counted PII is fully scrubbed, counts agree with regexp_count") {
+    val rows = q("d17_pii_redact").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_email") >= 1 && r.getAs[Long]("n_phone") >= 1 &&
+        r.getAs[Long]("n_ip") >= 1, s"augmented PII not detected: $r")
+    }
+    // independent reconstruction through the SQL expression path: after
+    // redaction ZERO matches of any pattern survive, and the pre-redaction
+    // regexp_count agrees with the query's size(regexp_extract_all) counts
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"
+    val phoneRe = "\\\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val ipRe = "\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b"
+    val residual = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id",
+        """concat(text, ' contact user', doc_id, '@mail.example.com or +1-555-',
+          |lpad(cast(doc_id % 10000 AS STRING), 4, '0'), ' ip 10.',
+          |cast(doc_id % 256 AS STRING), '.0.',
+          |cast((doc_id * 7) % 256 AS STRING)) AS t""".stripMargin)
+      .selectExpr("doc_id",
+        s"regexp_count(t, '$emailRe') AS ce",
+        s"regexp_count(t, '$phoneRe') AS cp",
+        s"regexp_count(t, '$ipRe') AS ci",
+        s"""regexp_count(regexp_replace(regexp_replace(regexp_replace(t,
+           |  '$emailRe', '<EMAIL>'), '$phoneRe', '<PHONE>'), '$ipRe', '<IP>'),
+           |  '$emailRe|$phoneRe|$ipRe') AS leftover""".stripMargin)
+      .collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    residual.foreach { r =>
+      val g = byId(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("leftover") == 0, s"PII survived redaction: $r")
+      assert(g.getAs[Long]("n_email") == r.getAs[Int]("ce").toLong &&
+        g.getAs[Long]("n_phone") == r.getAs[Int]("cp").toLong &&
+        g.getAs[Long]("n_ip") == r.getAs[Int]("ci").toLong,
+        s"count mismatch: $g vs $r")
+    }
+  }
+
+  test("d18 chunk dedup: kept count equals global distinct chunk count") {
+    val rows = q("d18_chunk_dedup").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_chunks"), r.toString)
+      assert(r.getAs[Long]("n_kept") >= 0 && r.getAs[Long]("kept_chars") >= 0)
+    }
+    // first-occurrence keep rule <=> exactly one survivor per distinct
+    // chunk text corpus-wide
+    val distinctChunks = Tables.load(spark, dir, "documents")
+      .selectExpr("regexp_extract_all(text, '\\\\S+', 0) AS tk")
+      .selectExpr(
+        """explode(CASE WHEN size(tk) = 0 THEN array()
+          |ELSE transform(sequence(0, cast(ceil(size(tk)/20.0) AS INT) - 1),
+          |               i -> array_join(slice(tk, i*20+1, 20), ' ')) END) AS chunk"""
+          .stripMargin)
+      .agg(countDistinct(col("chunk"))).head.getLong(0)
+    val totalKept = rows.map(_.getAs[Long]("n_kept")).sum
+    assert(totalKept == distinctChunks,
+      s"kept $totalKept != distinct $distinctChunks")
+  }
 }
