@@ -920,6 +920,39 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("ts_us"),
           sum("v_fixed").over(w).as("sum_v"),
           count(lit(1)).over(w).as("n_frame"))
+    },
+
+    // ---- ordered-selection + boolean aggregates: count_if, bool_and/
+    // bool_or, and max_by/min_by (DuckDB arg_max/arg_min). max_by is
+    // only deterministic when the ordering key is unique, and
+    // o_totalprice ties at sf0.1 — so top_order orders by the composite
+    // (price-cents, orderkey) folded into one long (prices carry 2
+    // decimals; orderkey < 10^7 at gate scales — at open scale use a
+    // struct ordering key instead of the fold). All aggregates are
+    // single-pass with map-side partials — same exchange profile as
+    // q01. ----
+    QueryDef("q48_selective_agg",
+      """SELECT o_orderpriority,
+        | CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+        | bool_and(o_totalprice > 0) AS all_pos,
+        | bool_or(o_orderstatus = 'F') AS any_final,
+        | arg_max(o_orderstatus, o_orderkey) AS last_status,
+        | CAST(arg_max(o_orderkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |   AS BIGINT) AS top_order,
+        | CAST(arg_min(o_orderkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |   AS BIGINT) AS bottom_order
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val priceKey = (round(col("o_totalprice") * 100).cast("long") *
+        10000000L + col("o_orderkey"))
+      Tables.load(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(count_if(col("o_totalprice") > 150000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(col("o_orderstatus") === "F").as("any_final"),
+          max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"),
+          max_by(col("o_orderkey"), priceKey).as("top_order"),
+          min_by(col("o_orderkey"), priceKey).as("bottom_order"))
     }
   )
 }

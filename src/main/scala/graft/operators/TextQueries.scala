@@ -495,6 +495,68 @@ object TextQueries {
           sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
           sum(when(kept, length(col("chunk")).cast("long")).otherwise(0L))
             .as("kept_chars"))
+    },
+
+    // ---- composite quality-filter chain (the Gopher/C4 rule-stack
+    // shape): four keep/drop rules — token-count band, mean-word-length
+    // band, minimum stopword evidence, distinct-trigram repetition floor
+    // — each emitted as its own flag plus the AND. Every rule is
+    // ALL-INTEGER arithmetic (ratios stated cross-multiplied, e.g.
+    // mean word length in [2,12] as 2*n_tok <= chars <= 12*n_tok), so
+    // there is no float to disagree on. The whole chain is one
+    // codegen'd per-row projection: zero shuffles, and at 100 TB it
+    // composes with d15's sampling and d04/d18's dedup as the pure-map
+    // stage of the ingest funnel. ----
+    QueryDef("d19_filter_chain",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(text, '\\S+') AS tk,
+         |    length(regexp_extract_all(text, '\\S+')) AS n_tok,
+         |    list_sum(list_transform(regexp_extract_all(text, '\\S+'),
+         |      t -> length(t))) AS tok_chars,
+         |    length(list_filter(regexp_extract_all(text, '\\S+'),
+         |      t -> t IN ${inList(enStop)})) AS n_stop
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, n_tok, tok_chars, n_stop,
+         |    greatest(n_tok - 2, 0) AS n_tri,
+         |    length(list_distinct(list_transform(
+         |      range(1, greatest(n_tok - 2, 0) + 1),
+         |      i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])))) AS n_tri_distinct
+         |  FROM f)
+         |SELECT doc_id,
+         |  (n_tok BETWEEN 10 AND 1000) AS ok_len,
+         |  (2 * n_tok <= tok_chars AND tok_chars <= 12 * n_tok) AS ok_wordlen,
+         |  (n_stop >= 2) AS ok_stop,
+         |  (n_tri = 0 OR 10 * n_tri_distinct >= 4 * n_tri) AS ok_rep,
+         |  ((n_tok BETWEEN 10 AND 1000)
+         |   AND (2 * n_tok <= tok_chars AND tok_chars <= 12 * n_tok)
+         |   AND (n_stop >= 2)
+         |   AND (n_tri = 0 OR 10 * n_tri_distinct >= 4 * n_tri)) AS kept
+         |FROM g""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokensCol.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          size(col("tk")).cast("long").as("n_tok"),
+          expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))").as("tok_chars"),
+          size(expr(s"filter(tk, t -> t IN ${inList(enStop)})")).cast("long")
+            .as("n_stop"))
+        .select(col("doc_id"), col("n_tok"), col("tok_chars"), col("n_stop"),
+          greatest(col("n_tok") - 2, lit(0L)).as("n_tri"),
+          size(array_distinct(expr(
+            """CASE WHEN size(tk) < 3 THEN array()
+              |ELSE transform(sequence(0, size(tk) - 3),
+              |  i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])) END"""
+              .stripMargin))).cast("long").as("n_tri_distinct"))
+      val okLen = col("n_tok").between(10, 1000)
+      val okWord = (lit(2) * col("n_tok") <= col("tok_chars")) &&
+        (col("tok_chars") <= lit(12) * col("n_tok"))
+      val okStop = col("n_stop") >= 2
+      val okRep = (col("n_tri") === 0) ||
+        (lit(10) * col("n_tri_distinct") >= lit(4) * col("n_tri"))
+      base.select(col("doc_id"), okLen.as("ok_len"), okWord.as("ok_wordlen"),
+        okStop.as("ok_stop"), okRep.as("ok_rep"),
+        (okLen && okWord && okStop && okRep).as("kept"))
     }
   )
 }

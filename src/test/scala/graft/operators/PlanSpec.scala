@@ -150,6 +150,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lateral fell back to a nested loop:\n$p")
   }
 
+  test("q48 max_by/min_by agree with the window-ranking formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.SparkEntry.queries("q48_selective_agg")(spark, dir).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("top_order"), r.getAs[Long]("bottom_order"))).toMap
+    val priceKey = (round(col("o_totalprice") * 100).cast("long") *
+      10000000L + col("o_orderkey"))
+    val ranked = Tables.load(spark, dir, "orders")
+      .withColumn("k", priceKey)
+      .withColumn("rmax", row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy(col("k").desc)))
+      .withColumn("rmin", row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy(col("k").asc)))
+      .filter(col("rmax") === 1 || col("rmin") === 1)
+      .collect()
+    ranked.foreach { r =>
+      val (top, bottom) = got(r.getAs[String]("o_orderpriority"))
+      if (r.getAs[Int]("rmax") == 1)
+        assert(r.getAs[Long]("o_orderkey") == top, s"top mismatch: $r")
+      if (r.getAs[Int]("rmin") == 1)
+        assert(r.getAs[Long]("o_orderkey") == bottom, s"bottom mismatch: $r")
+    }
+  }
+
   test("q47 range frame: one hash exchange on user_id feeding one Window") {
     val p = plan("q47_range_frame")
     assert(p.contains("Window"), s"no window exec:\n$p")

@@ -170,4 +170,23 @@ class TextPipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalKept == distinctChunks,
       s"kept $totalKept != distinct $distinctChunks")
   }
+
+  test("d19 filter chain: kept is the AND of its rules; ok_len agrees with d01") {
+    val rows = q("d19_filter_chain").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val expect = r.getAs[Boolean]("ok_len") && r.getAs[Boolean]("ok_wordlen") &&
+        r.getAs[Boolean]("ok_stop") && r.getAs[Boolean]("ok_rep")
+      assert(r.getAs[Boolean]("kept") == expect, s"kept != AND of rules: $r")
+    }
+    // cross-query consistency: the token-count rule must agree with the
+    // independently-computed d01 token counts
+    val nTok = q("d01_text_stats").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    rows.foreach { r =>
+      val n = nTok(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Boolean]("ok_len") == (n >= 10 && n <= 1000),
+        s"ok_len disagrees with d01 n_tokens=$n: $r")
+    }
+  }
 }
