@@ -77,4 +77,23 @@ object GraftSession {
   def withCsvMetrics(b: SparkSession.Builder, dir: String,
       periodSec: Int = 10): SparkSession.Builder =
     applyConf(b, csvMetricsConf(dir, periodSec))
+
+  /** StatsD sink (reference parity: BookKeeperMetrics' StatsDReporter,
+    * rubix.metrics.statsd.* keys → Spark's built-in StatsdSink). Same
+    * one-call contract as the JMX/CSV helpers: apply before
+    * getOrCreate(). */
+  def statsdMetricsConf(host: String = "127.0.0.1", port: Int = 8125,
+      periodSec: Int = 10, prefix: String = "graft"): Map[String, String] =
+    Map(
+      "spark.metrics.conf.*.sink.statsd.class" ->
+        "org.apache.spark.metrics.sink.StatsdSink",
+      "spark.metrics.conf.*.sink.statsd.host" -> host,
+      "spark.metrics.conf.*.sink.statsd.port" -> port.toString,
+      "spark.metrics.conf.*.sink.statsd.period" -> periodSec.toString,
+      "spark.metrics.conf.*.sink.statsd.unit" -> "seconds",
+      "spark.metrics.conf.*.sink.statsd.prefix" -> prefix)
+
+  def withStatsdMetrics(b: SparkSession.Builder, host: String = "127.0.0.1",
+      port: Int = 8125, periodSec: Int = 10): SparkSession.Builder =
+    applyConf(b, statsdMetricsConf(host, port, periodSec))
 }

@@ -953,6 +953,26 @@ object RelationalQueries {
           max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"),
           max_by(col("o_orderkey"), priceKey).as("top_order"),
           min_by(col("o_orderkey"), priceKey).as("bottom_order"))
+    },
+
+    // ---- semi-structured VARIANT column (Spark 4's native type for
+    // open-schema JSON): parse once into a VARIANT, extract typed fields
+    // with variant_get. Unlike q29's from_json-with-schema, VARIANT
+    // needs NO declared schema — the 100 TB shape for logs/props columns
+    // whose keys drift over time; the binary encoding makes repeated
+    // field extraction cheaper than re-parsing JSON text per access.
+    // Oracle: DuckDB's json_extract over the same strings; outputs are
+    // all exact integers. ----
+    QueryDef("q49_variant_json",
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
     }
   )
 }

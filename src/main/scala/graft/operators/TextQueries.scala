@@ -557,6 +557,60 @@ object TextQueries {
       base.select(col("doc_id"), okLen.as("ok_len"), okWord.as("ok_wordlen"),
         okStop.as("ok_stop"), okRep.as("ok_rep"),
         (okLen && okWord && okStop && okRep).as("kept"))
+    },
+
+    // ---- URL extraction + per-domain stats (the C4/RefinedWeb domain
+    // blocklist shape): pull every URL out of the text, group by domain,
+    // count URLs / distinct docs / https share. The corpus has no URLs,
+    // so both engines append the SAME deterministic doc_id-derived URL
+    // tail (d17's augmentation pattern) — extraction and domain parsing
+    // are the operators under test, regexes in the Java∩RE2 subset.
+    // Scale shape: per-row extract + explode, one shuffle on the domain
+    // (bounded by the web's domain cardinality, not corpus size); a
+    // blocklist join would broadcast against exactly this output. ----
+    QueryDef("d20_url_domains",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 7) || '.example.' ||
+        |      CASE WHEN doc_id % 3 = 0 THEN 'com'
+        |           WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END ||
+        |      '/page/' || doc_id || '?ref=' || (doc_id % 5) ||
+        |      CASE WHEN doc_id % 2 = 0
+        |           THEN ' and http://cdn' || (doc_id % 4) ||
+        |                '.example.com/asset' || doc_id
+        |           ELSE '' END AS t
+        |  FROM documents),
+        |urls AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(t,
+        |      'https?://[A-Za-z0-9.-]+[A-Za-z0-9./?=_-]*')) AS url
+        |  FROM aug)
+        |SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN url LIKE 'https%' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_https
+        |FROM urls GROUP BY 1""".stripMargin) { (s, dir) =>
+      val urlRe = "https?://[A-Za-z0-9.-]+[A-Za-z0-9./?=_-]*"
+      val aug = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" see https://site"),
+          (col("doc_id") % 7).cast("string"), lit(".example."),
+          when(col("doc_id") % 3 === 0, "com")
+            .when(col("doc_id") % 3 === 1, "org").otherwise("net"),
+          lit("/page/"), col("doc_id").cast("string"),
+          lit("?ref="), (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" and http://cdn"), (col("doc_id") % 4).cast("string"),
+              lit(".example.com/asset"), col("doc_id").cast("string")))
+            .otherwise("")).as("t"))
+      aug.select(col("doc_id"),
+          explode(regexp_extract_all(col("t"), lit(urlRe), lit(0))).as("url"))
+        .groupBy(regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1)
+          .as("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(when(col("url").startsWith("https"), 1L).otherwise(0L))
+            .as("n_https"))
     }
   )
 }

@@ -53,4 +53,15 @@ class MetricsSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftSession.jmxMetricsConf.values
       .exists(_.endsWith("JmxSink")))
   }
+
+  test("statsdMetricsConf carries the UDP StatsD sink properties") {
+    val opts = GraftSession.statsdMetricsConf("10.0.0.9", 9125, 5)
+    assert(opts("spark.metrics.conf.*.sink.statsd.class")
+      == "org.apache.spark.metrics.sink.StatsdSink")
+    assert(opts("spark.metrics.conf.*.sink.statsd.host") == "10.0.0.9")
+    assert(opts("spark.metrics.conf.*.sink.statsd.port") == "9125")
+    assert(opts("spark.metrics.conf.*.sink.statsd.period") == "5")
+    // the sink class must actually exist on this Spark's classpath
+    assert(Class.forName("org.apache.spark.metrics.sink.StatsdSink") != null)
+  }
 }
