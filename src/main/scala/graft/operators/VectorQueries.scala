@@ -227,6 +227,69 @@ object VectorQueries {
       scored.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
+    },
+
+    // ---- ANN with exact re-ranking — the production retrieval shape
+    // (candidate generation by LSH, then exact cosine re-rank of the
+    // bounded candidate set). Promoted to the FULL hash gate with the
+    // q31 contract: the emitted rows are the exact top-5 (the re-rank
+    // truth target, which DuckDB recomputes brute-force), and the
+    // engine-specific LSH side rides in-band as one corpus-level
+    // boolean — recall@5 of the LSH-reranked list vs the exact list
+    // >= 0.5, attached via a 1-row broadcast (d16's threshold pattern,
+    // no driver collect). A banding bug that tanks recall, or a re-rank
+    // bug that reorders candidates, flips the boolean and fails the
+    // gate; e04 stays the pure-LSH rows-only op for recall-curve specs.
+    // At 100 TB the exact arm is the bounded probe-set×corpus pass e01
+    // already models; the LSH arm touches only bucket-collided pairs. ----
+    QueryDef("e07_ann_rerank",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM q, c)
+        |SELECT qid, cid, round(cos, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk,
+        |       true AS lsh_recall_ok
+        |FROM (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |  FROM s) t WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "embeddings")
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = base.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      // exact arm: the truth target the oracle recomputes
+      val exact = q.join(broadcast(c))
+        .withColumn("cos", cos(col("qe"), col("ce")))
+        .select(col("qid"), col("cid"), col("cos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+      // LSH arm: bucket-collided candidates, exact cosine re-rank
+      def bucketed(df: org.apache.spark.sql.DataFrame, id: String, e: String) = df
+        .select(col("vec_id").as(id), col("embedding").as(e),
+          posexplode(srpBucketIds()).as(Seq("t", "b")))
+      val lsh = bucketed(base.filter(col("vec_id") >= 10), "cid", "ce")
+        .join(broadcast(bucketed(base.filter(col("vec_id") < 10), "qid", "qe")),
+          Seq("t", "b"))
+        .withColumn("cos", cos(col("qe"), col("ce")))
+        .select(col("qid"), col("cid"), col("cos"))
+        .dropDuplicates("qid", "cid")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("cid"))
+      // corpus-level recall@5, attached as a 1-row broadcast
+      val recall = exact.join(lsh, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("total")))
+        .select((col("hits") >= col("total") * 0.5).as("lsh_recall_ok"))
+      exact
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
+        .crossJoin(broadcast(recall))
     }
   )
 }
