@@ -44,7 +44,7 @@ object AsOfJoin {
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.union(
-      rTagged.select(lTagged.columns.map(c =>
+      rTagged.select(lTagged.columns.toIndexedSeq.map(c =>
         if (rTagged.columns.contains(c)) col(c)
         else lit(null).cast(lTagged.schema(c).dataType).as(c)): _*))
       .withColumn("__matched", last(col("__r"), ignoreNulls = true).over(w))

@@ -60,7 +60,7 @@ class GraftDataSource extends FileDataSourceV2 {
     val fmt = Option(options.get("format")).getOrElse("parquet").toLowerCase
     // drop our routing key so the delegate sees only its own options
     val delegateOpts = new CaseInsensitiveStringMap(
-      (getOptionsWithoutPaths(options).asScala - "format").asJava)
+      getOptionsWithoutPaths(options).asScala.toMap.removed("format").asJava)
     val delegate: FileTable = fmt match {
       case "parquet" => ParquetTable(tableName, sparkSession, delegateOpts,
         paths, userSchema, classOf[ParquetFileFormat])
