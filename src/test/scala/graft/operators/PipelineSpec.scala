@@ -132,4 +132,58 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sum == expect, s"frame ($id, $k) sum mismatch")
     }
   }
+
+  test("e07 rerank: rows are exactly e01's top-5 and the recall flag is true") {
+    val rerank = graft.SparkEntry.queries("e07_ann_rerank")(spark, dir).collect()
+    assert(rerank.nonEmpty)
+    rerank.foreach(r => assert(r.getAs[Boolean]("lsh_recall_ok"),
+      s"LSH recall below 0.5: $r"))
+    // the emitted truth target must be the exact top-5 — e01 restricted
+    // to rnk <= 5 with identical columns
+    val exact = graft.SparkEntry.queries("e01_knn_brute")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+        r.getAs[Double]("cos_sim"), r.getAs[Long]("rnk"))).toSet
+    val got = rerank.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+      r.getAs[Double]("cos_sim"), r.getAs[Long]("rnk"))).toSet
+    assert(got == exact, s"rerank truth target diverges from e01: ${got.diff(exact)}")
+  }
+
+  test("d20 domains: per-domain doc counts re-derive from the id arithmetic") {
+    val rows = graft.SparkEntry.queries("d20_url_domains")(spark, dir).collect()
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_urls"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_https")))
+      .toMap
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    // site domains: doc_id % 7 x doc_id % 3 -> 21 https domains, one URL
+    // per doc; cdn domains: even doc_id % 4 in {0, 2} -> 2 http domains
+    assert(rows.size == 23, s"expected 23 domains, got ${rows.keySet}")
+    (0L until 7L).foreach { s7 =>
+      Seq(("com", 0L), ("org", 1L), ("net", 2L)).foreach { case (tld, r3) =>
+        val expect = (0L until nDocs).count(d => d % 7 == s7 && d % 3 == r3).toLong
+        val (urls, docs, https) = rows(s"site$s7.example.$tld")
+        assert(urls == expect && docs == expect && https == expect,
+          s"site$s7.example.$tld: ($urls,$docs,$https) != $expect")
+      }
+    }
+    Seq(0L, 2L).foreach { c4 =>
+      val expect = (0L until nDocs).count(d => d % 2 == 0 && d % 4 == c4).toLong
+      val (urls, docs, https) = rows(s"cdn$c4.example.com")
+      assert(urls == expect && docs == expect && https == 0,
+        s"cdn$c4: ($urls,$docs,$https) != $expect")
+    }
+  }
+
+  test("q49 variant extraction agrees with the schema-declared from_json path") {
+    import org.apache.spark.sql.functions._
+    val variant = graft.SparkEntry.queries("q49_variant_json")(spark, dir)
+      .collect().map(r => r.getAs[Long]("k_mod") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_k"), r.getAs[Long]("max_k"))).toMap
+    val declared = Tables.load(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .collect().map(r => r.getAs[Long]("k_mod") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_k"), r.getAs[Long]("max_k"))).toMap
+    assert(variant == declared, s"variant path diverges: $variant vs $declared")
+  }
 }
