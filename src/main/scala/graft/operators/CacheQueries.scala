@@ -208,6 +208,39 @@ object CacheQueries {
         before.getOrElse("remote_requests", 0L)
       val ok = hits + misses > 0 && hits.toDouble / (hits + misses) >= 0.95
       agg.withColumn("warm_hits_ok", lit(ok))
+    },
+
+    // Bucketed co-located join THROUGH the cache: both join sides are
+    // written as 8-bucket external tables whose files live behind
+    // graft://, then joined on the bucket key. Pre-bucketing is the
+    // standard answer to "this join's shuffle is the 100 TB bottleneck"
+    // — BucketingSpec proves the zero-Exchange plan with SMJ forced;
+    // this gate query proves the bucketed write+read roundtrip through
+    // the caching FS preserves the data (oracle = the plain join+agg).
+    // sum(l_quantity) is integer-valued doubles, so the sum is exact and
+    // order-independent at any parallelism.
+    QueryDef("c09_bucketed_join",
+      """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity),3) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      enableCacheFs(s)
+      val base = tmpBase("graft-bucketed", dir)
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"graft://$base/lineitem_b")
+        .saveAsTable("c09_lineitem_b")
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"graft://$base/orders_b")
+        .saveAsTable("c09_orders_b")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity),3) AS qty
+          |FROM c09_orders_b JOIN c09_lineitem_b ON o_orderkey = l_orderkey
+          |GROUP BY o_orderstatus""".stripMargin)
     }
   )
 
