@@ -241,6 +241,44 @@ object CacheQueries {
         """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity),3) AS qty
           |FROM c09_orders_b JOIN c09_lineitem_b ON o_orderkey = l_orderkey
           |GROUP BY o_orderstatus""".stripMargin)
+    },
+
+    // Schema evolution through the cache: two parquet batches with
+    // drifting schemas (batch 2 adds a column) land behind graft://, and
+    // a mergeSchema read reconciles them — batch-1 rows surface NULL for
+    // the late column. The lakehouse schema-drift shape; oracle rebuilds
+    // the union with explicit NULLs. Partition pruning/pushdown still
+    // apply per file: mergeSchema only widens the read schema, it never
+    // forces a full-schema scan of old files.
+    QueryDef("c10_schema_evolution",
+      """WITH unioned AS (
+        |  SELECT s_suppkey, s_nationkey, NULL AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 2 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_nationkey, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 2 = 1)
+        |SELECT s_nationkey, count(*) AS n,
+        | CAST(count(s_acctbal) AS BIGINT) AS n_with_bal,
+        | round(sum(coalesce(s_acctbal, 0)), 3) AS bal
+        |FROM unioned GROUP BY s_nationkey""".stripMargin) { (s, dir) =>
+      enableCacheFs(s)
+      val evo = tmpBase("graft-evo", dir) + "/supplier_evo"
+      val sup = Tables.load(s, dir, "supplier")
+      // plain sibling dirs (NOT k=v names — those would be discovered as
+      // a hive partition column and widen the schema), read as an
+      // explicit multi-path scan
+      sup.filter(col("s_suppkey") % 2 === 0)
+        .select("s_suppkey", "s_nationkey")
+        .write.mode("overwrite").parquet(s"graft://$evo/batch1")
+      sup.filter(col("s_suppkey") % 2 === 1)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").parquet(s"graft://$evo/batch2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"graft://$evo/batch1", s"graft://$evo/batch2")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          count(col("s_acctbal")).as("n_with_bal"),
+          round(sum(coalesce(col("s_acctbal"), lit(0))), 3).as("bal"))
     }
   )
 

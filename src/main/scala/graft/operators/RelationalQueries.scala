@@ -973,6 +973,32 @@ object RelationalQueries {
         .select(expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+    },
+
+    // ---- native XML (Spark 4 from_xml): serialize order fields into an
+    // XML fragment in-query, parse them back with a declared schema, and
+    // emit the extracted values. The oracle is the identity over the
+    // same fields — any escaping, type-coercion, or field-resolution
+    // defect in the XML path breaks the roundtrip and fails the hash.
+    // Money rides as exact cents. Per-row codegen'd construction +
+    // parse: zero shuffles. ----
+    QueryDef("q50_xml_roundtrip",
+      """SELECT o_orderkey,
+        | o_orderstatus AS status,
+        | CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin) { (s, dir) =>
+      val xml = concat(lit("<order><id>"), col("o_orderkey"),
+        lit("</id><status>"), col("o_orderstatus"),
+        lit("</status><cents>"),
+        round(col("o_totalprice") * 100).cast("long"),
+        lit("</cents></order>"))
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), xml.as("x"))
+        .select(col("o_orderkey"),
+          expr("from_xml(x, 'id BIGINT, status STRING, cents BIGINT')").as("p"))
+        .select(col("o_orderkey"), col("p.status").as("status"),
+          col("p.cents").as("cents"))
     }
   )
 }
