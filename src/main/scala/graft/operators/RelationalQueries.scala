@@ -999,6 +999,54 @@ object RelationalQueries {
           expr("from_xml(x, 'id BIGINT, status STRING, cents BIGINT')").as("p"))
         .select(col("o_orderkey"), col("p.status").as("status"),
           col("p.cents").as("cents"))
+    },
+
+    // ---- multi-stage event funnel (product analytics): per user, first
+    // signup, first click strictly after it, first purchase strictly
+    // after that — stage = how deep the user got. Every stage is a
+    // min() over exact microsecond longs (deterministic; no window
+    // needed), and every agg/join keys on user_id, so the whole funnel
+    // reuses ONE hash partitioning: at 100 TB it is three map-side-
+    // combined aggs + two narrow joins on the same key, no data ever
+    // repartitioned twice. ----
+    QueryDef("q51_funnel",
+      """WITH s AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.t0
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t1
+        |  GROUP BY e.user_id)
+        |SELECT s.user_id,
+        |  CAST(s.t0 AS BIGINT) AS signup_us,
+        |  CAST(c.t1 AS BIGINT) AS first_click_us,
+        |  CAST(p.t2 AS BIGINT) AS first_purchase_us,
+        |  CAST(CASE WHEN p.t2 IS NOT NULL THEN 3
+        |            WHEN c.t1 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |       LEFT JOIN p ON s.user_id = p.user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("tus").as("t0"))
+      val c0 = ev.filter(col("event_type") === "click")
+        .join(s0, "user_id").filter(col("tus") > col("t0"))
+        .groupBy("user_id").agg(min("tus").as("t1"))
+      val p0 = ev.filter(col("event_type") === "purchase")
+        .join(c0, "user_id").filter(col("tus") > col("t1"))
+        .groupBy("user_id").agg(min("tus").as("t2"))
+      s0.join(c0, Seq("user_id"), "left").join(p0, Seq("user_id"), "left")
+        .select(col("user_id"), col("t0").as("signup_us"),
+          col("t1").as("first_click_us"), col("t2").as("first_purchase_us"),
+          when(col("t2").isNotNull, 3L).when(col("t1").isNotNull, 2L)
+            .otherwise(1L).as("stage"))
     }
   )
 }
