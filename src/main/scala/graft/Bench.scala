@@ -3,30 +3,50 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * SPARK_GRAFT_SF_DIR and prints JSON lines, the LAST of which is the
+  * machine-readable artifact:
   *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
   *
   * Each query is fully materialized via the noop sink (count() could let
   * Catalyst prune the work).
   *
-  * Timing methodology (changed in round 4, deliberately and visibly):
-  * TWO full passes. Pass 1 (cold) runs every query once; its per-query
-  * time is dominated by Janino codegen compilation + JIT warmup of the
-  * generated classes — measured 0.5-2 s per novel plan shape at sf0.1,
-  * roughly HALF the one-shot total across 73 queries. Pass 2 (warm)
-  * re-runs everything; compiled plans are cached, so its times are the
-  * steady-state engine cost — the number that predicts behavior on a
-  * long-lived cluster, where a plan compiles once and then scans 100 TB.
-  * `value`/`queries` report the warm pass; `cold_total_sec` reports the
-  * full cold-pass total so the warm numbers can't hide it (rounds 1-3
-  * were cold one-shots after a 3-query warmup — compare THOSE against
-  * cold_total_sec, not against `value`).
+  * Timing methodology (round 8 revision — measurement integrity):
   *
-  * Values are rounded to ms so the whole line stays small enough for
-  * tail-window parsers (BENCH_r03.json shows the r3 line was truncated
-  * past parseability).
+  * 1. COLD pass: one run per query; dominated by Janino codegen + JIT
+  *    warmup (0.5-2 s per novel plan shape at sf0.1). Reported as
+  *    `cold_total_sec` only.
+  * 2. WARM passes: THREE runs per query, back to back; the per-query
+  *    number is the MEDIAN of the three. Rationale: the r6-vs-r7 A/A
+  *    re-run of a byte-identical tree swung single-shot times 8x down
+  *    (d09, e01) and 1.6x up (d07) — single shots cannot resolve
+  *    regressions below ~2x on the heavy queries. The max over queries
+  *    of (max-min)/median across the reps is reported as `rep_spread_max`
+  *    so the artifact carries its own noise floor.
+  * 3. RAW-OPERATOR timings (`ops` dict): the d06/d07 gate bodies conflate
+  *    operator cost with their oracle-verification arm (exact-Jaccard
+  *    recomputation / planted-twin doubling). `d06_op` times ONLY
+  *    Dedup.lshCandidates over a pre-materialized signature table;
+  *    `d07_op` times Dedup.simhashCandidates over the single (undoubled)
+  *    corpus. Median of three, same as warm.
+  * 4. FAILURE POISONING: a throwing query no longer becomes a silent -1
+  *    (which made the round look faster). Failed names are carried in a
+  *    `failed` array in the artifact and the run ends by throwing, so the
+  *    driver records rc != 0.
+  *
+  * Output layout (driver keeps the TAIL of stdout; r3/r5/r6/r7 artifacts
+  * all lost the totals because a ~2600-char full-name queries dict pushed
+  * them out of the capture window): verbose lines (full names,
+  * min/med/max per query) print FIRST for humans and BASELINE.md work;
+  * the LAST line is compact — totals plus a short-id queries dict
+  * ("q26":0.24 instead of "q26_math_funcs":0.240) that fits the window
+  * whole. Short ids are the name prefix before the first underscore,
+  * verified unique at startup.
   */
 object Bench {
+
+  private def median3(a: Double, b: Double, c: Double): Double =
+    Seq(a, b, c).sorted.apply(1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,29 +54,87 @@ object Bench {
         shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Each query runs inside a PinScope: intermediates it persists (dedup
-    // signature tables, CC label frontier, IVF training set) are
-    // unpersisted as soon as the query materializes, so pinned storage
-    // can't accumulate across the 2×N executions and silently tax later
-    // queries' execution memory (the r5 bench measured code-unchanged
-    // per-row projections at 3× their prior time from exactly this).
-    def materialize(name: String): Double = PinScope.run(spark) {
+    val failed = scala.collection.mutable.ListBuffer[String]()
+
+    // Each materialization runs inside a PinScope: intermediates it
+    // persists (dedup signature tables, CC label frontier, IVF training
+    // set) are unpersisted as soon as the query materializes, so pinned
+    // storage can't accumulate across the ~4xN executions and silently
+    // tax later queries' execution memory (the r5 bench measured
+    // code-unchanged per-row projections at 3x their prior time from
+    // exactly this).
+    def timeOnce(name: String)(body: => Unit): Double = PinScope.run(spark) {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      try body
+      catch { case e: Throwable =>
+        if (!failed.contains(name)) {
+          failed += name
+          Console.err.println(s"BENCH FAILURE in $name: ${e.getClass.getName}: ${e.getMessage}")
+        }
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
+    def materialize(name: String): Double = timeOnce(name) {
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     val names = SparkEntry.allDefs.map(_.name)
+    val shortIds = names.map(_.takeWhile(_ != '_'))
+    require(shortIds.distinct.size == names.size,
+      s"short-id collision in ${names.size} query names")
+
+    // ---- cold pass (1 rep) ----
     val coldTotal = names.map { n =>
       val t = materialize(n)
       require(PinScope.pinnedCount(spark) == 0,
         s"$n leaked ${PinScope.pinnedCount(spark)} pinned RDDs past its scope")
       t
     }.filter(_ >= 0).sum
-    val results = names.map(n => n -> materialize(n))
-    val total = results.map(_._2).filter(_ >= 0).sum
+
+    // ---- warm passes (3 reps, median) ----
+    val warm: Seq[(String, Double, Double, Double)] = names.map { n =>
+      val reps = Seq.fill(3)(materialize(n))
+      if (reps.exists(_ < 0)) (n, -1.0, -1.0, -1.0)
+      else (n, reps.min, median3(reps(0), reps(1), reps(2)), reps.max)
+    }
+    val ok = warm.filter(_._3 >= 0)
+    val total = ok.map(_._3).sum
+    val repSpreadMax =
+      if (ok.isEmpty) 0.0
+      else ok.map { case (_, mn, md, mx) => if (md > 0) (mx - mn) / md else 0.0 }.max
+
+    // ---- raw-operator timings: operator cost WITHOUT the oracle arm ----
+    val docs = operators.Tables.load(spark, sfDir, "documents")
+    val opTimes: Seq[(String, Double)] = Seq[(String, () => Seq[Double])](
+      "d06_op" -> { () =>
+        // Signature table materialized OUTSIDE each timed region: d06_op is
+        // the banded candidate join alone, the reusable-artifact shape a
+        // pipeline at 100 TB runs against a persisted signature store.
+        // PinScope clears the SQL cache after every rep, so the persist +
+        // count is redone per rep — always before the clock starts.
+        Seq.fill(3) {
+          val sigs = operators.Dedup.signatures(docs).persist()
+          sigs.count()
+          timeOnce("d06_op") {
+            operators.Dedup.lshCandidates(sigs)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+      },
+      "d07_op" -> { () =>
+        Seq.fill(3)(timeOnce("d07_op") {
+          operators.Dedup.simhashCandidates(docs)
+            .write.format("noop").mode("overwrite").save()
+        })
+      }
+    ).map { case (opName, run) =>
+      val reps = run()
+      val t = if (reps.exists(_ < 0)) -1.0 else median3(reps(0), reps(1), reps(2))
+      opName -> t
+    }
 
     // Cache hit rate over the whole run (c* queries rescan warmed files):
     // server formula = (cached + nonlocal) / all block requests
@@ -66,13 +144,20 @@ object Bench {
     val reqs = hits + m.getOrElse("remote_requests", 0L)
     val hitRate = if (reqs == 0) 0.0 else hits.toDouble / reqs
 
-    // Totals FIRST, on their own compact line: the driver's tail capture
-    // truncates long lines, and r5's cold total was unrecoverable because
-    // it sat mid-way through the one giant JSON line. The driver parses
-    // the LAST line as the artifact; this leading line is belt-and-braces.
-    println(f"""{"metric":"totals_first","warm_total_sec":$total%.3f,"cold_total_sec":$coldTotal%.3f,"cache_hit_rate":$hitRate%.4f,"cache_block_requests":$reqs,"n_queries":${names.size}}""")
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"cache_hit_rate":$hitRate%.4f,"queries":$qs,"sf":"$sfDir"}""")
+    // ---- verbose (humans + BASELINE.md): full names, min/med/max ----
+    warm.foreach { case (n, mn, md, mx) =>
+      println(f"""{"q":"$n","min":$mn%.3f,"med":$md%.3f,"max":$mx%.3f}""")
+    }
+
+    val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val opsJson = opTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // ---- compact artifact line, LAST so the tail capture keeps it ----
+    val qs = names.zip(shortIds).zip(warm).map { case ((_, sid), (_, _, md, _)) =>
+      f""""$sid":$md%.2f"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"cache_hit_rate":$hitRate%.4f,"failed":$failedJson,"ops":$opsJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty)
+      throw new RuntimeException(s"bench queries failed: ${failed.mkString(", ")}")
   }
 }

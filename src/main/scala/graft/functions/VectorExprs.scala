@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -250,25 +251,38 @@ object VectorOps {
     new GenericArrayData(out)
   }
 
+  /** Broadcast the k × dims centroid matrix once; the expressions below
+    * hold only the broadcast HANDLE. Holding the matrix itself as an
+    * expression literal is a scale bug: a real IVF coarse quantizer has
+    * thousands of cells, and thousands × dims doubles inlined into the
+    * expression tree blow up plan serialization, plan-string rendering,
+    * and codegen reference tables on every task. The handle serializes as
+    * a small stub; executors fetch the blocks once per JVM. */
+  def broadcastCentroids(spark: SparkSession,
+      centroids: Seq[Seq[Double]]): Broadcast[Array[Array[Double]]] =
+    spark.sparkContext.broadcast(centroids.map(_.toArray).toArray)
+
   /** Argmin-centroid assignment for IVF coarse quantization: per-row
-    * codegen'd loop over a k × dims centroid table. */
+    * codegen'd loop over a broadcast k × dims centroid table. */
   case class NearestCentroid(child: Expression,
-      centroids: Seq[Seq[Double]]) extends UnaryExpression {
-    @transient private lazy val cents: Array[Array[Double]] =
-      centroids.map(_.toArray).toArray
+      bcast: Broadcast[Array[Array[Double]]]) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def checkInputDataTypes(): TypeCheckResult =
       requireFloatArray(child.dataType, prettyName)
     override def nullable: Boolean = true
     override def nullSafeEval(a: Any): Any = {
       val aa = a.asInstanceOf[ArrayData]
-      if (hasNullElement(aa)) null else nearestCentroid(aa, cents)
+      if (hasNullElement(aa)) null else nearestCentroid(aa, bcast.value)
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
+      val ref = ctx.addReferenceObj("ivfCentroidsBc", bcast,
+        "org.apache.spark.broadcast.Broadcast")
+      // unwrap the broadcast ONCE per operator instance, not per row
+      val cents = ctx.addMutableState("double[][]", "ivfCents",
+        v => s"$v = (double[][]) $ref.value();")
       nullSafeCodeGen(ctx, ev, a =>
         s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
-           |else { ${ev.value} = graft.functions.VectorOps.nearestCentroid($a, $ref); }""".stripMargin)
+           |else { ${ev.value} = graft.functions.VectorOps.nearestCentroid($a, $cents); }""".stripMargin)
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -278,33 +292,35 @@ object VectorOps {
   /** Multi-probe variant: the nprobe nearest cell ids, for the query side
     * of an IVF search. */
   case class NearestCentroids(child: Expression,
-      centroids: Seq[Seq[Double]], nprobe: Int) extends UnaryExpression {
-    @transient private lazy val cents: Array[Array[Double]] =
-      centroids.map(_.toArray).toArray
+      bcast: Broadcast[Array[Array[Double]]], nprobe: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
       requireFloatArray(child.dataType, prettyName)
     override def nullable: Boolean = true
     override def nullSafeEval(a: Any): Any = {
       val aa = a.asInstanceOf[ArrayData]
-      if (hasNullElement(aa)) null else nearestCentroids(aa, cents, nprobe)
+      if (hasNullElement(aa)) null else nearestCentroids(aa, bcast.value, nprobe)
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
+      val ref = ctx.addReferenceObj("ivfCentroidsBc", bcast,
+        "org.apache.spark.broadcast.Broadcast")
+      val cents = ctx.addMutableState("double[][]", "ivfCents",
+        v => s"$v = (double[][]) $ref.value();")
       nullSafeCodeGen(ctx, ev, a =>
         s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
-           |else { ${ev.value} = graft.functions.VectorOps.nearestCentroids($a, $ref, $nprobe); }""".stripMargin)
+           |else { ${ev.value} = graft.functions.VectorOps.nearestCentroids($a, $cents, $nprobe); }""".stripMargin)
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "nearest_centroids"
   }
 
-  def nearestCentroidCol(a: Column, centroids: Seq[Seq[Double]]): Column =
-    exprCol(NearestCentroid(exprOf(a), centroids))
-  def nearestCentroidsCol(a: Column, centroids: Seq[Seq[Double]],
+  def nearestCentroidCol(a: Column,
+      bcast: Broadcast[Array[Array[Double]]]): Column =
+    exprCol(NearestCentroid(exprOf(a), bcast))
+  def nearestCentroidsCol(a: Column, bcast: Broadcast[Array[Array[Double]]],
       nprobe: Int): Column =
-    exprCol(NearestCentroids(exprOf(a), centroids, nprobe))
+    exprCol(NearestCentroids(exprOf(a), bcast, nprobe))
 
   /** Column API: construct via the registry-free SQL parser path. */
   def cosineSim(a: Column, b: Column): Column = exprCol(CosineSim(exprOf(a), exprOf(b)))

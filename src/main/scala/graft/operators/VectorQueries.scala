@@ -80,8 +80,14 @@ object VectorQueries {
       var cents = collectCents(
         train.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(k)).cast("int")))
       (0 until iters).foreach { _ =>
+        // per-iteration broadcast of the k × dims matrix (small — only
+        // the final quantizer is large-lived); the assignment expression
+        // holds the handle, never the matrix, so plan size stays O(1) in k
+        val bc = graft.functions.VectorOps.broadcastCentroids(
+          train.sparkSession, cents)
         cents = collectCents(train.withColumn("cell",
-          graft.functions.VectorOps.nearestCentroidCol(col("embedding"), cents)))
+          graft.functions.VectorOps.nearestCentroidCol(col("embedding"), bc)))
+        bc.unpersist(blocking = false)
       }
       cents
     } finally train.unpersist(blocking = false)
@@ -186,13 +192,16 @@ object VectorQueries {
       val cents = kmeansCentroids(
         corpus.select(col("cid").as("vec_id"), col("ce").as("embedding")),
         k, iters = 2, trainTargetRows = 1000L)
+      // ONE broadcast of the trained quantizer serves both the corpus
+      // bucketing and the query-side multi-probe expression
+      val bc = graft.functions.VectorOps.broadcastCentroids(s, cents)
       val bucketed = corpus.withColumn("cell",
-        graft.functions.VectorOps.nearestCentroidCol(col("ce"), cents))
+        graft.functions.VectorOps.nearestCentroidCol(col("ce"), bc))
       // nprobe nearest cells per query via the multi-probe expression
       val probes = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         .withColumn("cell", explode(
-          graft.functions.VectorOps.nearestCentroidsCol(col("qe"), cents, nprobe)))
+          graft.functions.VectorOps.nearestCentroidsCol(col("qe"), bc, nprobe)))
       val scored = bucketed.join(broadcast(probes), Seq("cell"))
         .withColumn("cos", cos(col("qe"), col("ce")))
         .select(col("qid"), col("cid"), col("cos"))
@@ -338,10 +347,11 @@ object VectorQueries {
       val cents = kmeansCentroids(
         corpus.select(col("cid").as("vec_id"), col("ce").as("embedding")),
         k, iters = 2, trainTargetRows = 1000L)
+      val bc = graft.functions.VectorOps.broadcastCentroids(s, cents)
       val ivf = corpus.withColumn("cell",
-          graft.functions.VectorOps.nearestCentroidCol(col("ce"), cents))
+          graft.functions.VectorOps.nearestCentroidCol(col("ce"), bc))
         .join(broadcast(probes.withColumn("cell", explode(
-          graft.functions.VectorOps.nearestCentroidsCol(col("qe"), cents, nprobe)))),
+          graft.functions.VectorOps.nearestCentroidsCol(col("qe"), bc, nprobe)))),
           Seq("cell"))
         .withColumn("cos", cos(col("qe"), col("ce")))
         .select(col("qid"), col("cid"), col("cos"))
