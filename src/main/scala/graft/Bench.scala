@@ -139,7 +139,7 @@ object Bench {
     // Cache hit rate over the whole run (c* queries rescan warmed files):
     // server formula = (cached + nonlocal) / all block requests
     // (BASELINE.md "Server hit rate"; reference BookKeeper.java:213-229).
-    val m = operators.CacheQueries.metricsSnapshot
+    val m = operators.CacheQueries.metricsSnapshot(spark)
     val hits = m.getOrElse("cached_requests", 0L) + m.getOrElse("nonlocal_requests", 0L)
     val reqs = hits + m.getOrElse("remote_requests", 0L)
     val hitRate = if (reqs == 0) 0.0 else hits.toDouble / reqs

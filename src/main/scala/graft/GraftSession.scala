@@ -94,6 +94,7 @@ object GraftSession {
       "spark.metrics.conf.*.sink.statsd.prefix" -> prefix)
 
   def withStatsdMetrics(b: SparkSession.Builder, host: String = "127.0.0.1",
-      port: Int = 8125, periodSec: Int = 10): SparkSession.Builder =
-    applyConf(b, statsdMetricsConf(host, port, periodSec))
+      port: Int = 8125, periodSec: Int = 10,
+      prefix: String = "graft"): SparkSession.Builder =
+    applyConf(b, statsdMetricsConf(host, port, periodSec, prefix))
 }

@@ -27,12 +27,26 @@ class GraftFileSystem extends FileSystem {
   private var workingDir: Path = _
   private var enabled: Boolean = true
 
+  /** Scheme this caching FS answers for. The base class claims `graft`
+    * (wrap-a-scheme mode); the per-scheme shims below claim the native
+    * scheme itself (take-over mode, reference
+    * hadoop2/CachingS3AFileSystem.java:23-42 parity). */
+  protected def outerScheme: String = "graft"
+
+  /** Underlying FS construction. Wrap-a-scheme mode dispatches through
+    * FileSystem.get on `graft.underlying.scheme`; take-over shims MUST
+    * instantiate the concrete class directly instead (fs.<scheme>.impl
+    * now names the shim, so FileSystem.get would recurse). */
+  protected def createInner(name: URI, conf: Configuration): FileSystem = {
+    val underScheme = conf.get("graft.underlying.scheme", "file")
+    FileSystem.get(URI.create(s"$underScheme:///"), conf)
+  }
+
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
     setConf(conf)
-    myUri = URI.create(s"graft://${Option(name.getAuthority).getOrElse("")}/")
-    val underScheme = conf.get("graft.underlying.scheme", "file")
-    inner = FileSystem.get(URI.create(s"$underScheme:///"), conf)
+    myUri = URI.create(s"$outerScheme://${Option(name.getAuthority).getOrElse("")}/")
+    inner = createInner(name, conf)
     cacheConf = CacheConfig.from(conf)
     enabled = conf.getBoolean(CacheConfig.EnabledKey, true) &&
       projectionAdmitted(conf)
@@ -58,7 +72,7 @@ class GraftFileSystem extends FileSystem {
   }
 
   override def getUri: URI = myUri
-  override def getScheme: String = "graft"
+  override def getScheme: String = outerScheme
 
   // ---- path translation ----
   private def toInner(p: Path): Path = {
@@ -68,12 +82,18 @@ class GraftFileSystem extends FileSystem {
   }
   private def toOuter(p: Path): Path = {
     val u = p.toUri
-    new Path("graft", Option(myUri.getAuthority).getOrElse(""),
+    new Path(outerScheme, Option(myUri.getAuthority).getOrElse(""),
       Option(u.getPath).filter(_.nonEmpty).getOrElse("/"))
   }
   private def translate(st: FileStatus): FileStatus = {
-    st.setPath(toOuter(st.getPath))
-    st
+    // COPY, never mutate: some inner statuses resolve fields lazily from
+    // their own path (RawLocalFileSystem's permission loader does
+    // `new File(getPath().toUri())`) — rewriting the path in place makes
+    // that later load explode on the outer scheme. The copy constructor
+    // materializes those fields while the inner path is still intact.
+    val out = new FileStatus(st)
+    out.setPath(toOuter(st.getPath))
+    out
   }
 
   // ---- admission control (CacheUtil.skipCache:203-222 analog) ----
@@ -251,3 +271,60 @@ object CacheAffinity {
     out.toArray
   }
 }
+
+/** Per-scheme take-over shims (reference parity: rubix-hadoop2 ships
+  * concrete CachingS3AFileSystem / CachingGoogleHadoopFileSystem /
+  * CachingNativeAzureFileSystem / CachingDistributedFileSystem,
+  * CachingS3AFileSystem.java:23-42, so an engine enables the cache with
+  * ONE config key and zero path rewriting). Same contract here:
+  *
+  *   spark.hadoop.fs.s3a.impl = graft.cache.GraftS3AFileSystem
+  *
+  * and every existing `s3a://bucket/...` URI in every job reads through
+  * the block cache — no graft:// prefixing. The real underlying client is
+  * instantiated DIRECTLY from `graft.<scheme>.underlying.impl` (default:
+  * the stock Hadoop implementation class) because `fs.<scheme>.impl` now
+  * names the shim and FileSystem.get would recurse; this is exactly the
+  * reference's `new S3AFileSystem()` inside its shim. The underlying FS
+  * is initialized with the SAME URI (scheme + bucket authority), so path
+  * translation is identity up to the scheme swap and all cache-key /
+  * locality / admission logic is inherited unchanged. */
+abstract class GraftSchemeFileSystem(scheme: String,
+    defaultImpl: String) extends GraftFileSystem {
+  override protected def outerScheme: String = scheme
+  override protected def createInner(name: URI,
+      conf: Configuration): FileSystem = {
+    val implName = conf.get(s"graft.$scheme.underlying.impl", defaultImpl)
+    val fs = Class.forName(implName).getDeclaredConstructor()
+      .newInstance().asInstanceOf[FileSystem]
+    // the real client (S3AFileSystem etc.) declares the taken-over scheme
+    // and gets the original URI (bucket authority intact); a swapped-in
+    // client of a DIFFERENT scheme (tests use LocalFileSystem) is
+    // initialized under its own scheme so its path handling stays sane
+    val innerScheme = scala.util.Try(fs.getScheme).getOrElse(scheme)
+    val innerUri = if (innerScheme == scheme) name
+      else URI.create(s"$innerScheme://${Option(name.getAuthority).getOrElse("")}/")
+    fs.initialize(innerUri, conf)
+    fs
+  }
+}
+
+/** fs.s3a.impl shim (reference CachingS3AFileSystem). */
+class GraftS3AFileSystem extends GraftSchemeFileSystem("s3a",
+  "org.apache.hadoop.fs.s3a.S3AFileSystem")
+
+/** fs.gs.impl shim (reference CachingGoogleHadoopFileSystem). */
+class GraftGoogleHadoopFileSystem extends GraftSchemeFileSystem("gs",
+  "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem")
+
+/** fs.abfs.impl shim (reference CachingAzureBlobFileSystem analog). */
+class GraftAbfsFileSystem extends GraftSchemeFileSystem("abfs",
+  "org.apache.hadoop.fs.azurebfs.AzureBlobFileSystem")
+
+/** fs.wasb.impl shim (reference CachingNativeAzureFileSystem). */
+class GraftNativeAzureFileSystem extends GraftSchemeFileSystem("wasb",
+  "org.apache.hadoop.fs.azure.NativeAzureFileSystem")
+
+/** fs.hdfs.impl shim (reference CachingDistributedFileSystem). */
+class GraftDistributedFileSystem extends GraftSchemeFileSystem("hdfs",
+  "org.apache.hadoop.hdfs.DistributedFileSystem")

@@ -20,10 +20,26 @@ object CacheQueries {
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
   }
 
-  /** Scratch dir namespaced by purpose + scale-factor dir name. */
-  private def tmpBase(prefix: String, dir: String): String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/$prefix/" +
+  /** Scratch dir namespaced by purpose + scale-factor dir name, deleted
+    * on JVM exit. Within a run the writers use mode(overwrite), so the
+    * footprint is bounded to one copy; the shutdown hook removes that
+    * copy so repeated sessions don't accumulate scratch in shared /tmp.
+    * (Catalog entries like c09's bucketed tables live in the session's
+    * in-memory catalog and die with the JVM on their own.) */
+  private val scratchDirs = scala.collection.concurrent.TrieMap[String, Unit]()
+  sys.addShutdownHook {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete()
+    }
+    scratchDirs.keys.foreach(d => rm(new java.io.File(d)))
+  }
+  private def tmpBase(prefix: String, dir: String): String = {
+    val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/$prefix/" +
       new java.io.File(dir).getName
+    scratchDirs.put(p, ())
+    p
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -194,14 +210,19 @@ object CacheQueries {
       """SELECT p_brand, count(*) AS n,
         | round(sum(p_retailprice),3) AS price, true AS warm_hits_ok
         |FROM part GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      // NOTE: the before/after delta below reads the process-global
+      // cache-metrics registry, so this contract is valid only when gate
+      // queries run sequentially — which Verify and Bench both guarantee.
+      // A harness running c* queries concurrently would interleave other
+      // scans' counters into the delta (same caveat as c11).
       enableCacheFs(s)
       def agg = s.read.parquet(s"graft://$dir/part.parquet")
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 3).as("price"))
       agg.count() // cold: warms every touched block
-      val before = metricsSnapshot
+      val before = metricsSnapshot(s)
       agg.count() // warm: must be served from cache
-      val after = metricsSnapshot
+      val after = metricsSnapshot(s)
       val hits = after.getOrElse("cached_requests", 0L) -
         before.getOrElse("cached_requests", 0L)
       val misses = after.getOrElse("remote_requests", 0L) -
@@ -279,10 +300,85 @@ object CacheQueries {
         .agg(count(lit(1)).as("n"),
           count(col("s_acctbal")).as("n_with_bal"),
           round(sum(coalesce(col("s_acctbal"), lit(0))), 3).as("bal"))
+    },
+
+    // Projection-width cache admission (reference minColumnsSelected,
+    // rubix-spi CacheUtil.java:385-388): a 2-of-16-column scan of the
+    // wide fact table is NOT worth caching — it would pin whole blocks
+    // for bytes it mostly skips — while a 6-column aggregate clears the
+    // 5-column floor and must warm/hit the cache. Both admission
+    // decisions ride in-band as booleans (the c08 contract): the oracle
+    // states `true` for each, so an admission regression in either
+    // direction (narrow scans polluting the cache, or wide scans
+    // bypassing it) hash-fails the gate. The data payload is the wide
+    // aggregate itself. Metrics come from the manager bound to the
+    // session-keyed FS — per-scan confs (the refused narrow path) swap
+    // CacheManager.current to a throwaway instance, so the session
+    // manager is the one whose counters must stay flat. Like c08, the
+    // delta check assumes the gate runs queries sequentially (Verify and
+    // Bench both do); concurrent c* queries would share these counters.
+    QueryDef("c11_admission_gate",
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity),3) AS qty,
+        | round(sum(l_extendedprice),3) AS price,
+        | round(sum(l_discount),3) AS disc,
+        | round(sum(l_tax),3) AS tax,
+        | true AS narrow_bypassed, true AS wide_admitted
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      enableCacheFs(s)
+      val m = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create("graft:///"), s.sessionState.newHadoopConf())
+        .asInstanceOf[graft.cache.GraftFileSystem].cacheManager.metrics
+      val path = s"$dir/lineitem.parquet"
+      val floorOpt = graft.cache.CacheConfig.MinColumnsKey -> "5"
+      def wide(withFloor: Boolean) = {
+        val r = s.read.format("graft")
+        (if (withFloor) r.option(floorOpt._1, floorOpt._2) else r).load(path)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 3).as("qty"),
+            round(sum("l_extendedprice"), 3).as("price"),
+            round(sum("l_discount"), 3).as("disc"),
+            round(sum("l_tax"), 3).as("tax"))
+      }
+      // pre-warm the file (no floor) so the checks below are
+      // independent of which c* query ran earlier: footer/schema reads
+      // and the data blocks are all cached after this pass
+      wide(withFloor = false).write.format("noop").mode("overwrite").save()
+      val warmup0 = m.warmupBytes.get
+      val remote0 = m.bytesFromRemote.get
+      // narrow: 2 of 16 columns, below the floor -> direct read; the
+      // warm session-FS counters must not move for the DATA scan
+      s.read.format("graft").option(floorOpt._1, floorOpt._2).load(path)
+        .select("l_orderkey", "l_quantity")
+        .write.format("noop").mode("overwrite").save()
+      val narrowBypassed =
+        m.warmupBytes.get == warmup0 && m.bytesFromRemote.get == remote0
+      // wide: the aggregate projects 6 columns, clears the floor; its
+      // scan must be served THROUGH the (warm) cache
+      val cached0 = m.bytesFromCache.get
+      wide(withFloor = true).write.format("noop").mode("overwrite").save()
+      val wideAdmitted = m.bytesFromCache.get > cached0
+      wide(withFloor = true)
+        .withColumn("narrow_bypassed", lit(narrowBypassed))
+        .withColumn("wide_admitted", lit(wideAdmitted))
     }
   )
 
-  /** Cache metrics snapshot for diagnostics (Bench prints this). */
-  def metricsSnapshot: Map[String, Long] =
-    CacheManager.current.map(_.metrics.snapshot.toMap).getOrElse(Map.empty)
+  /** Cache metrics snapshot, resolved through the JVM-cached session FS
+    * (fallback: CacheManager.current when graft:// was never wired).
+    * Resolution through FileSystem.get matters: refused-admission narrow
+    * scans (c11, GraftScanBuilder) run on per-scan confs whose throwaway
+    * FS instances swap CacheManager.current — a reader that trusted
+    * `current` after one of those would see frozen counters (c08 went
+    * red in round 8 exactly this way when queries(…) map order put c11
+    * before c08). */
+  def metricsSnapshot(s: SparkSession): Map[String, Long] =
+    scala.util.Try(
+      org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create("graft:///"), s.sessionState.newHadoopConf())
+        .asInstanceOf[graft.cache.GraftFileSystem]
+        .cacheManager.metrics.snapshot.toMap)
+      .getOrElse(
+        CacheManager.current.map(_.metrics.snapshot.toMap).getOrElse(Map.empty))
 }

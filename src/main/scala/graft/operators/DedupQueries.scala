@@ -70,6 +70,67 @@ object DedupQueries {
           coalesce(col("hamming"), lit(-1)).cast("long").as("hamming"))
     },
 
+    // ---- substring/rolling-window dedup (the Lee et al. "Deduplicating
+    // Training Data Makes Language Models Better" shape, approximated at
+    // window granularity): every doc is decomposed into its distinct
+    // 8-token sliding windows (stride 1) by the same one-loop-per-doc
+    // codegen expression the shingle ops use — zero shuffle to produce,
+    // no gram strings materialized. A window is "duplicated" if the same
+    // 8-token substring first occurs in a lower doc_id (first-occurrence
+    // keep). Per doc we emit window counts, the duplication fraction in
+    // exact integer permille (n_dup*1000 div n_win — no double ratio, no
+    // rounding-boundary flips), and the keep decision (< 50% duplicated).
+    //
+    // Scale shape: ONE shuffle on the 8-byte window hash (min-over-window
+    // computes first occurrence without a groupBy+self-join re-shuffle),
+    // one on doc_id for the per-doc rollup. Never pairwise: a window
+    // shared by a million docs costs one hot hash partition, not 10^12
+    // pairs. The oracle recomputes everything from the window STRINGS in
+    // DuckDB — the equi-join on xxhash64(window) is equivalent to string
+    // equality modulo 64-bit collisions (the d05 precedent). ----
+    QueryDef("d21_window_dedup",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |w AS (SELECT doc_id,
+        |   list_distinct(list_transform(range(1, greatest(len(tk)-7, 0)+1),
+        |     i -> concat_ws(' ', tk[i],tk[i+1],tk[i+2],tk[i+3],tk[i+4],tk[i+5],tk[i+6],tk[i+7]))) AS wins
+        | FROM t),
+        |e AS (SELECT doc_id, unnest(wins) AS win FROM w),
+        |k AS (SELECT win, min(doc_id) AS first_doc FROM e GROUP BY win),
+        |p AS (SELECT e.doc_id, count(*) AS n_win,
+        |        sum(CASE WHEN e.doc_id > k.first_doc THEN 1 ELSE 0 END) AS n_dup
+        |      FROM e JOIN k USING (win) GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_win, 0) AS BIGINT) AS n_win,
+        |  CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(COALESCE(p.n_dup, 0) * 1000 // greatest(COALESCE(p.n_win, 0), 1) AS BIGINT)
+        |    AS dup_permille,
+        |  COALESCE(p.n_dup * 2 < p.n_win, true) AS keep
+        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin) { (s, dir) =>
+      val W = 8
+      val docs = Tables.load(s, dir, "documents")
+      val exploded = docs
+        .withColumn("__tok", Dedup.tokenCol)
+        .select(col("doc_id"),
+          explode(graft.functions.TextHashes.shingleHash64Col(
+            col("text"), col("__tok"), W, emptyIfShort = true)).as("wh"))
+      val byHash = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+      val perDoc = exploded
+        .withColumn("first_doc", min("doc_id").over(byHash))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_win"),
+          sum(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L)).as("n_dup"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_win"), lit(0L)).cast("long").as("n_win"),
+          coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup"))
+        .withColumn("dup_permille",
+          expr("n_dup * 1000L div greatest(n_win, 1L)").cast("long"))
+        .withColumn("keep",
+          when(col("n_win") === 0L, lit(true))
+            .otherwise(col("n_dup") * 2 < col("n_win")))
+    },
+
     // ---- embedding-cosine near-dup: EXACT pairs above a cosine
     // threshold within a label block (the d05 blocked-join pattern: the
     // closed label vocabulary bounds each quadratic block). This is the

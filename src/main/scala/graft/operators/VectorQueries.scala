@@ -93,6 +93,78 @@ object VectorQueries {
     } finally train.unpersist(blocking = false)
   }
 
+  /** Pure-LSH ANN top-5 (no exact arm): the operator behind e07's
+    * candidate generator, kept as library surface + recall specs
+    * (PipelineSpec, PlanSpec). Dropped from the GATE list in round 8:
+    * its emitted rows are engine-specific (no SQL oracle can recompute
+    * an LSH candidate set), so it sat as a rows-only `no_oracle` gate
+    * entry while e07 already gates the same code path under the full
+    * hash oracle (exact top-5 rows + in-band recall contract). */
+  def knnLsh(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // Bucket the bounded probe set and the corpus as separate scans:
+    // the probe scan is tiny (pushed-down vec_id < 10) and broadcast,
+    // so the corpus is scanned + hyperplane-hashed exactly once and
+    // never shuffled. Cosine is computed per candidate BEFORE the pair
+    // dedup, so only (qid, cid, cos) rides the dedup shuffle — the
+    // 256-byte embedding arrays stay out of every exchange.
+    def bucketed(df: DataFrame) = df
+      .select(col("vec_id"), col("embedding"),
+        posexplode(srpBucketIds()).as(Seq("t", "b")))
+    val base = Tables.load(s, dir, "embeddings")
+    val q = bucketed(base.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("t"), col("b"))
+    val c = bucketed(base.filter(col("vec_id") >= 10))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("t"), col("b"))
+    // candidates share any (table, bucket); score, dedupe across tables, rank
+    val scored = c.join(broadcast(q), Seq("t", "b"))
+      .withColumn("cos", cos(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("cos"))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
+  }
+
+  /** Pure-IVF ANN top-5 (16-cell coarse quantizer, 2 Lloyd iterations,
+    * nprobe=4 multi-probe): candidates are an equi-join on the cell id,
+    * bounded by nprobe/k of the corpus. Library surface + recall specs;
+    * dropped from the GATE list in round 8 for the same reason as
+    * [[knnLsh]] — e08 gates the identical training/assignment/probe path
+    * under the full hash oracle. */
+  def knnIvf(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val k = 16; val nprobe = 4
+    val base = Tables.load(s, dir, "embeddings")
+    // persisted because three consumers scan it: the training-sample
+    // sizing count, the sample filter, and the bucketing below — one
+    // parquet pass total instead of three. (At 100 TB you'd skip the
+    // persist and the count and sample at a fixed rate; here the corpus
+    // fits and the cache also serves the final candidate join.)
+    val corpus = base.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .persist()
+    val cents = kmeansCentroids(
+      corpus.select(col("cid").as("vec_id"), col("ce").as("embedding")),
+      k, iters = 2, trainTargetRows = 1000L)
+    // ONE broadcast of the trained quantizer serves both the corpus
+    // bucketing and the query-side multi-probe expression
+    val bc = graft.functions.VectorOps.broadcastCentroids(s, cents)
+    val bucketed = corpus.withColumn("cell",
+      graft.functions.VectorOps.nearestCentroidCol(col("ce"), bc))
+    // nprobe nearest cells per query via the multi-probe expression
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("cell", explode(
+        graft.functions.VectorOps.nearestCentroidsCol(col("qe"), bc, nprobe)))
+    val scored = bucketed.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos", cos(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k: probe set (vec_id < 10) vs corpus ----
@@ -173,71 +245,6 @@ object VectorQueries {
           col("v").as("c"))
     },
 
-    // ---- IVF ANN: the second scale path (SURVEY §2 "IVF or LSH"). Train
-    // a 16-cell coarse quantizer (2 Lloyd iterations), bucket the corpus
-    // by nearest cell, probe the 4 nearest cells per query — candidates
-    // are an equi-join on the cell id, bounded by nprobe/k of the corpus.
-    // Rows-only gate; recall-vs-brute-force in PipelineSpec. ----
-    QueryDef.noOracle("e06_knn_ivf") { (s, dir) =>
-      val k = 16; val nprobe = 4
-      val base = Tables.load(s, dir, "embeddings")
-      // persisted because three consumers scan it: the training-sample
-      // sizing count, the sample filter, and the bucketing below — one
-      // parquet pass total instead of three. (At 100 TB you'd skip the
-      // persist and the count and sample at a fixed rate; here the corpus
-      // fits and the cache also serves the final candidate join.)
-      val corpus = base.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        .persist()
-      val cents = kmeansCentroids(
-        corpus.select(col("cid").as("vec_id"), col("ce").as("embedding")),
-        k, iters = 2, trainTargetRows = 1000L)
-      // ONE broadcast of the trained quantizer serves both the corpus
-      // bucketing and the query-side multi-probe expression
-      val bc = graft.functions.VectorOps.broadcastCentroids(s, cents)
-      val bucketed = corpus.withColumn("cell",
-        graft.functions.VectorOps.nearestCentroidCol(col("ce"), bc))
-      // nprobe nearest cells per query via the multi-probe expression
-      val probes = base.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .withColumn("cell", explode(
-          graft.functions.VectorOps.nearestCentroidsCol(col("qe"), bc, nprobe)))
-      val scored = bucketed.join(broadcast(probes), Seq("cell"))
-        .withColumn("cos", cos(col("qe"), col("ce")))
-        .select(col("qid"), col("cid"), col("cos"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
-    },
-
-    // ---- LSH-bucketed ANN: the scale path (rows-only; recall in spec) ----
-    QueryDef.noOracle("e04_knn_lsh") { (s, dir) =>
-      // Bucket the bounded probe set and the corpus as separate scans:
-      // the probe scan is tiny (pushed-down vec_id < 10) and broadcast,
-      // so the corpus is scanned + hyperplane-hashed exactly once and
-      // never shuffled. Cosine is computed per candidate BEFORE the pair
-      // dedup, so only (qid, cid, cos) rides the dedup shuffle — the
-      // 256-byte embedding arrays stay out of every exchange.
-      def bucketed(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("vec_id"), col("embedding"),
-          posexplode(srpBucketIds()).as(Seq("t", "b")))
-      val base = Tables.load(s, dir, "embeddings")
-      val q = bucketed(base.filter(col("vec_id") < 10))
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("t"), col("b"))
-      val c = bucketed(base.filter(col("vec_id") >= 10))
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("t"), col("b"))
-      // candidates share any (table, bucket); score, dedupe across tables, rank
-      val scored = c.join(broadcast(q), Seq("t", "b"))
-        .withColumn("cos", cos(col("qe"), col("ce")))
-        .select(col("qid"), col("cid"), col("cos"))
-        .dropDuplicates("qid", "cid")
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
-    },
-
     // ---- ANN with exact re-ranking — the production retrieval shape
     // (candidate generation by LSH, then exact cosine re-rank of the
     // bounded candidate set). Promoted to the FULL hash gate with the
@@ -272,12 +279,15 @@ object VectorQueries {
       val c = base.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-      // exact arm: the truth target the oracle recomputes
+      // exact arm: the truth target the oracle recomputes. Persisted —
+      // three consumers (recall hits, recall total, the emitted rows)
+      // would otherwise each re-run the probe x corpus scoring pass.
       val exact = q.join(broadcast(c))
         .withColumn("cos", cos(col("qe"), col("ce")))
         .select(col("qid"), col("cid"), col("cos"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
+        .persist()
       // LSH arm: bucket-collided candidates, exact cosine re-rank
       def bucketed(df: org.apache.spark.sql.DataFrame, id: String, e: String) = df
         .select(col("vec_id").as(id), col("embedding").as(e),
@@ -344,6 +354,7 @@ object VectorQueries {
         .select(col("qid"), col("cid"), col("cos"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
+        .persist() // three consumers: recall hits / total / emitted rows
       val cents = kmeansCentroids(
         corpus.select(col("cid").as("vec_id"), col("ce").as("embedding")),
         k, iters = 2, trainTargetRows = 1000L)

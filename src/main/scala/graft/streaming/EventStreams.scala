@@ -133,7 +133,9 @@ object EventStreams {
       .toDF("user_id", "sid", "n_events", "dur_us")
       .writeStream.outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    try require(q.awaitTermination(120000),
+        s"streaming query ${q.name} timed out at 120s - table would be partial")
+    finally if (q.isActive) q.stop()
     spark.table(name)
   }
 
@@ -240,7 +242,9 @@ object EventStreams {
       val name = s"graft_dedup_${counter.incrementAndGet()}"
       val q = events.writeStream.outputMode("append").format("memory")
         .queryName(name).trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      try require(q.awaitTermination(120000),
+          s"streaming query ${q.name} timed out at 120s - table would be partial")
+      finally if (q.isActive) q.stop()
       spark.table(name)
     }
 
@@ -273,7 +277,9 @@ object EventStreams {
         .select(col("p_user"), col("p_id"), col("c_id"))
         .writeStream.outputMode("append").format("memory")
         .queryName(name).trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      try require(q.awaitTermination(120000),
+          s"streaming query ${q.name} timed out at 120s - table would be partial")
+      finally if (q.isActive) q.stop()
       spark.table(name)
         .groupBy(col("p_user"), col("p_id"))
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_clicks"))
@@ -299,7 +305,9 @@ object EventStreams {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    try require(q.awaitTermination(120000),
+        s"streaming query ${q.name} timed out at 120s - table would be partial")
+    finally if (q.isActive) q.stop()
     spark.table(name)
   }
 
@@ -327,7 +335,9 @@ object EventStreams {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      try require(q.awaitTermination(120000),
+          s"streaming query ${q.name} timed out at 120s - table would be partial")
+      finally if (q.isActive) q.stop()
       spark.table(name)
     }
 
@@ -360,7 +370,9 @@ object EventStreams {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      try require(q.awaitTermination(120000),
+          s"streaming query ${q.name} timed out at 120s - table would be partial")
+      finally if (q.isActive) q.stop()
       spark.read.parquet(s"graft://$base/out")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
@@ -400,7 +412,9 @@ object EventStreams {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      try require(q.awaitTermination(120000),
+          s"streaming query ${q.name} timed out at 120s - table would be partial")
+      finally if (q.isActive) q.stop()
       spark.read.parquet(s"graft://$base/partials")
         .groupBy("event_type")
         .agg(sum("n").as("n"),

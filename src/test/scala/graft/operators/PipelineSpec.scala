@@ -48,7 +48,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("lsh ann recalls most brute-force top-5 neighbors") {
     val brute = SparkEntryQueries("e01_knn_brute")
-    val lsh = SparkEntryQueries("e04_knn_lsh")
+    val lsh = VectorQueries.knnLsh(spark, dir)
     val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lshSet = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bruteSet & lshSet).size.toDouble / bruteSet.size
@@ -57,7 +57,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ivf ann recalls most brute-force top-5 neighbors") {
     val brute = SparkEntryQueries("e01_knn_brute")
-    val ivf = SparkEntryQueries("e06_knn_ivf")
+    val ivf = VectorQueries.knnIvf(spark, dir)
     val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfSet = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bruteSet & ivfSet).size.toDouble / bruteSet.size

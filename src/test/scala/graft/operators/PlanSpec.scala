@@ -108,7 +108,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("e04 ann: corpus never shuffled, probe side broadcast") {
-    val p = plan("e04_knn_lsh")
+    // pure-LSH op is library surface (no gate entry since r8) — plan
+    // audited directly
+    val p = VectorQueries.knnLsh(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       s"bounded probe buckets must broadcast against the corpus:\n$p")
     assert(!p.contains("CartesianProduct"), p)
