@@ -89,11 +89,16 @@ class GraftFileSystem extends FileSystem {
     // COPY, never mutate: some inner statuses resolve fields lazily from
     // their own path (RawLocalFileSystem's permission loader does
     // `new File(getPath().toUri())`) — rewriting the path in place makes
-    // that later load explode on the outer scheme. The copy constructor
-    // materializes those fields while the inner path is still intact.
-    val out = new FileStatus(st)
-    out.setPath(toOuter(st.getPath))
-    out
+    // that later load explode on the outer scheme. The copy is built from
+    // the scan-relevant fields only and deliberately does NOT read the
+    // owner/group/permission triple: on RawLocal statuses each of those
+    // getters forces the lazy per-file permission load (a stat/exec per
+    // file — measured 2x on the listing-heavy compaction query when the
+    // full copy constructor ran it), planners never consult them, and
+    // object-store statuses carry static defaults anyway.
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      null, null, null, toOuter(st.getPath))
   }
 
   // ---- admission control (CacheUtil.skipCache:203-222 analog) ----
