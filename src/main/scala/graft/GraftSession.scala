@@ -97,4 +97,28 @@ object GraftSession {
       port: Int = 8125, periodSec: Int = 10,
       prefix: String = "graft"): SparkSession.Builder =
     applyConf(b, statsdMetricsConf(host, port, periodSec, prefix))
+
+  /** Ganglia sink (reference parity: BookKeeperMetrics' GangliaReporter,
+    * rubix.metrics.ganglia.* keys). Spark's GangliaSink lives in the
+    * separately-shipped spark-ganglia-lgpl package (LGPL licensing keeps
+    * it out of the core distribution), so — unlike the JMX/CSV/StatsD
+    * helpers — this wiring only takes effect on clusters that deploy
+    * that jar; on this container the class is absent and the conf is
+    * inert. Same one-call, apply-before-getOrCreate contract. */
+  def gangliaMetricsConf(host: String, port: Int = 8649,
+      periodSec: Int = 10, mode: String = "multicast",
+      ttl: Int = 1): Map[String, String] =
+    Map(
+      "spark.metrics.conf.*.sink.ganglia.class" ->
+        "org.apache.spark.metrics.sink.GangliaSink",
+      "spark.metrics.conf.*.sink.ganglia.host" -> host,
+      "spark.metrics.conf.*.sink.ganglia.port" -> port.toString,
+      "spark.metrics.conf.*.sink.ganglia.period" -> periodSec.toString,
+      "spark.metrics.conf.*.sink.ganglia.unit" -> "seconds",
+      "spark.metrics.conf.*.sink.ganglia.mode" -> mode,
+      "spark.metrics.conf.*.sink.ganglia.ttl" -> ttl.toString)
+
+  def withGangliaMetrics(b: SparkSession.Builder, host: String,
+      port: Int = 8649, periodSec: Int = 10): SparkSession.Builder =
+    applyConf(b, gangliaMetricsConf(host, port, periodSec))
 }

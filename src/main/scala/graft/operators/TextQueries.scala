@@ -611,6 +611,56 @@ object TextQueries {
           countDistinct(col("doc_id")).as("n_docs"),
           sum(when(col("url").startsWith("https"), 1L).otherwise(0L))
             .as("n_https"))
+    },
+
+    // ---- BPE-ish regex token counting (the GPT-2 pre-tokenizer shape,
+    // restricted to the Java∩RE2 subset: non-capturing groups and ASCII
+    // classes, NO lookahead — RE2 has none): contractions split off,
+    // words/numbers keep their leading space, punctuation runs and
+    // whitespace runs are their own tokens. The corpus is pure
+    // [A-Za-z ] by construction, so each doc gets the d17/d20-style
+    // deterministic augmentation (same expression both sides) to
+    // exercise every token class. `covered` must equal the augmented
+    // length — the pattern's alternatives partition the string, so a
+    // tokenizer drift on EITHER engine breaks the equality and the
+    // hash. Zero shuffle: one codegen regex pass per row. ----
+    QueryDef("d22_token_bpe",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' It''s v' || (doc_id % 10) || '.2, don''t-stop #' ||
+        |      doc_id || ' (you''ll see 42%)!' AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, t,
+        |    regexp_extract_all(t,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+') AS bt
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CAST(len(bt) AS BIGINT) AS n_bpe,
+        |  CAST(len(list_filter(bt, x -> regexp_matches(x, '^ ?[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |  CAST(len(list_filter(bt, x -> regexp_matches(x, '^ ?[0-9]'))) AS BIGINT) AS n_num,
+        |  CAST(len(list_filter(bt, x -> regexp_matches(x, '^['']'))) AS BIGINT) AS n_contr,
+        |  CAST(list_sum(list_transform(bt, x -> length(x))) AS BIGINT) AS covered,
+        |  CAST(length(t) AS BIGINT) AS text_len
+        |FROM tok""".stripMargin) { (s, dir) =>
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" It's v"),
+            (col("doc_id") % 10).cast("string"), lit(".2, don't-stop #"),
+            col("doc_id").cast("string"), lit(" (you'll see 42%)!")).as("t"))
+        .select(col("doc_id"), col("t"),
+          regexp_extract_all(col("t"), lit(pat), lit(0)).as("bt"))
+        .select(col("doc_id"),
+          size(col("bt")).cast("long").as("n_bpe"),
+          size(filter(col("bt"), x => x.rlike("^ ?[A-Za-z]")))
+            .cast("long").as("n_alpha"),
+          size(filter(col("bt"), x => x.rlike("^ ?[0-9]")))
+            .cast("long").as("n_num"),
+          size(filter(col("bt"), x => x.rlike("^'")))
+            .cast("long").as("n_contr"),
+          expr("aggregate(bt, 0L, (a, x) -> a + length(x))").as("covered"),
+          length(col("t")).cast("long").as("text_len"))
     }
   )
 }

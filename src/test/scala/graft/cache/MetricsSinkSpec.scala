@@ -64,4 +64,21 @@ class MetricsSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the sink class must actually exist on this Spark's classpath
     assert(Class.forName("org.apache.spark.metrics.sink.StatsdSink") != null)
   }
+
+  test("statsdMetricsConf passes the metric-name prefix through") {
+    val opts = GraftSession.statsdMetricsConf(prefix = "prod.graft")
+    assert(opts("spark.metrics.conf.*.sink.statsd.prefix") == "prod.graft")
+  }
+
+  test("gangliaMetricsConf carries the Ganglia reporter properties") {
+    // reference BookKeeperMetrics ships a GangliaReporter; Spark's sink
+    // class is in the separately-deployed spark-ganglia-lgpl jar, so only
+    // the conf shape is assertable here (the class is absent by design)
+    val opts = GraftSession.gangliaMetricsConf("239.2.11.71", 8649, 10)
+    assert(opts("spark.metrics.conf.*.sink.ganglia.class")
+      == "org.apache.spark.metrics.sink.GangliaSink")
+    assert(opts("spark.metrics.conf.*.sink.ganglia.host") == "239.2.11.71")
+    assert(opts("spark.metrics.conf.*.sink.ganglia.port") == "8649")
+    assert(opts("spark.metrics.conf.*.sink.ganglia.mode") == "multicast")
+  }
 }

@@ -107,6 +107,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shingle pipeline appears $gen times but only $rel cached relations — recompute outside the cache")
   }
 
+  test("d21 window dedup: one hash pass, no recompute, no cartesian") {
+    val p = plan("d21_window_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // window-hash generation is a single codegen projection feeding the
+    // min-over-window — the expression must appear exactly once (a second
+    // occurrence means the exploded table is being recomputed per consumer)
+    val gens = p.linesIterator.count(_.contains("shingle_hash64"))
+    assert(gens == 1, s"shingle_hash64 appears $gens times — recompute:\n$p")
+  }
+
+  test("d22 bpe tokenization: pure per-row projection, zero exchanges") {
+    val p = plan("d22_token_bpe")
+    assert(!p.contains("Exchange"),
+      s"per-row tokenization must not shuffle:\n$p")
+  }
+
   test("e04 ann: corpus never shuffled, probe side broadcast") {
     // pure-LSH op is library surface (no gate entry since r8) — plan
     // audited directly
