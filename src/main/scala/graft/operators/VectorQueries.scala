@@ -245,6 +245,59 @@ object VectorQueries {
           col("v").as("c"))
     },
 
+    // ---- int8 scalar quantization of the embedding column — the 4x
+    // storage/bandwidth lever a 100 TB vector corpus actually pulls
+    // (brute/IVF candidate scans read int8 + one scale per vector
+    // instead of float32). Symmetric per-vector max-abs scaling,
+    // round-half-away encode; all arithmetic is deterministic IEEE ops
+    // in identical fold order both sides, reconstruction error rides as
+    // per-element-truncated integer ppm (order-independent sum, no
+    // double-rounding boundary). Zero shuffle: one codegen projection
+    // per row. max_q == 127 by construction (the max-abs element);
+    // err_ppm_sum < dims x 500000 (half-step bound) — both emitted as
+    // data so a quantizer defect is a hash mismatch. ----
+    QueryDef("e09_vector_quantize",
+      """WITH q AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale0
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT vec_id, label, embedding,
+        |    CASE WHEN scale0 = 0 THEN 1.0 ELSE scale0 END AS scale
+        |  FROM q),
+        |t AS (
+        |  SELECT vec_id, label, scale,
+        |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE)/scale
+        |      + CASE WHEN x >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)) AS qv,
+        |    embedding
+        |  FROM g)
+        |SELECT vec_id, label, scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        |  CAST(list_max(list_transform(qv, v -> abs(v))) AS BIGINT) AS max_q,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(trunc(abs(CAST(embedding[i] AS DOUBLE) - qv[i]*scale)/scale*1000000) AS BIGINT)))
+        |    AS BIGINT) AS err_ppm_sum
+        |FROM t""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .withColumn("scale0", expr(
+          "aggregate(embedding, 0.0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / 127.0D"))
+        .withColumn("scale", when(col("scale0") === 0.0, lit(1.0))
+          .otherwise(col("scale0")))
+        // Spark CAST(double AS BIGINT) truncates toward zero — identical
+        // to the oracle's trunc()+CAST (DuckDB's bare CAST would ROUND;
+        // see the d08/d11 fingerprint precedent)
+        .withColumn("qv", expr(
+          """transform(embedding, x -> CAST(CAST(x AS DOUBLE)/scale
+            |  + IF(x >= CAST(0.0 AS FLOAT), 0.5D, -0.5D) AS BIGINT))""".stripMargin))
+        .select(col("vec_id"), col("label"), col("scale"),
+          expr("aggregate(qv, 0L, (a, v) -> a + v)").as("sum_q"),
+          expr("aggregate(transform(qv, v -> abs(v)), 0L, (a, v) -> greatest(a, v))")
+            .as("max_q"),
+          expr("""aggregate(zip_with(embedding, qv,
+            |  (x, v) -> CAST(abs(CAST(x AS DOUBLE) - v*scale)/scale*1000000.0D AS BIGINT)),
+            |  0L, (a, b) -> a + b)""".stripMargin).as("err_ppm_sum"))
+    },
+
     // ---- ANN with exact re-ranking — the production retrieval shape
     // (candidate generation by LSH, then exact cosine re-rank of the
     // bounded candidate set). Promoted to the FULL hash gate with the
