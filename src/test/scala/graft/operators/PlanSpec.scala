@@ -123,6 +123,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-row tokenization must not shuffle:\n$p")
   }
 
+  test("e09 quantization: pure per-row projection, zero exchanges") {
+    val p = plan("e09_vector_quantize")
+    assert(!p.contains("Exchange"),
+      s"per-row quantization must not shuffle:\n$p")
+  }
+
   test("e04 ann: corpus never shuffled, probe side broadcast") {
     // pure-LSH op is library surface (no gate entry since r8) — plan
     // audited directly
