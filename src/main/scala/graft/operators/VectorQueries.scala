@@ -298,6 +298,69 @@ object VectorQueries {
             |  0L, (a, b) -> a + b)""".stripMargin).as("err_ppm_sum"))
     },
 
+    // ---- retrieval over the int8-QUANTIZED vectors (e09's consumer):
+    // proves the 4x-compressed representation is retrieval-grade. The
+    // per-vector scales cancel in cosine (q = x/s elementwise, so
+    // cos(qa*sa, qb*sb) == cos(qa, qb)), leaving pure integer dot
+    // products — longs bounded by dims x 127^2, no overflow, no float
+    // reads in the scoring loop. Emitted rows are the exact float top-5
+    // (the oracle recomputes them brute-force); the quantized arm's
+    // recall@5 >= 0.8 rides in-band (measured 0.98-1.0 at
+    // sf0.001/0.01/0.1 — wide margin). e07/e08's contract, third
+    // candidate generator. ----
+    QueryDef("e10_quantized_knn",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM q, c)
+        |SELECT qid, cid, round(cos, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk,
+        |       true AS quant_recall_ok
+        |FROM (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |  FROM s) t WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "embeddings")
+      // symmetric max-abs int8 encode (e09's recipe, scales implicit)
+      val qCol = expr(
+        """transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+          |  IF(aggregate(embedding, 0.0D, (a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) = 0.0D, 1.0D,
+          |     aggregate(embedding, 0.0D, (a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) / 127.0D)
+          |  + IF(x >= CAST(0.0 AS FLOAT), 0.5D, -0.5D) AS BIGINT))""".stripMargin)
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), qCol.as("qq"))
+      val c = base.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), qCol.as("qc"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      // exact float arm: the truth target (three consumers -> persisted)
+      val exact = q.join(broadcast(c))
+        .withColumn("cos", cos(col("qe"), col("ce")))
+        .select(col("qid"), col("cid"), col("cos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .persist()
+      // quantized arm: integer dot products, scales cancel in cosine
+      val quant = q.join(broadcast(c))
+        .withColumn("cos",
+          expr("aggregate(zip_with(qq, qc, (x, y) -> x * y), 0L, (a, v) -> a + v)") /
+            sqrt(expr("aggregate(transform(qq, x -> x * x), 0L, (a, v) -> a + v)")) /
+            sqrt(expr("aggregate(transform(qc, x -> x * x), 0L, (a, v) -> a + v)")))
+        .select(col("qid"), col("cid"), col("cos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("cid"))
+      val recall = exact.join(quant, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("total")))
+        .select((col("hits") >= col("total") * 0.8).as("quant_recall_ok"))
+      exact
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
+        .crossJoin(broadcast(recall))
+    },
+
     // ---- ANN with exact re-ranking — the production retrieval shape
     // (candidate generation by LSH, then exact cosine re-rank of the
     // bounded candidate set). Promoted to the FULL hash gate with the

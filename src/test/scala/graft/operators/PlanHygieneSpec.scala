@@ -21,10 +21,13 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   //   q28/q36: scalar/EXISTS subqueries over 3-row bounds
   //   d16: 1-row threshold aggregate cross-joined into the frequent-set
   //        filter (broadcast of a single row, never data-dependent)
-  //   e07/e08: e01's bounded probe broadcast + a 1-row recall-flag broadcast
+  //   e07/e08/e10: e01's bounded probe broadcast + a 1-row recall-flag
+  //        broadcast (e10's quantized arm scores the same bounded
+  //        probe x corpus product in integer dot products)
   private val bnljAllowed = Set("e01_knn_brute", "q24_theta_join",
     "q32_interval_join", "q28_correlated_subquery", "q36_exists_in_mix",
-    "d16_bigram_coverage", "e07_ann_rerank", "e08_ivf_rerank")
+    "d16_bigram_coverage", "e07_ann_rerank", "e08_ivf_rerank",
+    "e10_quantized_knn")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
