@@ -661,6 +661,76 @@ object TextQueries {
             .cast("long").as("n_contr"),
           expr("aggregate(bt, 0L, (a, x) -> a + length(x))").as("covered"),
           length(col("t")).cast("long").as("text_len"))
+    },
+
+    // ---- text normalization (the CCNet/C4 pre-dedup step: lowercase,
+    // whitespace collapse, trim): corpus text is already clean, so docs
+    // get a deterministic case/whitespace perturbation first (d17/d20
+    // augmentation pattern, same expression both sides) and the op under
+    // test is the normalizer. The full normalized text is pinned by md5
+    // (d17 precedent), so any normalization drift on either engine is a
+    // hash mismatch. Zero shuffle: one codegen projection per row. ----
+    QueryDef("d23_normalize",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END ||
+        |    '   Trailing  WS ' || (doc_id % 5) || '  ' AS t
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(t), '\s+', ' ', 'g')) AS norm
+        |  FROM aug)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        |  CAST(length(norm) AS BIGINT) AS norm_len,
+        |  CAST(len(regexp_extract_all(norm, '\S+')) AS BIGINT) AS n_tokens
+        |FROM n""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 2 === 0, upper(col("text")))
+              .otherwise(col("text")),
+            lit("   Trailing  WS "), (col("doc_id") % 5).cast("string"),
+            lit("  ")).as("t"))
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("t")), "\\s+", " ")).as("norm"))
+        .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+          length(col("norm")).cast("long").as("norm_len"),
+          size(expr("regexp_extract_all(norm, '\\\\S+', 0)"))
+            .cast("long").as("n_tokens"))
+    },
+
+    // ---- fixed-window sequence chunking (training sequence prep: split
+    // each doc's token stream into 32-token windows, stride 32, last
+    // partial kept — the deterministic cousin of greedy sequence packing,
+    // whose bin assignment is input-order-dependent and therefore not
+    // oracle-able). Chunk boundaries are pure integer arithmetic
+    // ((n+31) div 32 windows), chunk text pinned by md5. Zero shuffle:
+    // tokenize + explode + slice in one codegen pass; at 100 TB chunking
+    // is bounded by the scan exactly like signature generation. ----
+    QueryDef("d24_sequence_chunks",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(tk) AS n_tok,
+        |    unnest(range(0, greatest((len(tk) + 31) // 32, 1))) AS chunk_idx,
+        |    tk
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(least(n_tok - chunk_idx*32, 32) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(tk[chunk_idx*32+1 : least(chunk_idx*32+32, n_tok)], ' '))
+        |    AS chunk_md5
+        |FROM c""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokensCol.as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("chunk_idx", explode(sequence(lit(0L),
+          greatest(expr("(n_tok + 31L) div 32L"), lit(1L)) - 1)))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          least(col("n_tok") - col("chunk_idx") * 32, lit(32L))
+            .cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ", slice(col("tk"),
+            (col("chunk_idx") * 32 + 1).cast("int"),
+            least(col("n_tok") - col("chunk_idx") * 32, lit(32L)).cast("int"))))
+            .as("chunk_md5"))
     }
   )
 }

@@ -129,6 +129,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-row quantization must not shuffle:\n$p")
   }
 
+  test("d23 normalize + d24 chunking: zero exchanges (scan-bounded)") {
+    Seq("d23_normalize", "d24_sequence_chunks").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
   test("e04 ann: corpus never shuffled, probe side broadcast") {
     // pure-LSH op is library surface (no gate entry since r8) — plan
     // audited directly
