@@ -78,6 +78,47 @@ object TextQueries {
       |  WHERE length(list_intersect(a.grams, b.grams)) > 0)
       |""".stripMargin + body)
 
+  /** Near-dup connected components (doc_id, comp) via min-label
+    * propagation to a fixpoint over the jaccard >= 0.3 edge set — each
+    * iteration is one equi-join shuffle, converging in O(cluster
+    * diameter) rounds (the standard large-scale CC shape). Only a 1-row
+    * convergence aggregate reaches the driver per round; lineage is
+    * severed every 10 rounds so a high-diameter graph can't make the
+    * accumulated plan itself the bottleneck. Shared by d10 (canonical
+    * lowest-id survivor) and d25 (content-policy survivor). */
+  def connectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges = jaccardPairs(s, dir)
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"))
+    val und = edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+    var labels = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("comp")).persist()
+    // convergence: the label sum is monotonically decreasing until the
+    // fixpoint; carry the previous round's sum instead of re-aggregating
+    var prevSum = labels.agg(sum("comp")).first().getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged) {
+      val prop = und.join(labels, und("doc_a") === labels("doc_id"))
+        .select(und("doc_b").as("doc_id"), col("comp"))
+      var next = labels.union(prop)
+        .groupBy("doc_id").agg(min("comp").as("comp"))
+      round += 1
+      if (round % 10 == 0) next = next.localCheckpoint(eager = false)
+      next = next.persist()
+      val newSum = next.agg(sum("comp")).first().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = prevSum == newSum
+      prevSum = newSum
+    }
+    // the final labels are materialized (the convergence aggregate ran),
+    // so the edge table can release its executors' memory now
+    und.unpersist()
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting + basic quality stats ----
@@ -296,40 +337,52 @@ object TextQueries {
         |       min(comp) = node AS kept
         |FROM walk GROUP BY node""".stripMargin)
       .replaceFirst("WITH sh AS", "WITH RECURSIVE sh AS")) { (s, dir) =>
-      val edges = jaccardPairs(s, dir)
-        .filter(col("jaccard") >= 0.3)
-        .select(col("doc_a"), col("doc_b"))
-      val und = edges.union(
-        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
-      var labels = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("doc_id").as("comp")).persist()
-      // convergence: the label sum is monotonically decreasing until the
-      // fixpoint; carry the previous round's sum instead of re-aggregating
-      var prevSum = labels.agg(sum("comp")).first().getLong(0)
-      var converged = false
-      var round = 0
-      while (!converged) {
-        val prop = und.join(labels, und("doc_a") === labels("doc_id"))
-          .select(und("doc_b").as("doc_id"), col("comp"))
-        var next = labels.union(prop)
-          .groupBy("doc_id").agg(min("comp").as("comp"))
-        // lineage grows by one join+agg per round; on a high-diameter
-        // graph the accumulated plan itself becomes the bottleneck
-        // (planning time + task serialization), so sever it periodically
-        round += 1
-        if (round % 10 == 0) next = next.localCheckpoint(eager = false)
-        next = next.persist()
-        val newSum = next.agg(sum("comp")).first().getLong(0)
-        labels.unpersist()
-        labels = next
-        converged = prevSum == newSum
-        prevSum = newSum
-      }
-      // the final labels are materialized (the convergence aggregate ran),
-      // so the edge table can release its executors' memory now
-      und.unpersist()
-      labels.select(col("doc_id"), col("comp"),
-        (col("doc_id") === col("comp")).as("kept"))
+      connectedComponents(s, dir)
+        .select(col("doc_id"), col("comp"),
+          (col("doc_id") === col("comp")).as("kept"))
+    },
+
+    // ---- dedup survivor selection by CONTENT policy: within each
+    // near-dup component keep the LONGEST document (tie -> lowest id),
+    // the standard production alternative to d10's keep-lowest-id — a
+    // pipeline usually wants the most complete copy, not the first one
+    // crawled. All-integer ordering key (n_chars, doc_id), so the argmax
+    // is bit-stable on both engines with no rounding contract. Scale
+    // shape: components as in d10, then ONE window pass partitioned by
+    // component (first_value over an integer sort) — no extra join
+    // rounds, no driver-side selection. ----
+    QueryDef("d25_dedup_survivor", TextQueries.jaccardOracle(
+      """, und AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.3
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.3),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node),
+        |lab AS (
+        |  SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS comp
+        |  FROM walk GROUP BY node),
+        |j AS (
+        |  SELECT l.doc_id, l.comp, d.n_chars
+        |  FROM lab l JOIN documents d USING (doc_id))
+        |SELECT doc_id, comp, CAST(survivor_id AS BIGINT) AS survivor_id,
+        |       doc_id = survivor_id AS kept
+        |FROM (
+        |  SELECT doc_id, comp,
+        |    first_value(doc_id) OVER (PARTITION BY comp
+        |      ORDER BY n_chars DESC, doc_id) AS survivor_id
+        |  FROM j) t""".stripMargin)
+      .replaceFirst("WITH sh AS", "WITH RECURSIVE sh AS")) { (s, dir) =>
+      val labels = connectedComponents(s, dir)
+      val sized = labels.join(
+        Tables.load(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+      val byComp = org.apache.spark.sql.expressions.Window
+        .partitionBy("comp").orderBy(col("n_chars").desc, col("doc_id"))
+      sized
+        .withColumn("survivor_id", first("doc_id").over(byComp).cast("long"))
+        .select(col("doc_id"), col("comp"), col("survivor_id"),
+          (col("doc_id") === col("survivor_id")).as("kept"))
     },
 
     // ---- corpus-LM coverage scoring (bigram language-model shape
