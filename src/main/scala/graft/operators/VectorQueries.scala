@@ -93,6 +93,32 @@ object VectorQueries {
     } finally train.unpersist(blocking = false)
   }
 
+  /** Rank ordering shared by every top-5 arm: cosine descending, id
+    * ascending (the unique tie-break the oracle's row_number uses). */
+  private def top5Window = Window.partitionBy("qid")
+    .orderBy(col("cos").desc, col("cid"))
+
+  /** Exact top-5 per probe — the truth target every gated retrieval
+    * query (e01/e07/e08/e10) emits and the oracle recomputes brute-
+    * force. Bounded probe set x broadcast corpus, never all-pairs.
+    * Columns in: (qid, qe) x (cid, ce); out: (qid, cid, cos, rnk). */
+  private def exactTop5(q: DataFrame, c: DataFrame): DataFrame =
+    q.join(broadcast(c))
+      .withColumn("cos", cos(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("cos"))
+      .withColumn("rnk", row_number().over(top5Window).cast("long"))
+      .filter(col("rnk") <= 5)
+
+  /** The in-band recall contract (q31 pattern): corpus-level
+    * recall@5 of `approx` against `exact`, as a named 1-row boolean
+    * attached via broadcast crossJoin — never a driver collect. */
+  private def recallFlag(exact: DataFrame, approx: DataFrame,
+      threshold: Double, name: String): DataFrame =
+    exact.join(approx, Seq("qid", "cid"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("total")))
+      .select((col("hits") >= col("total") * threshold).as(name))
+
   /** Pure-LSH ANN top-5 (no exact arm): the operator behind e07's
     * candidate generator, kept as library surface + recall specs
     * (PipelineSpec, PlanSpec). Dropped from the GATE list in round 8:
@@ -186,11 +212,7 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val c = e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val scored = q.join(broadcast(c))
-        .withColumn("cos", cos(col("qe"), col("ce")))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
+      exactTop5(q, c)
         .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
     },
 
@@ -334,14 +356,8 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), qCol.as("qq"))
       val c = base.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"), qCol.as("qc"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
       // exact float arm: the truth target (three consumers -> persisted)
-      val exact = q.join(broadcast(c))
-        .withColumn("cos", cos(col("qe"), col("ce")))
-        .select(col("qid"), col("cid"), col("cos"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .persist()
+      val exact = exactTop5(q, c).persist()
       // quantized arm: integer dot products, scales cancel in cosine
       val quant = q.join(broadcast(c))
         .withColumn("cos",
@@ -349,16 +365,12 @@ object VectorQueries {
             sqrt(expr("aggregate(transform(qq, x -> x * x), 0L, (a, v) -> a + v)")) /
             sqrt(expr("aggregate(transform(qc, x -> x * x), 0L, (a, v) -> a + v)")))
         .select(col("qid"), col("cid"), col("cos"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("rnk", row_number().over(top5Window).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("cid"))
-      val recall = exact.join(quant, Seq("qid", "cid"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(exact.agg(count(lit(1)).as("total")))
-        .select((col("hits") >= col("total") * 0.8).as("quant_recall_ok"))
       exact
         .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
-        .crossJoin(broadcast(recall))
+        .crossJoin(broadcast(recallFlag(exact, quant, 0.8, "quant_recall_ok")))
     },
 
     // ---- ANN with exact re-ranking — the production retrieval shape
@@ -394,16 +406,10 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val c = base.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
       // exact arm: the truth target the oracle recomputes. Persisted —
       // three consumers (recall hits, recall total, the emitted rows)
       // would otherwise each re-run the probe x corpus scoring pass.
-      val exact = q.join(broadcast(c))
-        .withColumn("cos", cos(col("qe"), col("ce")))
-        .select(col("qid"), col("cid"), col("cos"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .persist()
+      val exact = exactTop5(q, c).persist()
       // LSH arm: bucket-collided candidates, exact cosine re-rank
       def bucketed(df: org.apache.spark.sql.DataFrame, id: String, e: String) = df
         .select(col("vec_id").as(id), col("embedding").as(e),
@@ -414,17 +420,12 @@ object VectorQueries {
         .withColumn("cos", cos(col("qe"), col("ce")))
         .select(col("qid"), col("cid"), col("cos"))
         .dropDuplicates("qid", "cid")
-        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("rnk", row_number().over(top5Window).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("cid"))
-      // corpus-level recall@5, attached as a 1-row broadcast
-      val recall = exact.join(lsh, Seq("qid", "cid"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(exact.agg(count(lit(1)).as("total")))
-        .select((col("hits") >= col("total") * 0.5).as("lsh_recall_ok"))
       exact
         .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
-        .crossJoin(broadcast(recall))
+        .crossJoin(broadcast(recallFlag(exact, lsh, 0.5, "lsh_recall_ok")))
     },
 
     // ---- IVF candidates + exact re-rank, under the hash gate (e07's
@@ -464,12 +465,9 @@ object VectorQueries {
         .persist()
       val probes = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-      val exact = probes.join(broadcast(corpus))
-        .withColumn("cos", cos(col("qe"), col("ce")))
-        .select(col("qid"), col("cid"), col("cos"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
+      val exact = exactTop5(
+        probes.select(col("qid"), col("qe")),
+        corpus.select(col("cid"), col("ce")))
         .persist() // three consumers: recall hits / total / emitted rows
       val cents = kmeansCentroids(
         corpus.select(col("cid").as("vec_id"), col("ce").as("embedding")),
@@ -482,16 +480,12 @@ object VectorQueries {
           Seq("cell"))
         .withColumn("cos", cos(col("qe"), col("ce")))
         .select(col("qid"), col("cid"), col("cos"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("rnk", row_number().over(top5Window).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("cid"))
-      val recall = exact.join(ivf, Seq("qid", "cid"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(exact.agg(count(lit(1)).as("total")))
-        .select((col("hits") >= col("total") * 0.5).as("ivf_recall_ok"))
       exact
         .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
-        .crossJoin(broadcast(recall))
+        .crossJoin(broadcast(recallFlag(exact, ivf, 0.5, "ivf_recall_ok")))
     }
   )
 }
