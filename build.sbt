@@ -14,6 +14,11 @@ Test / fork := true
 // parallel suite execution makes them race
 Test / parallelExecution := false
 run / fork := true
+// pass the forked program's stdout/stderr through RAW instead of
+// routing them through sbt's logger: the logger prefixes every line
+// with "[info] "/"[error] ", which is what kept the driver's bench
+// parser from reading the totals JSON line (BENCH_r08 parsed: null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,6 +26,11 @@ class GraftFileSystem extends FileSystem {
   private var manager: CacheManager = _
   private var workingDir: Path = _
   private var enabled: Boolean = true
+  /** True when `createInner` constructed the underlying client directly
+    * (take-over shims) rather than borrowing a FileSystem.get-cached
+    * instance: a directly-built S3AFileSystem owns connection/thread
+    * pools that leak unless this wrapper closes it with itself. */
+  protected var ownsInner: Boolean = false
 
   /** Scheme this caching FS answers for. The base class claims `graft`
     * (wrap-a-scheme mode); the per-scheme shims below claim the native
@@ -73,6 +78,13 @@ class GraftFileSystem extends FileSystem {
 
   override def getUri: URI = myUri
   override def getScheme: String = outerScheme
+
+  /** Close the directly-constructed inner client with the wrapper;
+    * FileSystem.get-cached inners are shared and stay open (Hadoop's
+    * cache closes them). */
+  override def close(): Unit =
+    try super.close()
+    finally if (ownsInner && inner != null) inner.close()
 
   // ---- path translation ----
   private def toInner(p: Path): Path = {
@@ -310,6 +322,7 @@ abstract class GraftSchemeFileSystem(scheme: String,
     val innerUri = if (innerScheme == scheme) name
       else URI.create(s"$innerScheme://${Option(name.getAuthority).getOrElse("")}/")
     fs.initialize(innerUri, conf)
+    ownsInner = true // directly built, so this wrapper must close it
     fs
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -98,11 +98,112 @@ object VectorOps {
     new GenericArrayData(out)
   }
 
+  /** max |x| over the elements, folded from 0.0 — the fold order of
+    * `aggregate(emb, 0.0D, (a, x) -> greatest(a, abs(x)))`. */
+  def maxAbs(a: ArrayData): Double = {
+    val av = a.toFloatArray()
+    var acc = 0.0
+    var i = 0
+    while (i < av.length) {
+      val ax = math.abs(av(i).toDouble)
+      if (ax > acc) acc = ax
+      i += 1
+    }
+    acc
+  }
+
+  /** Symmetric int8 encode against a caller-supplied scale:
+    * q[i] = trunc(x/scale + (x >= 0 ? 0.5 : -0.5)) — round-half-away,
+    * truncating double→long cast exactly like Spark's non-ANSI CAST. */
+  def int8Encode(a: ArrayData, scale: Double): ArrayData = {
+    val av = a.toFloatArray()
+    val out = new Array[Long](av.length)
+    var i = 0
+    while (i < av.length) {
+      val x = av(i)
+      out(i) = (x.toDouble / scale + (if (x >= 0.0f) 0.5 else -0.5)).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass encode with the scale derived in-kernel (max-abs / 127,
+    * zero vectors → 1.0): the hot-path form for scans that don't emit
+    * the scale (the scales cancel in cosine anyway). */
+  def int8EncodeAuto(a: ArrayData): ArrayData = {
+    val m = maxAbs(a) / 127.0
+    int8Encode(a, if (m == 0.0) 1.0 else m)
+  }
+
+  /** Cosine over int8 codes: pure long dot products (bounded by
+    * dims × 127², no overflow), one double division per norm in the
+    * exact order of the Column formulation `dot / sqrt(na) / sqrt(nb)`. */
+  def intCosine(a: ArrayData, b: ArrayData): Double = {
+    val av = a.toLongArray()
+    val bv = b.toLongArray()
+    val n = math.min(av.length, bv.length)
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += av(i) * bv(i); i += 1 }
+    var na = 0L
+    i = 0
+    while (i < av.length) { na += av(i) * av(i); i += 1 }
+    var nb = 0L
+    i = 0
+    while (i < bv.length) { nb += bv(i) * bv(i); i += 1 }
+    dot.toDouble / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble)
+  }
+
+  /** Sum of a long array (exact integer fold — order-independent). */
+  def longSum(a: ArrayData): Long = {
+    val av = a.toLongArray()
+    var acc = 0L
+    var i = 0
+    while (i < av.length) { acc += av(i); i += 1 }
+    acc
+  }
+
+  /** max |v| over a long array, folded from 0. */
+  def longAbsMax(a: ArrayData): Long = {
+    val av = a.toLongArray()
+    var acc = 0L
+    var i = 0
+    while (i < av.length) {
+      val v = math.abs(av(i))
+      if (v > acc) acc = v
+      i += 1
+    }
+    acc
+  }
+
+  /** Per-element-truncated reconstruction error in ppm of the scale:
+    * Σ trunc(|x − q·scale| / scale × 1e6) — the exact per-element math
+    * of the HOF `zip_with` formulation, summed as exact longs. */
+  def quantErrPpmSum(emb: ArrayData, qv: ArrayData, scale: Double): Long = {
+    val av = emb.toFloatArray()
+    val q = qv.toLongArray()
+    val n = math.min(av.length, q.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += (math.abs(av(i).toDouble - q(i) * scale) / scale * 1000000.0).toLong
+      i += 1
+    }
+    acc
+  }
+
   private def requireFloatArray(dt: DataType, name: String): TypeCheckResult =
     dt match {
       case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"$name needs ARRAY<FLOAT>, got $other")
+    }
+
+  private def requireLongArray(dt: DataType, name: String): TypeCheckResult =
+    dt match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name needs ARRAY<BIGINT>, got $other")
     }
 
   /** Register all vector expressions on a session (idempotent). */
@@ -314,6 +415,199 @@ object VectorOps {
       copy(child = newChild)
     override def prettyName: String = "nearest_centroids"
   }
+
+  /** max |x| of a float vector — the per-vector scale numerator for
+    * symmetric int8 quantization (e09). */
+  case class MaxAbs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child.dataType, prettyName)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      if (hasNullElement(aa)) null else maxAbs(aa)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VectorOps.maxAbs($a); }""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "vec_max_abs"
+  }
+
+  /** Symmetric round-half-away int8 encode of a float vector against an
+    * explicit per-vector scale column (e09 emits the scale as data, so
+    * the code column must be derived from exactly that scale). */
+  case class Int8Encode(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(left.dataType, prettyName) match {
+        case TypeCheckResult.TypeCheckSuccess => right.dataType match {
+          case DoubleType => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName scale needs DOUBLE, got $other")
+        }
+        case fail => fail
+      }
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, s: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      if (hasNullElement(aa)) null
+      else int8Encode(aa, s.asInstanceOf[Double])
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, s) =>
+        s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VectorOps.int8Encode($a, $s); }""".stripMargin)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "int8_encode"
+  }
+
+  /** One-pass encode with the scale derived in-kernel — the scan shape
+    * for retrieval (e10), where the scales cancel in cosine and never
+    * need to leave the row. */
+  case class Int8EncodeAuto(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child.dataType, prettyName)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      if (hasNullElement(aa)) null else int8EncodeAuto(aa)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VectorOps.int8EncodeAuto($a); }""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "int8_encode_auto"
+  }
+
+  /** Cosine over int8 code arrays: pure integer dot products in one JIT
+    * loop. The HOF formulation (`aggregate(zip_with(qq, qc, ...))` per
+    * norm and dot) runs three interpreted boxed folds per pair — this is
+    * the e10 scoring hot path, the part of quantized retrieval that
+    * actually touches every candidate at 100 TB. */
+  case class IntCosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongArray(left.dataType, prettyName) match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          requireLongArray(right.dataType, prettyName)
+        case fail => fail
+      }
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (hasNullElement(aa) || hasNullElement(bb)) null else intCosine(aa, bb)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""if (graft.functions.VectorOps.hasNullElement($a) ||
+           |    graft.functions.VectorOps.hasNullElement($b)) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.VectorOps.intCosine($a, $b);
+           |}""".stripMargin)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "int_cosine_sim"
+  }
+
+  /** Exact sum of a long array (e09 sum_q). */
+  case class LongArraySum(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongArray(child.dataType, prettyName)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      if (hasNullElement(aa)) null else longSum(aa)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VectorOps.longSum($a); }""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "long_array_sum"
+  }
+
+  /** max |v| of a long array (e09 max_q — 127 by construction). */
+  case class LongArrayAbsMax(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongArray(child.dataType, prettyName)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      if (hasNullElement(aa)) null else longAbsMax(aa)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VectorOps.longAbsMax($a); }""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "long_array_abs_max"
+  }
+
+  /** Quantization reconstruction error (ppm of scale, truncated per
+    * element, summed as exact longs — order-independent, no
+    * double-rounding boundary). */
+  case class QuantErrPpm(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(first.dataType, prettyName) match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          requireLongArray(second.dataType, prettyName) match {
+            case TypeCheckResult.TypeCheckSuccess => third.dataType match {
+              case DoubleType => TypeCheckResult.TypeCheckSuccess
+              case other => TypeCheckResult.TypeCheckFailure(
+                s"$prettyName scale needs DOUBLE, got $other")
+            }
+            case fail => fail
+          }
+        case fail => fail
+      }
+    override def nullable: Boolean = true
+    override def nullSafeEval(e: Any, q: Any, s: Any): Any = {
+      val (ea, qa) = (e.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
+      if (hasNullElement(ea) || hasNullElement(qa)) null
+      else quantErrPpmSum(ea, qa, s.asInstanceOf[Double])
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (e, q, s) =>
+        s"""if (graft.functions.VectorOps.hasNullElement($e) ||
+           |    graft.functions.VectorOps.hasNullElement($q)) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.VectorOps.quantErrPpmSum($e, $q, $s);
+           |}""".stripMargin)
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+    override def prettyName: String = "quant_err_ppm"
+  }
+
+  def maxAbsCol(a: Column): Column = exprCol(MaxAbs(exprOf(a)))
+  def int8EncodeCol(a: Column, scale: Column): Column =
+    exprCol(Int8Encode(exprOf(a), exprOf(scale)))
+  def int8EncodeAutoCol(a: Column): Column = exprCol(Int8EncodeAuto(exprOf(a)))
+  def intCosineSimCol(a: Column, b: Column): Column =
+    exprCol(IntCosineSim(exprOf(a), exprOf(b)))
+  def longSumCol(a: Column): Column = exprCol(LongArraySum(exprOf(a)))
+  def longAbsMaxCol(a: Column): Column = exprCol(LongArrayAbsMax(exprOf(a)))
+  def quantErrPpmCol(emb: Column, qv: Column, scale: Column): Column =
+    exprCol(QuantErrPpm(exprOf(emb), exprOf(qv), exprOf(scale)))
 
   def nearestCentroidCol(a: Column,
       bcast: Broadcast[Array[Array[Double]]]): Column =

@@ -211,10 +211,11 @@ object CacheQueries {
         | round(sum(p_retailprice),3) AS price, true AS warm_hits_ok
         |FROM part GROUP BY p_brand""".stripMargin) { (s, dir) =>
       // NOTE: the before/after delta below reads the process-global
-      // cache-metrics registry, so this contract is valid only when gate
-      // queries run sequentially — which Verify and Bench both guarantee.
-      // A harness running c* queries concurrently would interleave other
-      // scans' counters into the delta (same caveat as c11).
+      // cache-metrics registry, so this contract is valid only when c*
+      // queries run sequentially. Verify and the bench's gate passes do;
+      // the round-9 concurrent arm excludes c* for exactly this reason
+      // (ConcurrentHarness.sequentialOnly — same caveat as c11). Every
+      // non-c*/s* query is exercised under 8-thread concurrency instead.
       enableCacheFs(s)
       def agg = s.read.parquet(s"graft://$dir/part.parquet")
         .groupBy("p_brand")
@@ -315,8 +316,10 @@ object CacheQueries {
     // session-keyed FS — per-scan confs (the refused narrow path) swap
     // CacheManager.current to a throwaway instance, so the session
     // manager is the one whose counters must stay flat. Like c08, the
-    // delta check assumes the gate runs queries sequentially (Verify and
-    // Bench both do); concurrent c* queries would share these counters.
+    // delta check assumes c* queries run sequentially (Verify and the
+    // bench gate passes do; the round-9 concurrent arm excludes c* via
+    // ConcurrentHarness.sequentialOnly because these counters are
+    // process-global).
     QueryDef("c11_admission_gate",
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_quantity),3) AS qty,

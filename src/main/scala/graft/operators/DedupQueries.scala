@@ -13,6 +13,47 @@ import org.apache.spark.sql.functions._
   * DedupSpec/PipelineSpec. */
 object DedupQueries {
 
+  /** Exact label-blocked semantic near-dup pairs (id_a < id_b) at cosine
+    * >= tau — d26's truth arm and SemDedupRecallSpec's denominator. */
+  def exactSemanticPairs(e: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame =
+    e.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"))
+      .join(e.select(col("label").as("label_b"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b")),
+        col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorOps.cosineSim(col("emb_a"), col("emb_b")) >= tau)
+      .select(col("id_a"), col("id_b"))
+
+  /** Open-domain quantized candidate pairs (d26's approximate arm):
+    * int8 codes, trained k-cell IVF coarse quantizer as the blocking
+    * key with symmetric nprobe multi-probe (a pair is a candidate if
+    * ANY of each side's nprobe nearest cells coincide), native
+    * integer-cosine verify at tau. Never corpus-wide all-pairs — the
+    * SemDeDup cost model, where k grows with the corpus so cells stay
+    * bounded. */
+  def quantSemanticPairs(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame, tau: Double, k: Int,
+      nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val V = graft.functions.VectorOps
+    val coded = e.select(col("vec_id"), col("embedding"),
+      VectorQueries.int8Codes(col("embedding")).as("qv"))
+    val cents = VectorQueries.kmeansCentroids(
+      coded.select(col("vec_id"), col("embedding")),
+      k, iters = 2, trainTargetRows = 1000L)
+    val bc = V.broadcastCentroids(s, cents)
+    val celled = coded.select(col("vec_id"), col("qv"),
+      explode(V.nearestCentroidsCol(col("embedding"), bc, nprobe)).as("cell"))
+    celled
+      .select(col("cell"), col("vec_id").as("id_a"), col("qv").as("qa"))
+      .join(celled.select(col("cell"), col("vec_id").as("id_b"),
+        col("qv").as("qb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        V.intCosineSimCol(col("qa"), col("qb")) >= tau)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // MinHash+LSH over the same-(lang,source) co-shingle pair universe
@@ -131,11 +172,80 @@ object DedupQueries {
             .otherwise(col("n_dup") * 2 < col("n_win")))
     },
 
+    // ---- window-dedup REWRITE stage (d21's consumer — the actual
+    // transform, not just the keep/drop verdict): drop every token
+    // covered by an 8-token window whose content first occurred in an
+    // earlier doc, emit the surviving text md5-pinned (d23 precedent).
+    // Window hashes here are POSITIONAL (window i covers tokens
+    // i..i+7), so coverage is pure integer interval logic once the
+    // cross-doc duplicate window positions are known. Scale shape: ONE
+    // shuffle on the 8-byte window hash (min-over-window first
+    // occurrence, d21's plan), one rollup to collect each doc's dup
+    // positions (bounded by tokens/doc), then a zero-shuffle rewrite
+    // projection — the 100 TB cost is d21's plus one integer-array
+    // projection; never a self-join on text. ----
+    QueryDef("d27_dedup_rewrite",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |w AS (SELECT doc_id, tk, len(tk) AS n,
+        |        list_transform(range(1, greatest(len(tk)-7, 0)+1),
+        |          i -> concat_ws(' ', tk[i],tk[i+1],tk[i+2],tk[i+3],tk[i+4],tk[i+5],tk[i+6],tk[i+7])) AS wins
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(wins) AS win, unnest(range(1, len(wins)+1)) AS i FROM w),
+        |k AS (SELECT win, min(doc_id) AS first_doc FROM e GROUP BY win),
+        |d AS (SELECT e.doc_id, list_sort(list(e.i)) AS dups
+        |      FROM e JOIN k USING (win) WHERE e.doc_id > k.first_doc GROUP BY e.doc_id),
+        |r AS (SELECT w.doc_id, w.tk, w.n, coalesce(d.dups, []) AS dups
+        |      FROM w LEFT JOIN d USING (doc_id)),
+        |f AS (SELECT doc_id, n,
+        |        list_transform(
+        |          list_filter(range(1, n + 1),
+        |            j -> len(list_filter(dups, i -> j >= i AND j <= i + 7)) = 0),
+        |          j -> tk[CAST(j AS INT)]) AS kept
+        |      FROM r)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       CAST(len(kept) * 1000 // greatest(n, 1) AS BIGINT) AS kept_permille,
+        |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+        |FROM f""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '\\\\S+', 0)").as("tk"))
+      // positional window hashes (1-based start index; xxhash64 of the
+      // window string == joining on the string modulo 64-bit collisions,
+      // the d05/d21 precedent). Guard short docs explicitly: Spark's
+      // sequence(1, 0) is DESCENDING and non-empty.
+      val whs = docs.select(col("doc_id"), posexplode(expr(
+        """IF(size(tk) >= 8,
+          |  transform(sequence(1, size(tk) - 7),
+          |    i -> xxhash64(concat_ws(' ', slice(tk, i, 8)))),
+          |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin))
+        .as(Seq("i0", "wh")))
+      val byHash = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+      val dups = whs
+        .withColumn("first_doc", min("doc_id").over(byHash))
+        .filter(col("doc_id") > col("first_doc"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("i0") + 1)).as("dups"))
+      docs.join(dups, Seq("doc_id"), "left")
+        .withColumn("dups",
+          coalesce(col("dups"), expr("CAST(array() AS ARRAY<INT>)")))
+        .withColumn("kept", expr(
+          """filter(transform(tk, (t, j0) -> struct(t AS t, j0 + 1 AS j)),
+            |  p -> NOT exists(dups, i -> p.j >= i AND p.j <= i + 7))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_toks"),
+          size(col("kept")).cast("long").as("n_kept"),
+          expr("size(kept) * 1000L div greatest(size(tk), 1)")
+            .cast("long").as("kept_permille"),
+          md5(concat_ws(" ", expr("transform(kept, p -> p.t)"))).as("kept_md5"))
+    },
+
     // ---- embedding-cosine near-dup: EXACT pairs above a cosine
     // threshold within a label block (the d05 blocked-join pattern: the
     // closed label vocabulary bounds each quadratic block). This is the
     // exact/oracle-checkable variant; at open-domain scale the candidate
-    // generator swaps to the SRP-LSH (e04) or IVF (e06) bucket join with
+    // generator swaps to the SRP-LSH (VectorQueries.knnLsh, gated via
+    // e07) or IVF (VectorQueries.knnIvf, gated via e08) bucket join with
     // the same cosine verify. Cosine is the native codegen expression —
     // identical fold order to the oracle's list_sum. ----
     QueryDef("d09_embed_neardup",
@@ -161,6 +271,65 @@ object DedupQueries {
         .filter(col("cos") >= 0.35)
         .select(col("label"), col("id_a"), col("id_b"),
           round(col("cos"), 4).as("cos_sim"))
+    },
+
+    // ---- semantic dedup (the SemDeDup shape, arXiv:2303.09540):
+    // embedding near-dup pairs -> connected components -> one survivor
+    // per semantic cluster. Composes the round-8/9 vector machinery:
+    // e09's int8 codes, e08's trained IVF coarse quantizer as the
+    // BLOCKING key (SemDeDup's within-cluster pairwise step), the native
+    // integer-cosine kernel as the verifier, and d10's min-label
+    // propagation for the clusters. The hash-gated rows are the EXACT
+    // arm (label-blocked exact-cosine pairs at the d09 threshold ->
+    // components -> keep-lowest-id), which DuckDB recomputes with the
+    // d10 recursive CTE; the quantized/IVF arm is open-domain (no label
+    // crutch) and rides in-band: its candidate pairs must recover >= 0.6
+    // of the exact pair set. Probing 4 of the toy quantizer's 16 cells
+    // measures 0.93-1.0 (nprobe=2 sat at 0.64 — cell-boundary splits,
+    // no gate margin; e08 hit the same wall and widened nprobe the same
+    // way). Quantization alone loses ~1% of borderline-cosine pairs;
+    // SemDedupRecallSpec records the measured values and pins >= 0.8.
+    // Scale shape: candidate
+    // generation is an equi-join on the cell id with within-cell
+    // pairwise verify — SemDeDup's own cost model, where k grows with
+    // the corpus to keep cells bounded (k=16 toy here, thousands at
+    // 100 TB) — never corpus-wide all-pairs; components as in d10. ----
+    QueryDef("d26_semantic_dedup",
+      """WITH RECURSIVE s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |e AS (SELECT id_a, id_b FROM s WHERE cos >= 0.35),
+        |und AS (SELECT id_a AS a, id_b AS b FROM e
+        |        UNION ALL SELECT id_b, id_a FROM e),
+        |walk(node, comp) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node)
+        |SELECT node AS vec_id, CAST(min(comp) AS BIGINT) AS comp,
+        |       min(comp) = node AS kept, true AS sem_recall_ok
+        |FROM walk GROUP BY node""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      // exact arm — the truth target. Persisted: three consumers (CC
+      // edge set, recall denominator, recall semi-join); PinScope sweeps.
+      val exactPairs = exactSemanticPairs(e, 0.35).persist()
+      val comps = TextQueries.componentsOf(
+        exactPairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+        e.select(col("vec_id").as("doc_id")))
+      val quantPairs = quantSemanticPairs(s, e, 0.35, k = 16, nprobe = 4)
+      val flag = exactPairs
+        .join(quantPairs, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exactPairs.agg(count(lit(1)).as("total")))
+        .select((col("hits") >= col("total") * 0.6).as("sem_recall_ok"))
+      comps
+        .select(col("doc_id").as("vec_id"), col("comp"),
+          (col("doc_id") === col("comp")).as("kept"))
+        .crossJoin(broadcast(flag))
     }
   )
 }

@@ -86,13 +86,21 @@ object TextQueries {
     * severed every 10 rounds so a high-diameter graph can't make the
     * accumulated plan itself the bottleneck. Shared by d10 (canonical
     * lowest-id survivor) and d25 (content-policy survivor). */
-  def connectedComponents(s: SparkSession, dir: String): DataFrame = {
-    val edges = jaccardPairs(s, dir)
-      .filter(col("jaccard") >= 0.3)
-      .select(col("doc_a"), col("doc_b"))
+  def connectedComponents(s: SparkSession, dir: String): DataFrame =
+    componentsOf(
+      jaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b")),
+      Tables.load(s, dir, "documents").select(col("doc_id")))
+
+  /** Generic min-label propagation over an arbitrary (doc_a, doc_b) edge
+    * frame + (doc_id) node frame — the engine behind d10/d25 (text
+    * near-dup graphs) and d26 (semantic near-dup graphs). Converged
+    * labels equal the component's minimum node id. */
+  def componentsOf(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val und = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
-    var labels = Tables.load(s, dir, "documents")
+    var labels = nodes
       .select(col("doc_id"), col("doc_id").as("comp")).persist()
     // convergence: the label sum is monotonically decreasing until the
     // fixpoint; carry the previous round's sum instead of re-aggregating
@@ -714,6 +722,95 @@ object TextQueries {
             .cast("long").as("n_contr"),
           expr("aggregate(bt, 0L, (a, x) -> a + length(x))").as("covered"),
           length(col("t")).cast("long").as("text_len"))
+    },
+
+    // ---- BPE merge loop (d22's consumer — tokenization beyond the
+    // regex pre-pass): derive a deterministic single-epoch merge table
+    // (top-8 adjacent pre-token pairs corpus-wide, ranked count DESC
+    // then pair ASC — a unique ordering, so both engines build the
+    // SAME table), then apply the merges IN RANK ORDER to every doc's
+    // pre-token sequence. The sequence rides as a chr(1)-joined string
+    // with every token boundary marked, so one merge application is one
+    // boundary-anchored non-overlapping replace — token-aligned by
+    // construction (no mid-token matches), and merged tokens participate
+    // in later ranks (the iterative BPE property; back-to-back repeats
+    // of one pair sharing a boundary merge once per pass, a documented
+    // deterministic simplification of canonical BPE). The merge table
+    // reaches each row via a 1-row broadcast crossJoin (d16 pattern, no
+    // driver collect) and its md5 rides as data, so a ranking drift on
+    // either engine is a hash mismatch. Scale shape: pair counting is
+    // one explode + one bounded-vocabulary shuffle; application is a
+    // zero-shuffle projection. ----
+    QueryDef("d28_bpe_merges",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' It''s v' || (doc_id % 10) || '.2, don''t-stop #' ||
+        |      doc_id || ' (you''ll see 42%)!' AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(t,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+') AS bt
+        |  FROM aug),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(bt)),
+        |           i -> bt[CAST(i AS INT)] || chr(1) || bt[CAST(i+1 AS INT)])) AS m
+        |  FROM tok),
+        |top8 AS (
+        |  SELECT m, count(*) AS cnt FROM pairs GROUP BY m
+        |  ORDER BY cnt DESC, m LIMIT 8),
+        |mt AS (SELECT list(m ORDER BY cnt DESC, m) AS merges FROM top8),
+        |app AS (
+        |  SELECT doc_id, bt, merges,
+        |    list_reduce(
+        |      list_prepend(chr(1) || array_to_string(bt, chr(1)) || chr(1), merges),
+        |      (acc, mm) -> replace(acc,
+        |        chr(1) || mm || chr(1),
+        |        chr(1) || replace(mm, chr(1), '') || chr(1))) AS merged
+        |  FROM tok, mt)
+        |SELECT doc_id, CAST(len(bt) AS BIGINT) AS n_pre,
+        |  CAST(len(string_split(merged, chr(1))) - 2 AS BIGINT) AS n_merged,
+        |  md5(merged) AS merged_md5,
+        |  md5(array_to_string(merges, chr(2))) AS merge_table_md5
+        |FROM app""".stripMargin) { (s, dir) =>
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" It's v"),
+            (col("doc_id") % 10).cast("string"), lit(".2, don't-stop #"),
+            col("doc_id").cast("string"), lit(" (you'll see 42%)!")).as("t"))
+        .select(col("doc_id"),
+          regexp_extract_all(col("t"), lit(pat), lit(0)).as("bt"))
+      // corpus merge table: adjacent pre-token pairs, top-8 by (count
+      // DESC, pair ASC). The pair explode is guarded: Spark's
+      // sequence(1, 0) is DESCENDING and non-empty (augmented docs
+      // always have >= 2 pre-tokens, but the guard keeps the operator
+      // total). sort_array over struct(-cnt, m) reproduces the unique
+      // ranking inside one aggregate row.
+      val top8 = tok
+        .select(explode(expr(
+          """IF(size(bt) >= 2,
+            |  transform(sequence(1, size(bt) - 1),
+            |    i -> concat(element_at(bt, i), chr(1), element_at(bt, i + 1))),
+            |  CAST(array() AS ARRAY<STRING>))""".stripMargin)).as("m"))
+        .groupBy("m").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("m"))
+        .limit(8)
+      val merges = top8.agg(expr(
+        "transform(sort_array(collect_list(struct(-cnt AS nc, m AS m))), p -> p.m)")
+        .as("merges"))
+      tok.crossJoin(broadcast(merges))
+        .withColumn("merged", expr(
+          """aggregate(merges,
+            |  concat(chr(1), concat_ws(chr(1), bt), chr(1)),
+            |  (acc, mm) -> replace(acc,
+            |    concat(chr(1), mm, chr(1)),
+            |    concat(chr(1), replace(mm, chr(1), ''), chr(1))))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("bt")).cast("long").as("n_pre"),
+          (size(split(col("merged"), "\u0001")) - 2).cast("long").as("n_merged"),
+          md5(col("merged")).as("merged_md5"),
+          md5(concat_ws("\u0002", col("merges"))).as("merge_table_md5"))
     },
 
     // ---- text normalization (the CCNet/C4 pre-dedup step: lowercase,

@@ -87,7 +87,11 @@ object VectorQueries {
           train.sparkSession, cents)
         cents = collectCents(train.withColumn("cell",
           graft.functions.VectorOps.nearestCentroidCol(col("embedding"), bc)))
-        bc.unpersist(blocking = false)
+        // the per-iteration handle is never reused after its collect —
+        // destroy (not just unpersist) so driver-side broadcast metadata
+        // can't accumulate across trainings in a long-lived session
+        // (public destroy() is the non-blocking variant)
+        bc.destroy()
       }
       cents
     } finally train.unpersist(blocking = false)
@@ -108,6 +112,26 @@ object VectorQueries {
       .select(col("qid"), col("cid"), col("cos"))
       .withColumn("rnk", row_number().over(top5Window).cast("long"))
       .filter(col("rnk") <= 5)
+
+  /** Symmetric max-abs int8 codes (e09's recipe, scale implicit — one
+    * native pass per row; the scales cancel in cosine so retrieval never
+    * materializes them). Public: Bench's e10_op times the scoring arm
+    * over tables pre-encoded with exactly this column. */
+  def int8Codes(emb: Column): Column =
+    graft.functions.VectorOps.int8EncodeAutoCol(emb)
+
+  /** The quantized scoring arm (e10's candidate ranker): integer cosine
+    * over int8 codes — native codegen kernel, pure long dot products
+    * bounded by dims × 127². In: (qid, qq) × (cid, qc); out the top-5
+    * (qid, cid) per probe. */
+  def quantizedTop5(q: DataFrame, c: DataFrame): DataFrame =
+    q.join(broadcast(c))
+      .withColumn("cos",
+        graft.functions.VectorOps.intCosineSimCol(col("qq"), col("qc")))
+      .select(col("qid"), col("cid"), col("cos"))
+      .withColumn("rnk", row_number().over(top5Window).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"))
 
   /** The in-band recall contract (q31 pattern): corpus-level
     * recall@5 of `approx` against `exact`, as a named 1-row boolean
@@ -157,7 +181,16 @@ object VectorQueries {
     * bounded by nprobe/k of the corpus. Library surface + recall specs;
     * dropped from the GATE list in round 8 for the same reason as
     * [[knnLsh]] — e08 gates the identical training/assignment/probe path
-    * under the full hash oracle. */
+    * under the full hash oracle.
+    *
+    * Pinning contract: this persists the corpus (still referenced by the
+    * lazily-returned frame, so it cannot unpersist before the caller
+    * materializes). Verify/Bench run every query under [[graft.PinScope]],
+    * which sweeps the pin after materialization; external callers in a
+    * long-lived session should do the same (wrap in `PinScope.run`, or
+    * `spark.catalog.clearCache()` after materializing). The persisted
+    * exact arm inside e07/e08/e10's gate bodies carries the same
+    * expectation. */
   def knnIvf(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val k = 16; val nprobe = 4
     val base = Tables.load(s, dir, "embeddings")
@@ -300,24 +333,25 @@ object VectorQueries {
         |    i -> CAST(trunc(abs(CAST(embedding[i] AS DOUBLE) - qv[i]*scale)/scale*1000000) AS BIGINT)))
         |    AS BIGINT) AS err_ppm_sum
         |FROM t""".stripMargin) { (s, dir) =>
+      // Every kernel is a native codegen expression (round 9): the HOF
+      // formulation ran each 64-element fold through boxed lambda
+      // dispatch and broke whole-stage codegen for the projection — the
+      // opposite of the point of a 4x scan-bandwidth operator. The
+      // native kernels reproduce the HOF fold orders bit-for-bit
+      // (NativeExprParitySpec pins all five against the r8 HOF bodies;
+      // double→long casts truncate toward zero, matching the oracle's
+      // trunc()+CAST — DuckDB's bare CAST would ROUND).
+      val V = graft.functions.VectorOps
       Tables.load(s, dir, "embeddings")
-        .withColumn("scale0", expr(
-          "aggregate(embedding, 0.0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / 127.0D"))
+        .withColumn("scale0", V.maxAbsCol(col("embedding")) / lit(127.0))
         .withColumn("scale", when(col("scale0") === 0.0, lit(1.0))
           .otherwise(col("scale0")))
-        // Spark CAST(double AS BIGINT) truncates toward zero — identical
-        // to the oracle's trunc()+CAST (DuckDB's bare CAST would ROUND;
-        // see the d08/d11 fingerprint precedent)
-        .withColumn("qv", expr(
-          """transform(embedding, x -> CAST(CAST(x AS DOUBLE)/scale
-            |  + IF(x >= CAST(0.0 AS FLOAT), 0.5D, -0.5D) AS BIGINT))""".stripMargin))
+        .withColumn("qv", V.int8EncodeCol(col("embedding"), col("scale")))
         .select(col("vec_id"), col("label"), col("scale"),
-          expr("aggregate(qv, 0L, (a, v) -> a + v)").as("sum_q"),
-          expr("aggregate(transform(qv, v -> abs(v)), 0L, (a, v) -> greatest(a, v))")
-            .as("max_q"),
-          expr("""aggregate(zip_with(embedding, qv,
-            |  (x, v) -> CAST(abs(CAST(x AS DOUBLE) - v*scale)/scale*1000000.0D AS BIGINT)),
-            |  0L, (a, b) -> a + b)""".stripMargin).as("err_ppm_sum"))
+          V.longSumCol(col("qv")).as("sum_q"),
+          V.longAbsMaxCol(col("qv")).as("max_q"),
+          V.quantErrPpmCol(col("embedding"), col("qv"), col("scale"))
+            .as("err_ppm_sum"))
     },
 
     // ---- retrieval over the int8-QUANTIZED vectors (e09's consumer):
@@ -346,28 +380,18 @@ object VectorQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         |  FROM s) t WHERE rnk <= 5""".stripMargin) { (s, dir) =>
       val base = Tables.load(s, dir, "embeddings")
-      // symmetric max-abs int8 encode (e09's recipe, scales implicit)
-      val qCol = expr(
-        """transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
-          |  IF(aggregate(embedding, 0.0D, (a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) = 0.0D, 1.0D,
-          |     aggregate(embedding, 0.0D, (a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) / 127.0D)
-          |  + IF(x >= CAST(0.0 AS FLOAT), 0.5D, -0.5D) AS BIGINT))""".stripMargin)
+      // native one-pass encode (scale in-kernel; NativeExprParitySpec
+      // pins bit-parity against the r8 HOF formulation)
       val q = base.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), qCol.as("qq"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          int8Codes(col("embedding")).as("qq"))
       val c = base.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"), qCol.as("qc"))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          int8Codes(col("embedding")).as("qc"))
       // exact float arm: the truth target (three consumers -> persisted)
       val exact = exactTop5(q, c).persist()
-      // quantized arm: integer dot products, scales cancel in cosine
-      val quant = q.join(broadcast(c))
-        .withColumn("cos",
-          expr("aggregate(zip_with(qq, qc, (x, y) -> x * y), 0L, (a, v) -> a + v)") /
-            sqrt(expr("aggregate(transform(qq, x -> x * x), 0L, (a, v) -> a + v)")) /
-            sqrt(expr("aggregate(transform(qc, x -> x * x), 0L, (a, v) -> a + v)")))
-        .select(col("qid"), col("cid"), col("cos"))
-        .withColumn("rnk", row_number().over(top5Window).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("cid"))
+      // quantized arm: native integer-cosine kernel (scales cancel)
+      val quant = quantizedTop5(q, c)
       exact
         .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
         .crossJoin(broadcast(recallFlag(exact, quant, 0.8, "quant_recall_ok")))
@@ -383,7 +407,8 @@ object VectorQueries {
     // >= 0.5, attached via a 1-row broadcast (d16's threshold pattern,
     // no driver collect). A banding bug that tanks recall, or a re-rank
     // bug that reorders candidates, flips the boolean and fails the
-    // gate; e04 stays the pure-LSH rows-only op for recall-curve specs.
+    // gate; [[knnLsh]] keeps the pure-LSH path as library surface for
+    // the recall-curve specs (gate entry retired in round 8).
     // At 100 TB the exact arm is the bounded probe-set×corpus pass e01
     // already models; the LSH arm touches only bucket-collided pairs. ----
     QueryDef("e07_ann_rerank",
@@ -435,8 +460,9 @@ object VectorQueries {
     // candidate join — now feeds a gated query. Emitted rows are the
     // exact top-5 the oracle recomputes; the IVF arm's recall@5 >= 0.5
     // rides in-band. A quantizer-training or cell-assignment regression
-    // flips the boolean and fails the hash gate (e06 stays rows-only for
-    // the recall-curve specs). ----
+    // flips the boolean and fails the hash gate ([[knnIvf]] keeps the
+    // pure-IVF path as library surface for the recall-curve specs; its
+    // gate entry was retired in round 8). ----
     QueryDef("e08_ivf_rerank",
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),

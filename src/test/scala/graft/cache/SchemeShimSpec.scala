@@ -18,6 +18,17 @@ import graft.GraftSession
   * direct (non-recursing) construction of the inner FS, identity path
   * translation up to the scheme swap, and cache engagement.
   */
+/** Local FS variant whose close() is observable (see the shim-close test). */
+class CloseProbeFileSystem extends org.apache.hadoop.fs.LocalFileSystem {
+  override def close(): Unit = {
+    CloseProbeFileSystem.closed.set(true)
+    super.close()
+  }
+}
+object CloseProbeFileSystem {
+  val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class SchemeShimSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
   private var cacheDir: String = _
@@ -78,6 +89,21 @@ class SchemeShimSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"status paths must keep the taken-over scheme, got ${st.getPath}")
     val ls = fs.listStatus(new org.apache.hadoop.fs.Path(s"s3a://$sfDir"))
     assert(ls.nonEmpty && ls.forall(_.getPath.toUri.getScheme == "s3a"))
+  }
+
+  test("closing the shim closes its directly-constructed inner client") {
+    // a fresh (uncached) shim instance with a close-observable inner
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    conf.set("graft.s3a.underlying.impl",
+      classOf[CloseProbeFileSystem].getName)
+    CloseProbeFileSystem.closed.set(false)
+    val shim = new GraftS3AFileSystem
+    shim.initialize(java.net.URI.create("s3a:///"), conf)
+    shim.close()
+    assert(CloseProbeFileSystem.closed.get,
+      "shim.close() must close the directly-built inner FS " +
+        "(an S3AFileSystem's connection/thread pools would leak)")
   }
 
   test("shim registry covers the reference's per-scheme plugin set") {

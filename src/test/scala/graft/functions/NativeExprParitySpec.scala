@@ -107,6 +107,66 @@ class NativeExprParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "l2norm must be bit-identical to the HOF fold")
   }
 
+  test("int8 quantization kernels == round-8 HOF formulations (bit parity)") {
+    // the exact HOF bodies e09/e10 shipped in round 8, recomputed inline
+    val base = embs
+      .withColumn("scale0", expr(
+        "aggregate(embedding, 0.0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / 127.0D"))
+      .withColumn("scale", when(col("scale0") === 0.0, lit(1.0))
+        .otherwise(col("scale0")))
+      .withColumn("qv_hof", expr(
+        """transform(embedding, x -> CAST(CAST(x AS DOUBLE)/scale
+          |  + IF(x >= CAST(0.0 AS FLOAT), 0.5D, -0.5D) AS BIGINT))""".stripMargin))
+      .withColumn("qv_auto_hof", expr(
+        """transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+          |  IF(aggregate(embedding, 0.0D, (a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) = 0.0D, 1.0D,
+          |     aggregate(embedding, 0.0D, (a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) / 127.0D)
+          |  + IF(x >= CAST(0.0 AS FLOAT), 0.5D, -0.5D) AS BIGINT))""".stripMargin))
+      .withColumn("ma_nat", VectorOps.maxAbsCol(col("embedding")) / lit(127.0))
+      .withColumn("qv_nat", VectorOps.int8EncodeCol(col("embedding"), col("scale")))
+      .withColumn("qv_auto_nat", VectorOps.int8EncodeAutoCol(col("embedding")))
+    assert(base.filter(col("scale0") =!= col("ma_nat")).count() == 0,
+      "max-abs scale must be bit-identical to the HOF greatest fold")
+    assert(base.filter(col("qv_hof") =!= col("qv_nat")).count() == 0,
+      "explicit-scale encode must equal the HOF transform exactly")
+    assert(base.filter(col("qv_auto_hof") =!= col("qv_auto_nat")).count() == 0,
+      "auto-scale encode must equal the HOF transform exactly")
+    val stats = base
+      .withColumn("sum_hof", expr("aggregate(qv_hof, 0L, (a, v) -> a + v)"))
+      .withColumn("max_hof",
+        expr("aggregate(transform(qv_hof, v -> abs(v)), 0L, (a, v) -> greatest(a, v))"))
+      .withColumn("err_hof", expr(
+        """aggregate(zip_with(embedding, qv_hof,
+          |  (x, v) -> CAST(abs(CAST(x AS DOUBLE) - v*scale)/scale*1000000.0D AS BIGINT)),
+          |  0L, (a, b) -> a + b)""".stripMargin))
+      .withColumn("sum_nat", VectorOps.longSumCol(col("qv_nat")))
+      .withColumn("max_nat", VectorOps.longAbsMaxCol(col("qv_nat")))
+      .withColumn("err_nat",
+        VectorOps.quantErrPpmCol(col("embedding"), col("qv_nat"), col("scale")))
+    assert(stats.filter(col("sum_hof") =!= col("sum_nat")).count() == 0)
+    assert(stats.filter(col("max_hof") =!= col("max_nat")).count() == 0)
+    assert(stats.filter(col("err_hof") =!= col("err_nat")).count() == 0)
+  }
+
+  test("int_cosine_sim == HOF long-fold formulation (bit parity)") {
+    val coded = embs.select(col("vec_id"),
+      VectorOps.int8EncodeAutoCol(col("embedding")).as("q"))
+    val pairs = coded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("ida"), col("q").as("qq"))
+      .crossJoin(coded.filter(col("vec_id").between(5, 9))
+        .select(col("vec_id").as("idb"), col("q").as("qc")))
+    // e10's round-8 Column formulation: dot / sqrt(na) / sqrt(nb),
+    // left-associated — the division order the kernel must reproduce
+    val hof =
+      expr("aggregate(zip_with(qq, qc, (x, y) -> x * y), 0L, (a, v) -> a + v)") /
+        sqrt(expr("aggregate(transform(qq, x -> x * x), 0L, (a, v) -> a + v)")) /
+        sqrt(expr("aggregate(transform(qc, x -> x * x), 0L, (a, v) -> a + v)"))
+    val cmp = pairs.withColumn("hof", hof)
+      .withColumn("nat", VectorOps.intCosineSimCol(col("qq"), col("qc")))
+    assert(cmp.filter(col("hof") =!= col("nat")).count() == 0,
+      "integer cosine must be bit-identical to the HOF fold")
+  }
+
   test("null array elements: vector exprs return NULL, text hashes skip") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Concurrent execution of the SQL surface — the reference's stress
+  * protocol (rubix_stressor.py: 8 threads over a query list against one
+  * warm cluster) applied to graft's own gate queries: 8 threads, shuffled
+  * rounds, one shared SparkSession, and every concurrent execution must
+  * reproduce the result fingerprint of its sequential run. Covers every
+  * eligible family: relational joins/aggs/windows, dedup (including the
+  * d10 connected-components fixpoint, whose persist/localCheckpoint loop
+  * is the most interleaving-sensitive shape in the repo), vector
+  * retrieval with persisted exact arms, multimodal, fingerprints.
+  * StressGateSpec covers the cache layer's 8-thread story; this spec is
+  * the missing SQL-surface half. */
+class ConcurrentGateSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // one query per eligible family + the stateful shapes most likely to
+  // misbehave under interleaving (fixpoint loops, persisted arms, UDAFs)
+  private val pool = Seq(
+    "q01_pricing_summary", "q05_region_revenue", "q14_window_rank",
+    "q31_approx_distinct", "q34_salted_agg", "q46_lateral_join",
+    "d04_dedup_exact", "d06_dedup_minhash_lsh", "d10_dedup_components",
+    "d21_window_dedup", "d22_token_bpe",
+    "e01_knn_brute", "e05_centroid_udaf", "e09_vector_quantize",
+    "e10_quantized_knn", "m03_decoded_stats", "d08_fingerprint64")
+
+  test("c*/s* are the only sequential-only families") {
+    val seqOnly = graft.SparkEntry.allDefs.map(_.name)
+      .filter(graft.ConcurrentHarness.sequentialOnly)
+    assert(seqOnly.nonEmpty && seqOnly.forall(n =>
+      n.startsWith("c0") || n.startsWith("c1") || n.startsWith("s0")),
+      s"unexpected names classified sequential-only: $seqOnly")
+    assert(pool.forall(!graft.ConcurrentHarness.sequentialOnly(_)))
+  }
+
+  test("8 threads x 2 rounds: every result fingerprint equals its sequential run") {
+    val queries = graft.SparkEntry.queries
+    val expected = pool.map { n =>
+      n -> graft.PinScope.run(spark)(
+        graft.ConcurrentHarness.resultHash(queries(n)(spark, dir)))
+    }.toMap
+    // sanity: fingerprints are real (no empty-result aliasing)
+    assert(expected.values.forall(_._1 > 0), s"empty sequential result: $expected")
+    val out = graft.ConcurrentHarness.run(threads = 8, rounds = 2,
+      pool.map(n => n -> (() => queries(n)(spark, dir))), expected)
+    graft.PinScope.run(spark)(())
+    assert(out.errors.isEmpty, s"concurrent errors:\n${out.errors.mkString("\n")}")
+    assert(out.mismatches.isEmpty,
+      s"concurrent results diverged from sequential:\n${out.mismatches.mkString("\n")}")
+    assert(out.executed == pool.size * 2)
+    assert(graft.PinScope.pinnedCount(spark) == 0,
+      "concurrent phase must leave no pinned storage after the sweep")
+  }
+}

@@ -111,9 +111,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     val payloads = docs.map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
     payloads.values.take(50).foreach { payload =>
-      val buckets = MultimodalQueries.fakeResize(payload)
-      assert(buckets.sum == payload.map(b => (b & 0xff).toLong).sum,
-        "resize buckets must partition the total byte mass")
+      val img = MultimodalQueries.decodePpm(MultimodalQueries.makePpm(payload))
+      val buckets = MultimodalQueries.resizeSums(img)
+      assert(buckets.sum == img.pixels.map(b => (b & 0xff).toLong).sum,
+        "resize quadrants must partition the total pixel mass")
+      // the codec round-trips: header parses back to the encode dims
+      val n = payload.length
+      assert(img.width == 4 + (if (n == 0) 0 else payload(0) & 0x07))
+      assert(img.height == 4 + (if (n < 2) 0 else payload(1) & 0x07))
+      assert(img.maxval == 255 && img.channels == 3)
     }
     // gate queries: deterministic under repartition, frame sums = slices
     val m04 = graft.SparkEntry.queries("m04_resize_stub")

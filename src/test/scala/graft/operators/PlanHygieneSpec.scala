@@ -24,10 +24,13 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   //   e07/e08/e10: e01's bounded probe broadcast + a 1-row recall-flag
   //        broadcast (e10's quantized arm scores the same bounded
   //        probe x corpus product in integer dot products)
+  //   d26: a 1-row recall-flag broadcast (the e07/e10 contract); the
+  //        candidate joins themselves are label/cell equi-joins
+  //   d28: a 1-row merge-table broadcast (the d16 threshold pattern)
   private val bnljAllowed = Set("e01_knn_brute", "q24_theta_join",
     "q32_interval_join", "q28_correlated_subquery", "q36_exists_in_mix",
     "d16_bigram_coverage", "e07_ann_rerank", "e08_ivf_rerank",
-    "e10_quantized_knn")
+    "e10_quantized_knn", "d26_semantic_dedup", "d28_bpe_merges")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Compare a bench run against the previous round's COMMITTED driver
+artifact (BENCH_r{N-1}.json) and print the >2x regression table for
+BASELINE.md.
+
+Round-8 lesson (VERDICT "What's wrong" #1): the regression table must be
+derived from the artifact the next judge will diff against — the committed
+BENCH file — not from builder-local same-session reruns, which sit in a
+different noise regime.
+
+Usage:
+  tools/regression.py BENCH_r08.json <new-bench-output.json-or-log>
+
+The first argument is a driver artifact ({"tail": ..., "parsed": ...}) or
+a raw bench JSON line; the second is either shape too. Per-query values
+are the warm medians from the compact "queries" dict (short ids). Exits 0
+always — the table is evidence, not a gate.
+"""
+import json
+import re
+import sys
+
+
+def load_queries(path):
+    """Return {short_id: median_sec} from a driver artifact, a raw bench
+    JSON line, or a log containing one."""
+    text = open(path).read()
+    # driver artifact wrapper?
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "tail" in d:
+            if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+                return d["parsed"]["queries"], d["parsed"].get("value")
+            text = d["tail"]
+    except json.JSONDecodeError:
+        pass
+    # find the LAST compact artifact line in the text
+    best = None
+    for m in re.finditer(r'\{"metric":"total".*?"sf":"?[^"}]*"?\}', text):
+        best = m.group(0)
+    if best is None:
+        raise SystemExit(f"{path}: no bench totals line found")
+    d = json.loads(best)
+    return d["queries"], d.get("value")
+
+
+def main():
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    prev_q, prev_total = load_queries(sys.argv[1])
+    new_q, new_total = load_queries(sys.argv[2])
+    common = sorted(set(prev_q) & set(new_q))
+    dropped = sorted(set(prev_q) - set(new_q))
+    added = sorted(set(new_q) - set(prev_q))
+    prev_sum = sum(prev_q[k] for k in common)
+    new_sum = sum(new_q[k] for k in common)
+    print(f"common queries: {len(common)}  "
+          f"prev_sum={prev_sum:.2f}s new_sum={new_sum:.2f}s "
+          f"ratio={new_sum / prev_sum if prev_sum else float('nan'):.2f}x")
+    if added:
+        print(f"new queries (no prior value): {' '.join(added)}")
+    if dropped:
+        print(f"dropped queries: {' '.join(dropped)}")
+    rows = []
+    for k in common:
+        p, n = prev_q[k], new_q[k]
+        if p > 0 and n / p > 2.0:
+            rows.append((n / p, k, p, n))
+    if not rows:
+        print("queries >2x their previous committed value: NONE")
+    else:
+        print("queries >2x their previous committed value:")
+        for r, k, p, n in sorted(rows, reverse=True):
+            print(f"  {k}: {p:.2f}s -> {n:.2f}s ({r:.1f}x)")
+
+
+if __name__ == "__main__":
+    main()
