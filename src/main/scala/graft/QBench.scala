@@ -25,6 +25,7 @@ object QBench {
 
     which match {
       case "q31" => q31(spark, sfDir, time)
+      case "d26parts" => d26parts(spark, sfDir)
       case "stream" => stream(spark, sfDir)
       case "s04" => s04(spark, sfDir)
       case name if SparkEntry.queries.contains(name) =>
@@ -97,6 +98,35 @@ object QBench {
         count(lit(1)).as("n"),
         approx_count_distinct(col("l_partkey"), 0.016).as("ap"),
         approx_count_distinct(col("l_orderkey"), 0.016).as("ao")))
+    }
+  }
+
+  private def d26parts(spark: SparkSession, dir: String): Unit = {
+    import operators._
+    def t[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$name%-18s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    (1 to 2).foreach { rep =>
+      println(s"--- rep $rep")
+      PinScope.run(spark) {
+        val e = Tables.load(spark, dir, "embeddings")
+        val exactPairs = DedupQueries.exactSemanticPairs(e, 0.35).persist()
+        t("exactPairs")(exactPairs.count())
+        val comps = TextQueries.componentsOf(
+          exactPairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+          e.select(col("vec_id").as("doc_id")))
+        t("componentsOf")(comps.count())
+        val quantPairs = t("quantPairs(build)")(
+          DedupQueries.quantSemanticPairs(spark, e, 0.35, k = 16, nprobe = 4))
+        t("quantPairs(run)")(quantPairs.count())
+        val flag = exactPairs.join(quantPairs, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(exactPairs.agg(count(lit(1)).as("total")))
+        t("recallFlag")(flag.count())
+      }
     }
   }
 

@@ -27,30 +27,41 @@ object DedupQueries {
 
   /** Open-domain quantized candidate pairs (d26's approximate arm):
     * int8 codes, trained k-cell IVF coarse quantizer as the blocking
-    * key with symmetric nprobe multi-probe (a pair is a candidate if
-    * ANY of each side's nprobe nearest cells coincide), native
-    * integer-cosine verify at tau. Never corpus-wide all-pairs — the
-    * SemDeDup cost model, where k grows with the corpus so cells stay
-    * bounded. */
+    * key with ASYMMETRIC multi-probe (each vector lives in its single
+    * nearest cell; each vector also PROBES its nprobe nearest cells —
+    * a pair is a candidate when either side's home cell is among the
+    * other's probes), native integer-cosine verify at tau. Asymmetric
+    * blocking costs Σ|home(c)|·|probes(c)| candidates — nprobe× the
+    * corpus-per-cell product — where a symmetric variant squares the
+    * probe fan-out (nprobe²×): probing half the toy quantizer's cells
+    * asymmetrically (nprobe=8 of k=16) still halves the candidate
+    * volume of the symmetric nprobe=4 formulation while measuring the
+    * same recall band (0.92-1.0, SemDedupRecallSpec; asymmetric
+    * nprobe=4 sat at 0.79 — under the spec floor). Never corpus-wide
+    * all-pairs — the SemDeDup cost model, where k grows with the corpus
+    * so cells stay bounded and nprobe stays a small constant. */
   def quantSemanticPairs(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame, tau: Double, k: Int,
       nprobe: Int): org.apache.spark.sql.DataFrame = {
     val V = graft.functions.VectorOps
+    // persisted: the sizing count, the training sample, and both join
+    // sides scan it — one parquet pass + one encode instead of four
+    // (PinScope sweeps the pin after the caller materializes)
     val coded = e.select(col("vec_id"), col("embedding"),
-      VectorQueries.int8Codes(col("embedding")).as("qv"))
+      VectorQueries.int8Codes(col("embedding")).as("qv")).persist()
     val cents = VectorQueries.kmeansCentroids(
       coded.select(col("vec_id"), col("embedding")),
       k, iters = 2, trainTargetRows = 1000L)
     val bc = V.broadcastCentroids(s, cents)
-    val celled = coded.select(col("vec_id"), col("qv"),
+    val home = coded.select(col("vec_id").as("id_h"), col("qv").as("qh"),
+      V.nearestCentroidCol(col("embedding"), bc).as("cell"))
+    val probes = coded.select(col("vec_id").as("id_p"), col("qv").as("qp"),
       explode(V.nearestCentroidsCol(col("embedding"), bc, nprobe)).as("cell"))
-    celled
-      .select(col("cell"), col("vec_id").as("id_a"), col("qv").as("qa"))
-      .join(celled.select(col("cell"), col("vec_id").as("id_b"),
-        col("qv").as("qb")), Seq("cell"))
-      .filter(col("id_a") < col("id_b") &&
-        V.intCosineSimCol(col("qa"), col("qb")) >= tau)
-      .select(col("id_a"), col("id_b"))
+    home.join(probes, Seq("cell"))
+      .filter(col("id_h") =!= col("id_p") &&
+        V.intCosineSimCol(col("qh"), col("qp")) >= tau)
+      .select(least(col("id_h"), col("id_p")).as("id_a"),
+        greatest(col("id_h"), col("id_p")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -284,16 +295,17 @@ object DedupQueries {
     // components -> keep-lowest-id), which DuckDB recomputes with the
     // d10 recursive CTE; the quantized/IVF arm is open-domain (no label
     // crutch) and rides in-band: its candidate pairs must recover >= 0.6
-    // of the exact pair set. Probing 4 of the toy quantizer's 16 cells
-    // measures 0.93-1.0 (nprobe=2 sat at 0.64 — cell-boundary splits,
-    // no gate margin; e08 hit the same wall and widened nprobe the same
-    // way). Quantization alone loses ~1% of borderline-cosine pairs;
-    // SemDedupRecallSpec records the measured values and pins >= 0.8.
-    // Scale shape: candidate
-    // generation is an equi-join on the cell id with within-cell
-    // pairwise verify — SemDeDup's own cost model, where k grows with
-    // the corpus to keep cells bounded (k=16 toy here, thousands at
-    // 100 TB) — never corpus-wide all-pairs; components as in d10. ----
+    // of the exact pair set. Asymmetric multi-probe at nprobe=8 of k=16
+    // measures 0.92-1.0 (narrower probing sat at 0.64-0.79 — cell-
+    // boundary splits, no gate margin; e08 hit the same wall and
+    // widened nprobe the same way). Quantization alone loses ~1% of
+    // borderline-cosine pairs; SemDedupRecallSpec records the measured
+    // values and pins >= 0.8. Scale shape: candidate generation is an
+    // equi-join on the cell id (home cell × probed cells — see
+    // quantSemanticPairs for the asymmetric cost argument), SemDeDup's
+    // own cost model, where k grows with the corpus to keep cells
+    // bounded (k=16 toy here, thousands at 100 TB) — never corpus-wide
+    // all-pairs; components as in d10. ----
     QueryDef("d26_semantic_dedup",
       """WITH RECURSIVE s AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -320,7 +332,7 @@ object DedupQueries {
       val comps = TextQueries.componentsOf(
         exactPairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
         e.select(col("vec_id").as("doc_id")))
-      val quantPairs = quantSemanticPairs(s, e, 0.35, k = 16, nprobe = 4)
+      val quantPairs = quantSemanticPairs(s, e, 0.35, k = 16, nprobe = 8)
       val flag = exactPairs
         .join(quantPairs, Seq("id_a", "id_b"), "left_semi")
         .agg(count(lit(1)).as("hits"))

@@ -123,6 +123,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-row tokenization must not shuffle:\n$p")
   }
 
+  test("d27 rewrite: window-hash shuffle + doc rollup, no self-join on text") {
+    val p = plan("d27_dedup_rewrite")
+    assert(!p.contains("CartesianProduct"), p)
+    // the rewrite joins the per-doc dup-position ARRAY back to the doc
+    // table — every join must be an equi-join keyed on doc_id/hash,
+    // never a nested loop over text
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"rewrite must stay equi-joined:\n$p")
+    // exactly one Window (the min-over-window-hash first-occurrence pass)
+    assert("Window\\b".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("d28 bpe merges: application is a broadcast projection, counting one shuffle") {
+    val p = plan("d28_bpe_merges")
+    assert(!p.contains("CartesianProduct"), p)
+    // merge table reaches rows via a 1-row broadcast (BNLJ allowlisted in
+    // PlanHygieneSpec); the per-doc application itself must not shuffle
+    // the docs — the only hashpartitioning exchanges belong to the pair
+    // count + top-8 ranking, keyed on the pair value
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("m")),
+      s"only the pair-count aggregate may shuffle, saw keys $exchanges:\n$p")
+  }
+
   test("e09 quantization: pure per-row projection, zero exchanges") {
     val p = plan("e09_vector_quantize")
     assert(!p.contains("Exchange"),

@@ -12,7 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * tighter floor so a blocking/quantization regression shows up here
   * before it erodes the gate margin. Quantization alone loses ~1% of
   * pairs at tau = 0.35 (borderline cosines dip under the threshold);
-  * the remainder is cell-boundary splits the 2-probe blocking misses. */
+  * the remainder is cell-boundary splits the asymmetric 8-probe
+  * blocking misses. */
 class SemDedupRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
 
@@ -32,7 +33,7 @@ class SemDedupRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
         val e = Tables.load(spark, dir, "embeddings")
         val exact = DedupQueries.exactSemanticPairs(e, 0.35).persist()
         val quant = DedupQueries.quantSemanticPairs(spark, e, 0.35,
-          k = 16, nprobe = 4)
+          k = 16, nprobe = 8)
         val total = exact.count()
         val hits = exact.join(quant, Seq("id_a", "id_b"), "left_semi").count()
         val recall = hits.toDouble / math.max(total, 1L)
