@@ -170,13 +170,14 @@ object Bench {
     // ---- concurrent arm (round 9): mirror the reference's stress
     // protocol (rubix_stressor.py 8 threads; perf.go 10 concurrent
     // runs) — 8 threads x 3 shuffled rounds over the 20 heaviest
-    // eligible queries, every execution fingerprint-checked against its
-    // sequential run. c*/s* are excluded (sequential-only metric/conf
-    // contracts — see ConcurrentHarness scaladoc). A mismatch or error
-    // poisons the artifact like any other bench failure. ----
+    // queries, every execution fingerprint-checked against its
+    // sequential run. c*/s* participate on a dedicated SERIAL lane
+    // (mutual exclusion among themselves — global cache counters,
+    // scratch dirs, checkpoints — while running concurrently with the
+    // whole SQL surface; see ConcurrentHarness scaladoc). A mismatch or
+    // error poisons the artifact like any other bench failure. ----
     val warmMed = warm.map { case (n, _, md, _) => n -> md }.toMap
     val concPool = names
-      .filterNot(ConcurrentHarness.sequentialOnly)
       .filter(n => warmMed.getOrElse(n, -1.0) >= 0)
       .sortBy(n => -warmMed(n))
       .take(20)

@@ -20,13 +20,21 @@ import org.apache.spark.sql.functions._
   * submission) and requires every concurrent execution to reproduce the
   * result fingerprint of its sequential run.
   *
-  * Pool eligibility: c* queries assert DELTAS of session-global cache
-  * counters (the c08/c11 in-band metric contracts) and s* queries mutate
-  * session confs around stream starts (shuffle-partition override) —
-  * both are documented sequential-only protocols, so the pool excludes
-  * them and the bench artifact says so (`conc.pool` counts what ran).
-  * Every other family — relational, text, dedup, vector, multimodal,
-  * fingerprint — must tolerate arbitrary interleaving.
+  * Lane discipline: c* queries assert DELTAS of session-global cache
+  * counters (the c08/c11 in-band metric contracts) and share per-purpose
+  * scratch dirs; s* queries mutate session confs around stream starts
+  * and re-create fixed checkpoint dirs. Both therefore need MUTUAL
+  * exclusion among themselves — but not isolation from the rest of the
+  * surface, because no other family touches the graft:// counters,
+  * the scratch dirs, or a stream checkpoint. The harness runs them on a
+  * dedicated serial lane (one worker, submission order) while every
+  * other family — relational, text, dedup, vector, multimodal,
+  * fingerprint — interleaves freely on the remaining workers. The one
+  * cross-talk channel left is the s* shuffle-partition override, whose
+  * window can change how many partitions a concurrently-planned query
+  * shuffles through — a plan-shape change, never a result change (gate
+  * queries are partition-count-invariant by construction), and the
+  * fingerprint check would catch any violation.
   *
   * Pinned intermediates: several pool queries persist subtrees they
   * cannot unpersist before materialization (e07/e08/e10's exact arm, the
@@ -38,8 +46,10 @@ import org.apache.spark.sql.functions._
   */
 object ConcurrentHarness {
 
-  /** Gate names whose in-band contracts assume sequential execution. */
-  def sequentialOnly(name: String): Boolean =
+  /** Gate names that must not run concurrently with EACH OTHER (shared
+    * global counters / scratch dirs / checkpoints / session confs) and
+    * therefore ride the serial lane. */
+  def serialLane(name: String): Boolean =
     name.startsWith("c") || name.startsWith("s")
 
   /** Deterministic, order-insensitive result fingerprint: (row count,
@@ -61,36 +71,47 @@ object ConcurrentHarness {
 
   /** Runs `rounds` shuffled repetitions of every (name, build) task from
     * `threads` worker threads; each execution re-fingerprints the result
-    * and compares against `expected` (the sequential run). Shuffle order
-    * is seeded per round so failures replay. */
+    * and compares against `expected` (the sequential run). Tasks whose
+    * name is in the [[serialLane]] go to one dedicated worker in
+    * submission order (mutual exclusion among themselves, full
+    * concurrency with everything else); that worker helps drain the
+    * shared queue once its lane is dry. Shuffle order is seeded per
+    * round so failures replay. */
   def run(threads: Int, rounds: Int,
       tasks: Seq[(String, () => DataFrame)],
       expected: Map[String, (Long, Long)]): Outcome = {
-    val queue = new ConcurrentLinkedQueue[(String, () => DataFrame)]()
+    val shared = new ConcurrentLinkedQueue[(String, () => DataFrame)]()
+    val serial = new ConcurrentLinkedQueue[(String, () => DataFrame)]()
     (1 to rounds).foreach { r =>
-      new scala.util.Random(41 + r).shuffle(tasks).foreach(queue.add)
+      new scala.util.Random(41 + r).shuffle(tasks).foreach { t =>
+        if (serialLane(t._1)) serial.add(t) else shared.add(t)
+      }
     }
     val mismatches = new ConcurrentLinkedQueue[String]()
     val errors = new ConcurrentLinkedQueue[String]()
     val executed = new java.util.concurrent.atomic.AtomicInteger(0)
+    def drain(q: ConcurrentLinkedQueue[(String, () => DataFrame)]): Unit = {
+      var task = q.poll()
+      while (task != null) {
+        val (name, build) = task
+        try {
+          val got = resultHash(build())
+          executed.incrementAndGet()
+          if (expected(name) != got) mismatches.add(
+            s"$name: sequential ${expected(name)} != concurrent $got")
+        } catch {
+          case e: Throwable =>
+            errors.add(s"$name: ${e.getClass.getName}: ${e.getMessage}")
+        }
+        task = q.poll()
+      }
+    }
     val t0 = System.nanoTime()
     val workers = (0 until threads).map { i =>
       val t = new Thread(
         () => {
-          var task = queue.poll()
-          while (task != null) {
-            val (name, build) = task
-            try {
-              val got = resultHash(build())
-              executed.incrementAndGet()
-              if (expected(name) != got) mismatches.add(
-                s"$name: sequential ${expected(name)} != concurrent $got")
-            } catch {
-              case e: Throwable =>
-                errors.add(s"$name: ${e.getClass.getName}: ${e.getMessage}")
-            }
-            task = queue.poll()
-          }
+          if (i == 0) drain(serial) // the serial lane, in order
+          drain(shared)
         },
         s"graft-concurrent-$i")
       t.setDaemon(true)

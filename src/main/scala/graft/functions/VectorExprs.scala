@@ -154,6 +154,16 @@ object VectorOps {
     dot.toDouble / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble)
   }
 
+  /** L1 mass of a float vector, folded from 0.0 — the fold order of
+    * `aggregate(emb, 0.0D, (a, x) -> a + abs(x))` (e02's per-row term). */
+  def absSum(a: ArrayData): Double = {
+    val av = a.toFloatArray()
+    var acc = 0.0
+    var i = 0
+    while (i < av.length) { acc += math.abs(av(i).toDouble); i += 1 }
+    acc
+  }
+
   /** Sum of a long array (exact integer fold — order-independent). */
   def longSum(a: ArrayData): Long = {
     val av = a.toLongArray()
@@ -436,6 +446,26 @@ object VectorOps {
     override def prettyName: String = "vec_max_abs"
   }
 
+  /** L1 mass of a float vector (e02's per-row term — the one remaining
+    * interpreted HOF in the vector family before round 9). */
+  case class AbsSum(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child.dataType, prettyName)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      if (hasNullElement(aa)) null else absSum(aa)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VectorOps.absSum($a); }""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "vec_abs_sum"
+  }
+
   /** Symmetric round-half-away int8 encode of a float vector against an
     * explicit per-vector scale column (e09 emits the scale as data, so
     * the code column must be derived from exactly that scale). */
@@ -599,6 +629,7 @@ object VectorOps {
   }
 
   def maxAbsCol(a: Column): Column = exprCol(MaxAbs(exprOf(a)))
+  def absSumCol(a: Column): Column = exprCol(AbsSum(exprOf(a)))
   def int8EncodeCol(a: Column, scale: Column): Column =
     exprCol(Int8Encode(exprOf(a), exprOf(scale)))
   def int8EncodeAutoCol(a: Column): Column = exprCol(Int8EncodeAuto(exprOf(a)))

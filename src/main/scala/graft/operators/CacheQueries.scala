@@ -211,11 +211,12 @@ object CacheQueries {
         | round(sum(p_retailprice),3) AS price, true AS warm_hits_ok
         |FROM part GROUP BY p_brand""".stripMargin) { (s, dir) =>
       // NOTE: the before/after delta below reads the process-global
-      // cache-metrics registry, so this contract is valid only when c*
-      // queries run sequentially. Verify and the bench's gate passes do;
-      // the round-9 concurrent arm excludes c* for exactly this reason
-      // (ConcurrentHarness.sequentialOnly — same caveat as c11). Every
-      // non-c*/s* query is exercised under 8-thread concurrency instead.
+      // cache-metrics registry, so this contract requires that no OTHER
+      // c* query runs concurrently (only c* traffic moves these
+      // counters). Verify and the bench's gate passes run sequentially;
+      // the round-9 concurrent arm runs c* on a dedicated serial lane
+      // (ConcurrentHarness.serialLane — same caveat as c11) while the
+      // rest of the surface interleaves around them on 7 more threads.
       enableCacheFs(s)
       def agg = s.read.parquet(s"graft://$dir/part.parquet")
         .groupBy("p_brand")
@@ -316,10 +317,11 @@ object CacheQueries {
     // session-keyed FS — per-scan confs (the refused narrow path) swap
     // CacheManager.current to a throwaway instance, so the session
     // manager is the one whose counters must stay flat. Like c08, the
-    // delta check assumes c* queries run sequentially (Verify and the
-    // bench gate passes do; the round-9 concurrent arm excludes c* via
-    // ConcurrentHarness.sequentialOnly because these counters are
-    // process-global).
+    // delta check assumes no other c* query runs concurrently (only c*
+    // traffic moves these process-global counters): Verify and the
+    // bench gate passes are sequential, and the round-9 concurrent arm
+    // serializes c* on a dedicated lane (ConcurrentHarness.serialLane)
+    // while running them concurrently with the non-c* surface.
     QueryDef("c11_admission_gate",
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_quantity),3) AS qty,

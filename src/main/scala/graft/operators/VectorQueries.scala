@@ -257,10 +257,13 @@ object VectorQueries {
         | round(sum(list_sum(list_transform(embedding,
         |   x -> abs(CAST(x AS DOUBLE))))), 3) AS sum_abs
         |FROM embeddings GROUP BY label""".stripMargin) { (s, dir) =>
+      // both per-row terms are native codegen kernels (the HOF abs-fold
+      // was the e-family's last interpreted lambda; bit-parity pinned
+      // in NativeExprParitySpec)
       Tables.load(s, dir, "embeddings").groupBy("label")
         .agg(count(lit(1)).as("n"),
           round(avg(norm(col("embedding"))), 3).as("avg_norm"),
-          round(sum(expr("aggregate(embedding, 0.0D, (acc, x) -> acc + abs(CAST(x AS DOUBLE)))")), 3)
+          round(sum(graft.functions.VectorOps.absSumCol(col("embedding"))), 3)
             .as("sum_abs"))
     },
 

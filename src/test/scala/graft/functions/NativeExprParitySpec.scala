@@ -105,6 +105,11 @@ class NativeExprParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "cosine must be bit-identical to the HOF fold")
     assert(cmp.filter(col("hofn") =!= col("natn")).count() == 0,
       "l2norm must be bit-identical to the HOF fold")
+    val l1 = embs.withColumn("hof",
+        expr("aggregate(embedding, 0.0D, (acc, x) -> acc + abs(CAST(x AS DOUBLE)))"))
+      .withColumn("nat", VectorOps.absSumCol(col("embedding")))
+    assert(l1.filter(col("hof") =!= col("nat")).count() == 0,
+      "abs-sum must be bit-identical to the HOF fold")
   }
 
   test("int8 quantization kernels == round-8 HOF formulations (bit parity)") {

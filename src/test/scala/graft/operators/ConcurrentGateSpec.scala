@@ -20,6 +20,10 @@ class ConcurrentGateSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val dir = "/root/testdata/sf0.001"
 
   override def beforeAll(): Unit = {
+    // c* pool members touch the shared in-process cache singleton: start
+    // and end from a clean slate (the FS-suite convention)
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    graft.cache.CacheManager.resetForTest()
     spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -27,25 +31,32 @@ class ConcurrentGateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    graft.cache.CacheManager.resetForTest()
+  }
 
-  // one query per eligible family + the stateful shapes most likely to
-  // misbehave under interleaving (fixpoint loops, persisted arms, UDAFs)
+  // one query per family + the stateful shapes most likely to misbehave
+  // under interleaving (fixpoint loops, persisted arms, UDAFs, cache
+  // metric deltas, streaming state) — c*/s* ride the serial lane
   private val pool = Seq(
     "q01_pricing_summary", "q05_region_revenue", "q14_window_rank",
     "q31_approx_distinct", "q34_salted_agg", "q46_lateral_join",
     "d04_dedup_exact", "d06_dedup_minhash_lsh", "d10_dedup_components",
     "d21_window_dedup", "d22_token_bpe",
     "e01_knn_brute", "e05_centroid_udaf", "e09_vector_quantize",
-    "e10_quantized_knn", "m03_decoded_stats", "d08_fingerprint64")
+    "e10_quantized_knn", "m03_decoded_stats", "d08_fingerprint64",
+    "c01_cached_scan_agg", "c08_warm_hitrate", "s03_stream_dedup")
 
-  test("c*/s* are the only sequential-only families") {
-    val seqOnly = graft.SparkEntry.allDefs.map(_.name)
-      .filter(graft.ConcurrentHarness.sequentialOnly)
-    assert(seqOnly.nonEmpty && seqOnly.forall(n =>
+  test("c*/s* are the only serial-lane families") {
+    val lane = graft.SparkEntry.allDefs.map(_.name)
+      .filter(graft.ConcurrentHarness.serialLane)
+    assert(lane.nonEmpty && lane.forall(n =>
       n.startsWith("c0") || n.startsWith("c1") || n.startsWith("s0")),
-      s"unexpected names classified sequential-only: $seqOnly")
-    assert(pool.forall(!graft.ConcurrentHarness.sequentialOnly(_)))
+      s"unexpected names classified serial-lane: $lane")
+    assert(pool.count(graft.ConcurrentHarness.serialLane) == 3,
+      "spec pool must exercise the serial lane (c01, c08, s03)")
   }
 
   test("8 threads x 2 rounds: every result fingerprint equals its sequential run") {

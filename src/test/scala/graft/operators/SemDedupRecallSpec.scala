@@ -27,8 +27,11 @@ class SemDedupRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("IVF-blocked quantized pairs recover >= 0.8 of exact pairs (sf0.001, sf0.01)") {
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+  test("IVF-blocked quantized pairs recover >= 0.8 of exact pairs (all SFs)") {
+    // sf0.1 included deliberately: it has the densest pair set (391 at
+    // tau 0.35) and is where cell-boundary recall loss would bite first
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { dir =>
       graft.PinScope.run(spark) {
         val e = Tables.load(spark, dir, "embeddings")
         val exact = DedupQueries.exactSemanticPairs(e, 0.35).persist()
