@@ -813,6 +813,88 @@ object TextQueries {
           md5(concat_ws("\u0002", col("merges"))).as("merge_table_md5"))
     },
 
+    // ---- token-budget corpus selection (the data-selection step every
+    // budgeted training run performs: rank the corpus by quality, keep
+    // documents in rank order until a token budget is spent). The
+    // ordering key is an ALL-INTEGER quality score (d02's components in
+    // exact integer arithmetic) with doc_id as the unique tiebreak, and
+    // the budget is corpus-relative (half the total tokens), so the op
+    // is deterministic and equally selective at every SF. The
+    // interesting part is the SHAPE: a running total over a global
+    // ordering is the classic single-partition-window scale trap (the
+    // oracle's naive formulation!), so the Spark side computes the
+    // prefix sum in two parallel passes — score-range buckets (a
+    // monotone function of the score, so bucket-desc-then-within-bucket
+    // order IS the global order), per-bucket token totals rolled up to
+    // a <=31-row table whose exclusive prefix becomes each bucket's
+    // offset (broadcast back), then one bucket-PARTITIONED window for
+    // the within-bucket running sum. Every shuffle is keyed and
+    // parallel; nothing row-scale ever passes through one partition
+    // (PlanSpec pins the window's partition spec). At 100 TB the fixed
+    // value-range buckets become sampled quantile boundaries
+    // (repartitionByRange) — fixed ranges keep the gate deterministic. ----
+    QueryDef("d29_budget_select",
+      s"""WITH t AS (SELECT doc_id,
+         |             len(regexp_extract_all(text,'\\S+')) AS n_tok,
+         |             len(regexp_extract_all(text,'[.,;:!?]')) AS n_punct,
+         |             len(list_filter(regexp_extract_all(text,'\\S+'),
+         |               t -> t IN ${inList(enStop)})) AS stop
+         |           FROM documents),
+         |s AS (SELECT doc_id, n_tok,
+         |        least(n_tok, 50) * 20
+         |        + greatest(greatest(n_tok, 1) - n_punct, 0) * 1000 // greatest(n_tok, 1)
+         |        + least(stop * 5000 // greatest(n_tok, 1), 1000) AS score
+         |      FROM t),
+         |b AS (SELECT CAST(sum(n_tok) // 2 AS BIGINT) AS budget FROM s),
+         |c AS (SELECT doc_id, score, n_tok,
+         |        sum(n_tok) OVER (ORDER BY score DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM s)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score,
+         |  CAST(n_tok AS BIGINT) AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+         |  cum <= (SELECT budget FROM b) AS kept
+         |FROM c""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokensCol).as("n_tok"),
+          size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).as("n_punct"),
+          size(expr(s"filter(regexp_extract_all(text, '\\\\S+', 0), t -> t IN ${inList(enStop)})"))
+            .as("stop"))
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+          expr("""least(n_tok, 50) * 20L
+            | + greatest(greatest(n_tok, 1) - n_punct, 0) * 1000L div greatest(n_tok, 1)
+            | + least(stop * 5000L div greatest(n_tok, 1), 1000L)""".stripMargin)
+            .as("score"))
+        .persist() // two consumers: the budget aggregate + the main pass
+      val budget = scored.agg(
+        expr("CAST(sum(n_tokens) div 2 AS BIGINT)").as("budget"))
+      // score-range buckets: monotone in score, so bucket-desc order
+      // nests the global (score DESC, doc_id) order; score <= 3000 by
+      // construction -> at most 31 buckets of width 100
+      val bucketed = scored.withColumn("bucket", expr("score div 100L"))
+      val totals = bucketed.groupBy("bucket").agg(sum("n_tokens").as("btotal"))
+      // exclusive prefix over the TINY per-bucket table (<= 31 rows —
+      // the only unpartitioned window in the plan, and it is
+      // aggregate-sized, never row-sized)
+      val offsets = totals.withColumn("off",
+        coalesce(
+          sum("btotal").over(w.orderBy(col("bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val byBucket = w.partitionBy("bucket")
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bucketed
+        .join(broadcast(offsets.select(col("bucket"), col("off"))), Seq("bucket"))
+        .withColumn("cum_tokens",
+          (col("off") + sum("n_tokens").over(byBucket)).cast("long"))
+        .crossJoin(broadcast(budget))
+        .select(col("doc_id"), col("score").cast("long").as("score"),
+          col("n_tokens"), col("cum_tokens"),
+          (col("cum_tokens") <= col("budget")).as("kept"))
+    },
+
     // ---- text normalization (the CCNet/C4 pre-dedup step: lowercase,
     // whitespace collapse, trim): corpus text is already clean, so docs
     // get a deterministic case/whitespace perturbation first (d17/d20

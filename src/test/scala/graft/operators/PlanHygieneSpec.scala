@@ -27,10 +27,12 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   //   d26: a 1-row recall-flag broadcast (the e07/e10 contract); the
   //        candidate joins themselves are label/cell equi-joins
   //   d28: a 1-row merge-table broadcast (the d16 threshold pattern)
+  //   d29: a 1-row token-budget broadcast (same pattern)
   private val bnljAllowed = Set("e01_knn_brute", "q24_theta_join",
     "q32_interval_join", "q28_correlated_subquery", "q36_exists_in_mix",
     "d16_bigram_coverage", "e07_ann_rerank", "e08_ivf_rerank",
-    "e10_quantized_knn", "d26_semantic_dedup", "d28_bpe_merges")
+    "e10_quantized_knn", "d26_semantic_dedup", "d28_bpe_merges",
+    "d29_budget_select")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")

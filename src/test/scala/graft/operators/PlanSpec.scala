@@ -161,6 +161,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d29 budget select: prefix sum is bucket-partitioned, never a row-scale global window") {
+    val p = plan("d29_budget_select")
+    // the doc-table running sum must be PARTITIONED by the score bucket
+    // (partition cols print first in windowspecdefinition)
+    assert("windowspecdefinition\\(bucket#\\d+L?, score#".r.findFirstIn(p).isDefined,
+      s"doc-table window must partition by bucket:\n$p")
+    // the naive shape — one global window ordered by score over all rows
+    // (exactly what the DuckDB oracle does) — must NOT appear
+    assert("windowspecdefinition\\(score#".r.findFirstIn(p).isEmpty,
+      s"found an unpartitioned score-ordered window (single-partition trap):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e04 ann: corpus never shuffled, probe side broadcast") {
     // pure-LSH op is library surface (no gate entry since r8) — plan
     // audited directly
