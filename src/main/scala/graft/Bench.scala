@@ -214,8 +214,9 @@ object Bench {
     val qs = names.zip(shortIds).zip(warm).map { case ((_, sid), (_, _, md, _)) =>
       f""""$sid":$md%.2f"""
     }.mkString("{", ",", "}")
+    val concSerial = concPool.count(ConcurrentHarness.serialLane)
     val concJson =
-      f"""{"threads":8,"rounds":3,"pool":${concPool.size},"executed":${conc.executed},"total_sec":${conc.totalSec}%.3f,"mismatches":${conc.mismatches.size},"errors":${conc.errors.size}}"""
+      f"""{"threads":8,"rounds":3,"pool":${concPool.size},"serial_lane":$concSerial,"executed":${conc.executed},"total_sec":${conc.totalSec}%.3f,"mismatches":${conc.mismatches.size},"errors":${conc.errors.size}}"""
     val artifact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"conc":$concJson,"failed":$failedJson,"ops":$opsJson,"queries":$qs,"sf":"$sfDir"}"""
     println(artifact)
