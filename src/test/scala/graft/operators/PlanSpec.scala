@@ -148,10 +148,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only the pair-count aggregate may shuffle, saw keys $exchanges:\n$p")
   }
 
-  test("e09 quantization: pure per-row projection, zero exchanges") {
+  test("e09 quantization: pure per-row projection, zero exchanges, codegen'd") {
     val p = plan("e09_vector_quantize")
     assert(!p.contains("Exchange"),
       s"per-row quantization must not shuffle:\n$p")
+    // the native kernels must ride INSIDE a whole-stage-codegen span
+    // (the r8 HOF formulation broke the span — that was the point of
+    // replacing it); spans print as "*(n)" in the plan string
+    assert(p.contains("*("),
+      s"quantization projection lost whole-stage codegen:\n$p")
   }
 
   test("d23 normalize + d24 chunking: zero exchanges (scan-bounded)") {
