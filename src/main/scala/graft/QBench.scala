@@ -26,6 +26,8 @@ object QBench {
     which match {
       case "q31" => q31(spark, sfDir, time)
       case "d26parts" => d26parts(spark, sfDir)
+      case "concsoak" => concSoak(spark, sfDir,
+        rounds = args.drop(1).headOption.map(_.toInt).getOrElse(10))
       case "stream" => stream(spark, sfDir)
       case "s04" => s04(spark, sfDir)
       case name if SparkEntry.queries.contains(name) =>
@@ -99,6 +101,40 @@ object QBench {
         approx_count_distinct(col("l_partkey"), 0.016).as("ap"),
         approx_count_distinct(col("l_orderkey"), 0.016).as("ao")))
     }
+  }
+
+  /** Concurrency soak: the bench arm's protocol at many more rounds —
+    * every gate family (cache and streaming queries on the serial
+    * lane), 8 threads, shuffled per round, every execution
+    * fingerprint-checked. One-off evidence run for rare-interleaving
+    * confidence beyond ConcurrentGateSpec's 2-round CI budget. */
+  private def concSoak(spark: SparkSession, dir: String, rounds: Int): Unit = {
+    val pool = Seq(
+      "q01_pricing_summary", "q05_region_revenue", "q09_distinct_buckets",
+      "q14_window_rank", "q25_max_all", "q31_approx_distinct",
+      "q34_salted_agg", "q38_asof_custom_plan", "q46_lateral_join",
+      "q51_funnel",
+      "d04_dedup_exact", "d06_dedup_minhash_lsh", "d07_dedup_simhash",
+      "d10_dedup_components", "d21_window_dedup", "d26_semantic_dedup",
+      "d27_dedup_rewrite", "d28_bpe_merges", "d29_budget_select",
+      "e01_knn_brute", "e05_centroid_udaf", "e08_ivf_rerank",
+      "e10_quantized_knn", "m02_decode_stub", "m05_frame_sample",
+      "d08_fingerprint64",
+      "c01_cached_scan_agg", "c08_warm_hitrate", "c11_admission_gate",
+      "s03_stream_dedup", "s07_stream_static_join")
+    val queries = SparkEntry.queries
+    val expected = pool.map { n =>
+      n -> PinScope.run(spark)(
+        ConcurrentHarness.resultHash(queries(n)(spark, dir)))
+    }.toMap
+    val out = ConcurrentHarness.run(threads = 8, rounds = rounds,
+      pool.map(n => n -> (() => queries(n)(spark, dir))), expected)
+    PinScope.run(spark)(())
+    println(f"concsoak: pool=${pool.size} rounds=$rounds " +
+      f"executed=${out.executed} total=${out.totalSec}%.1fs " +
+      f"mismatches=${out.mismatches.size} errors=${out.errors.size}")
+    (out.mismatches ++ out.errors).foreach(m => println(s"  SOAK FAILURE: $m"))
+    require(out.mismatches.isEmpty && out.errors.isEmpty, "soak failed")
   }
 
   private def d26parts(spark: SparkSession, dir: String): Unit = {
