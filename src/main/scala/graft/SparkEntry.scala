@@ -16,7 +16,7 @@ object SparkEntry {
     RelationalQueries.defs ++ EventQueries.defs ++ CacheQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ VectorQueries.defs ++
       MultimodalQueries.defs ++ StreamingQueries.defs ++
-      FingerprintQueries.defs
+      FingerprintQueries.defs ++ GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -14,9 +14,10 @@ import org.apache.spark.sql.types._
   * deterministic encode, so DuckDB can reproduce the pixel math — and the
   * decode step is a genuine P6 parser (magic + comment-aware ASCII header
   * + maxval + raw RGB pixel array), not a byte-arithmetic stand-in. The
-  * container still has no JPEG/audio/video codecs, so m05's video frame
-  * sampling keeps the documented fixed-frame interpretation of the raw
-  * payload.
+  * audio path (m06/m07) follows the same recipe with a real RIFF/WAVE
+  * PCM codec ([[WavCodec]]). The container still has no compressed
+  * (JPEG/MP3/MP4) codecs, so m05's video frame sampling keeps the
+  * documented fixed-frame interpretation of the raw payload.
   */
 object MultimodalQueries {
 
@@ -152,6 +153,29 @@ object MultimodalQueries {
       |      range(0, w*h*3), i -> bs[CAST((i % n) + 1 AS INT)])) END
       |      AS BIGINT) AS pix_sum
       |  FROM ppm)
+      |""".stripMargin + body)
+
+  /** Oracle CTE reproducing [[WavCodec.makeWav]]'s framing: sample count,
+    * unsigned 16-bit words (with the even-sample hi-byte XOR), then the
+    * signed decode. `body` selects from `wavf(doc_id, lang, n, ns, ss)`
+    * where `ss` is the list of signed sample values. */
+  def wavOracle(body: String): String = decodeOracle(
+    """,
+      |wavn AS (
+      |  SELECT doc_id, lang, n, bs,
+      |    32 + CASE WHEN n = 0 THEN 0 ELSE bs[1] % 64 END AS ns
+      |  FROM decoded),
+      |wavv AS (
+      |  SELECT doc_id, lang, n, ns,
+      |    list_transform(range(0, ns), k ->
+      |      (CASE WHEN n = 0 THEN 0 ELSE bs[CAST((2*k) % n + 1 AS INT)] END
+      |       + 256 * xor(CASE WHEN n = 0 THEN 0 ELSE bs[CAST((2*k+1) % n + 1 AS INT)] END,
+      |                   CASE WHEN k % 2 = 0 THEN 128 ELSE 0 END))) AS vs
+      |  FROM wavn),
+      |wavf AS (
+      |  SELECT doc_id, lang, n, ns,
+      |    list_transform(vs, v -> v - CASE WHEN v >= 32768 THEN 65536 ELSE 0 END) AS ss
+      |  FROM wavv)
       |""".stripMargin + body)
 
   private val decodedSchema = StructType(Seq(
@@ -290,6 +314,85 @@ object MultimodalQueries {
             val end = j + MultimodalQueries.frameLen
             while (j < end) { sum += (payload(j) & 0xff); j += 1 }
             Row(id, k, sum)
+          }
+        }
+      }(enc)
+    },
+
+    // ---- REAL audio decode: each doc's bytes are framed as a genuine
+    // PCM WAV (deterministic encode, junk LIST chunk included) and run
+    // through the real RIFF chunk-walking parser; every emitted feature
+    // comes from the PARSED structure (byte_len covers the full RIFF
+    // layout, sample_rate/num_samples from the fmt/data chunks, and the
+    // L1 energy / peak / DC offset from the signed-decoded samples — all
+    // exact integers). A header-layout or signed-decode drift in either
+    // codec half is a hash mismatch. Per-row, zero shuffle. ----
+    QueryDef("m06_audio_decode", MultimodalQueries.wavOracle(
+      """SELECT doc_id, CAST(56 + 2*ns AS BIGINT) AS byte_len,
+        | 8000 AS sample_rate, CAST(ns AS BIGINT) AS num_samples,
+        | CAST(list_sum(list_transform(ss, s -> abs(s))) AS BIGINT) AS energy_l1,
+        | CAST(list_max(list_transform(ss, s -> abs(s))) AS BIGINT) AS peak,
+        | CAST(list_sum(ss) AS BIGINT) AS dc_sum
+        |FROM wavf""".stripMargin)) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("byte_len", LongType),
+        StructField("sample_rate", IntegerType),
+        StructField("num_samples", LongType),
+        StructField("energy_l1", LongType),
+        StructField("peak", LongType),
+        StructField("dc_sum", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      docs.mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val bytes = WavCodec.makeWav(r.getAs[Array[Byte]](1))
+          val wav = WavCodec.decodeWav(bytes)
+          var e = 0L; var p = 0L; var dc = 0L
+          var i = 0
+          while (i < wav.samples.length) {
+            val v = wav.samples(i).toLong
+            e += math.abs(v); p = math.max(p, math.abs(v)); dc += v
+            i += 1
+          }
+          Row(r.getLong(0), bytes.length.toLong, wav.sampleRate,
+            wav.samples.length.toLong, e, p, dc)
+        }
+      }(enc)
+    },
+
+    // ---- audio frame energy (m05's flatMap shape over DECODED samples):
+    // 16-sample frames, every 2nd kept, per-frame sum of squared samples
+    // (the RMS numerator — exact long, bounded 16 x 32768^2). ----
+    QueryDef("m07_audio_frames", MultimodalQueries.wavOracle(
+      s"""SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         | CAST(list_sum([ss[CAST(f*${WavCodec.frameSamples} + j + 1 AS INT)]
+         |              * ss[CAST(f*${WavCodec.frameSamples} + j + 1 AS INT)]
+         |   for j in range(0, ${WavCodec.frameSamples})]) AS BIGINT) AS sq_sum
+         |FROM wavf, unnest(range(0, ns // ${WavCodec.frameSamples})) AS u(f)
+         |WHERE f % ${WavCodec.frameStride} = 0""".stripMargin)) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("sq_sum", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      docs.mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val wav = WavCodec.decodeWav(WavCodec.makeWav(r.getAs[Array[Byte]](1)))
+          val frames = wav.samples.length / WavCodec.frameSamples
+          (0 until frames by WavCodec.frameStride).iterator.map { f =>
+            var sq = 0L
+            var j = f * WavCodec.frameSamples
+            val end = j + WavCodec.frameSamples
+            while (j < end) {
+              val v = wav.samples(j).toLong
+              sq += v * v; j += 1
+            }
+            Row(id, f, sq)
           }
         }
       }(enc)
