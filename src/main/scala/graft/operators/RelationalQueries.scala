@@ -1047,6 +1047,40 @@ object RelationalQueries {
           col("t1").as("first_click_us"), col("t2").as("first_purchase_us"),
           when(col("t2").isNotNull, 3L).when(col("t1").isNotNull, 2L)
             .otherwise(1L).as("stage"))
+    },
+
+    // ---- recursive CTE (Spark 4's UnionLoop operator): hierarchy walk
+    // over the implicit customer tree parent(c) = c div 10 (roots are
+    // custkeys 1..9, every other key reaches a root in <= digits-1
+    // steps). Each recursion level is one join + filter on the previous
+    // frontier — Spark executes the loop with the anchor/recursion
+    // plans Catalyst optimized, pushdown intact; depth is bounded by
+    // log10(max key), so the 100x-scale story is "one extra level per
+    // decimal digit", not a deeper rewrite. The SQL is issued against
+    // the parquet path directly (no temp-view registration, so the
+    // query stays safe under the concurrent gate arm). ----
+    QueryDef("q52_recursive_cte",
+      """WITH RECURSIVE chain AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+        |         CAST(c_custkey AS BIGINT) AS root, 0 AS depth
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT CAST(c.c_custkey AS BIGINT), chain.root, chain.depth + 1
+        |  FROM customer c JOIN chain ON c.c_custkey // 10 = chain.custkey
+        |  WHERE c.c_custkey >= 10)
+        |SELECT custkey, root, CAST(depth AS INT) AS depth FROM chain""".stripMargin) { (s, dir) =>
+      val p = Tables.path(dir, "customer")
+      s.sql(
+        s"""WITH RECURSIVE chain AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           |         CAST(c_custkey AS BIGINT) AS root, 0 AS depth
+           |  FROM parquet.`$p` WHERE c_custkey < 10
+           |  UNION ALL
+           |  SELECT CAST(c.c_custkey AS BIGINT) AS custkey,
+           |         chain.root AS root, chain.depth + 1 AS depth
+           |  FROM parquet.`$p` c JOIN chain ON c.c_custkey div 10 = chain.custkey
+           |  WHERE c.c_custkey >= 10)
+           |SELECT custkey, root, CAST(depth AS INT) AS depth FROM chain""".stripMargin)
     }
   )
 }

@@ -515,6 +515,143 @@ object VectorQueries {
       exact
         .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
         .crossJoin(broadcast(recallFlag(exact, ivf, 0.5, "ivf_recall_ok")))
+    },
+
+    // ---- product quantization + ADC retrieval (e07/e08's contract,
+    // fourth candidate generator; the FAISS-style scale path BEYOND
+    // int8): vectors are L2-normalized (so inner product ranks like
+    // cosine), split into 16 subvectors of 4 dims, and each subspace
+    // gets its own k=32 codebook from the sampled k-means machinery
+    // (the zero-padding slice reuses the 64-dim VectorCentroid/
+    // NearestCentroid kernels unchanged; the 16 trainings submit
+    // concurrently). A corpus vector is then 16 small codes — 10 B
+    // against 256 B of float32 at real scale, a ~25x scan-bandwidth
+    // cut vs e09's 4x. Scoring is asymmetric distance computation: per
+    // probe, one tiny (16 x 32) table of subvector inner products
+    // against the codebooks (broadcast), so scoring a candidate is 16
+    // table lookups + a sum — an equi-join on (sub, code) +
+    // partial-agg groupBy here. The ADC top-64 shortlist is
+    // exact-reranked (the production shape; at 100 TB ADC runs inside
+    // e08's IVF cells, composing both pruners). Emitted rows are the
+    // exact float top-5 (oracle recomputes brute-force); the PQ arm's
+    // recall@5 >= 0.6 rides in-band (measured 0.96-1.0 at
+    // sf0.001/0.01/0.1 — the weakly-clustered synthetic embeddings
+    // need the finer 16x32 codebooks; 8x16 sat at ~0.45). ----
+    QueryDef("e11_pq_adc",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM q, c)
+        |SELECT qid, cid, round(cos, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk,
+        |       true AS pq_recall_ok
+        |FROM (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |  FROM s) t WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val (exact, pq) = pqArms(s, dir)
+      exact
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
+        .crossJoin(broadcast(recallFlag(exact, pq, 0.6, "pq_recall_ok")))
     }
   )
+
+  /** e11's two arms (exact truth target + PQ-shortlist-reranked top-5),
+    * parameterized so PqRecallSpec can chart recall against codebook
+    * iterations and shortlist size. Both returned frames are persisted;
+    * callers run under PinScope (see [[knnIvf]]'s pinning contract). */
+  def pqArms(s: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int = 2, shortlistN: Int = 64, m: Int = 16,
+      k: Int = 32): (DataFrame, DataFrame) = {
+    val subDim = 64 / m
+    val V = graft.functions.VectorOps
+    val base = Tables.load(s, dir, "embeddings")
+    def normalized(df: DataFrame): DataFrame = df
+      .withColumn("nrm0", norm(col("embedding")))
+      .withColumn("nrm", when(col("nrm0") === 0.0, lit(1.0)).otherwise(col("nrm0")))
+      .withColumn("ne",
+        expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT))"))
+      .drop("nrm0", "nrm")
+    def slice(sub: Int): Column = expr(
+      s"transform(sequence(0, 63), i -> IF(i < $subDim, ne[i + ${sub * subDim}], CAST(0.0 AS FLOAT)))")
+    // persisted: training (8 sub-sampled scans), encoding, and the
+    // rerank join all read it — one parquet pass total (PinScope sweeps)
+    val corpus = normalized(base.filter(col("vec_id") >= 10))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("ne"))
+      .persist()
+    val probes = normalized(base.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("ne").as("qn"))
+    val exact = exactTop5(
+      probes.select(col("qid"), col("qe")),
+      corpus.select(col("cid"), col("ce"))).persist()
+    // per-subspace codebooks; only m x k x dims doubles reach the driver.
+    // The m trainings are independent job chains over the SAME persisted
+    // corpus — submitted concurrently so the scheduler interleaves their
+    // (small) stages instead of paying m x per-job latency serially.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codebooks = Await.result(
+      Future.traverse((0 until m).toList) { sub => Future {
+        kmeansCentroids(
+          corpus.select(col("cid").as("vec_id"), slice(sub).as("embedding")),
+          k, iters = iters, trainTargetRows = 500L)
+      }}, Duration.Inf)
+    // encode: 8 nearest-codeword assignments per corpus row, all from
+    // broadcast codebook handles (plan size O(1) in k, as e08)
+    val encoded = (0 until m).foldLeft(corpus) { (df, sub) =>
+      val bc = V.broadcastCentroids(s, codebooks(sub))
+      df.withColumn(s"code$sub", V.nearestCentroidCol(slice(sub), bc))
+    }
+    val codes = encoded.select(col("cid"),
+      array((0 until m).map(i => col(s"code$i")): _*).as("codes"))
+    // ADC tables: per (probe, sub, code) the subvector inner product —
+    // m x k rows per probe, built from a driver-side codebook frame
+    import s.implicits._
+    val cb = (for { sub <- 0 until m; c <- 0 until k }
+      yield (sub, c, codebooks(sub)(c).take(subDim)))
+      .toDF("sub", "code", "cent")
+    val ipTable = probes
+      .select(col("qid"), col("qn"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("qid"), col("sub"), expr(
+        s"transform(sequence(0, ${subDim - 1}), i -> CAST(qn[i + sub * $subDim] AS DOUBLE))").as("qsub"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("ip",
+        expr("aggregate(zip_with(qsub, cent, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .select(col("qid"), col("sub"), col("code"), col("ip"))
+    // score every candidate: 8 lookups + partial-agg sum (map-side
+    // combine keeps the shuffle at one row per (qid, cid))
+    val adc = codes
+      .select(col("cid"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(ipTable), Seq("sub", "code"))
+      .groupBy("qid", "cid").agg(sum("ip").as("adc"))
+    val shortlist = adc
+      .withColumn("srnk",
+        row_number().over(Window.partitionBy("qid").orderBy(col("adc").desc, col("cid"))))
+      .filter(col("srnk") <= shortlistN)
+      .select(col("qid"), col("cid"))
+    // exact re-rank of the bounded shortlist
+    val pq = shortlist
+      .join(corpus.select(col("cid"), col("ce")), Seq("cid"))
+      .join(broadcast(probes.select(col("qid"), col("qe"))), Seq("qid"))
+      .withColumn("cos", cos(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("cos"))
+      .withColumn("rnk", row_number().over(top5Window).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"))
+      .persist()
+    (exact, pq)
+  }
+
+  /** Measured recall@5 of [[pqArms]]'s PQ arm against its exact arm. */
+  def pqRecall(s: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int = 2, shortlistN: Int = 64, m: Int = 16,
+      k: Int = 32): Double = {
+    val (exact, pq) = pqArms(s, dir, iters, shortlistN, m, k)
+    val hits = exact.join(pq, Seq("qid", "cid"), "left_semi").count().toDouble
+    hits / exact.count()
+  }
 }

@@ -28,11 +28,13 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   //        candidate joins themselves are label/cell equi-joins
   //   d28: a 1-row merge-table broadcast (the d16 threshold pattern)
   //   d29: a 1-row token-budget broadcast (same pattern)
+  //   e11: the exact arm's bounded probe x corpus product + the 1-row
+  //        recall-flag broadcast (e07/e08/e10's contract)
   private val bnljAllowed = Set("e01_knn_brute", "q24_theta_join",
     "q32_interval_join", "q28_correlated_subquery", "q36_exists_in_mix",
     "d16_bigram_coverage", "e07_ann_rerank", "e08_ivf_rerank",
     "e10_quantized_knn", "d26_semantic_dedup", "d28_bpe_merges",
-    "d29_budget_select")
+    "d29_budget_select", "e11_pq_adc")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
