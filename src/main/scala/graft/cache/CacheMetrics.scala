@@ -23,6 +23,7 @@ final class CacheMetrics {
   val peerFallbacks = new AtomicLong
   val peerWarmsSent = new AtomicLong
   val peerWarmsAccepted = new AtomicLong
+  val vectoredRanges = new AtomicLong
 
   /** Server-side hit rate: cached / (cached + remote) block requests
     * (reference BookKeeper.java:213-229). */
@@ -48,12 +49,13 @@ final class CacheMetrics {
     "bytes_to_peers" -> bytesToPeers.get,
     "peer_fallbacks" -> peerFallbacks.get,
     "peer_warms_sent" -> peerWarmsSent.get,
-    "peer_warms_accepted" -> peerWarmsAccepted.get)
+    "peer_warms_accepted" -> peerWarmsAccepted.get,
+    "vectored_ranges" -> vectoredRanges.get)
 
   def reset(): Unit = Seq(cachedRequests, remoteRequests, nonlocalRequests,
     bytesFromCache, bytesFromRemote, extraReadBytes, evictions,
     invalidations, warmupRequests, warmupBytes, corruptionFallbacks,
     bytesFromPeers, bytesToPeers, peerFallbacks, peerWarmsSent,
-    peerWarmsAccepted)
+    peerWarmsAccepted, vectoredRanges)
     .foreach(_.set(0))
 }

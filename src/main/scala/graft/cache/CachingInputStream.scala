@@ -102,7 +102,16 @@ final class CachingInputStream(
     fileLen: Long,
     mtime: Long,
     manager: CacheManager,
-    cacheAdmitted: Boolean) extends FSInputStream {
+    cacheAdmitted: Boolean) extends FSInputStream
+    with org.apache.hadoop.fs.StreamCapabilities {
+
+  /** Advertise vectored-read support so capability probes (parquet's
+    * VectorIoBridge checks `in:readvectored` before handing over the
+    * column-chunk ranges) route through [[readVectored]] instead of the
+    * seek+read fallback. */
+  override def hasCapability(capability: String): Boolean =
+    org.apache.hadoop.fs.StreamCapabilities.VECTOREDIO
+      .equalsIgnoreCase(capability)
 
   private val conf = manager.conf
   private var pos: Long = 0L
@@ -146,6 +155,74 @@ final class CachingInputStream(
 
   override def available(): Int =
     math.min(Int.MaxValue.toLong, fileLen - pos).toInt
+
+  // ---- positioned + vectored reads (the Hadoop 3.3+ cloud-IO API the
+  // reference predates). readInternal is stateless w.r.t. the stream
+  // cursor, so positioned reads skip FSInputStream's default
+  // synchronized(seek; read; seek-back) dance entirely — concurrent
+  // positioned readers on one handle never contend, and the footer+
+  // column-chunk pattern of a parquet reader stays lock-free. ----
+  override def read(position: Long, buffer: Array[Byte], offset: Int,
+      length: Int): Int = {
+    if (closed) throw new IOException(s"stream closed: $path")
+    if (offset < 0 || length < 0 || offset + length > buffer.length)
+      throw new IndexOutOfBoundsException(
+        s"read(pos=$position, off=$offset, len=$length) into buf[${buffer.length}]")
+    if (position < 0) throw new EOFException(s"negative position $position")
+    if (length == 0) return 0
+    if (position >= fileLen) return -1
+    val n = math.min(length.toLong, fileLen - position).toInt
+    readInternal(position, buffer, offset, n)
+    n
+  }
+
+  /** Vectored read: every range runs through the SAME chain planner as a
+    * sequential read (cached blocks from disk, misses read-through +
+    * warmed), so a vectored-IO parquet reader gets cache semantics for
+    * free. Ranges are filled asynchronously on the shared chain pool
+    * (completing each future as its range lands — the overlap with
+    * caller-side decode is the point of the API); with the pool disabled
+    * (readThreads=0) they fill inline before returning. */
+  override def readVectored(
+      ranges: java.util.List[_ <: org.apache.hadoop.fs.FileRange],
+      allocate: java.util.function.IntFunction[java.nio.ByteBuffer]): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (closed) throw new IOException(s"stream closed: $path")
+    val rs = ranges.asScala.toVector
+    rs.foreach { r =>
+      if (r.getOffset < 0 || r.getLength < 0 ||
+          r.getOffset + r.getLength > fileLen)
+        throw new EOFException(
+          s"vectored range [${r.getOffset}, +${r.getLength}) outside [0,$fileLen) for $path")
+    }
+    manager.metrics.vectoredRanges.addAndGet(rs.size.toLong)
+    val futs = rs.map { r =>
+      val f = new java.util.concurrent.CompletableFuture[java.nio.ByteBuffer]()
+      r.setData(f)
+      f
+    }
+    def fill(r: org.apache.hadoop.fs.FileRange,
+        f: java.util.concurrent.CompletableFuture[java.nio.ByteBuffer]): Unit =
+      try {
+        val len = r.getLength
+        val bb = allocate.apply(len)
+        if (bb.hasArray) {
+          readInternal(r.getOffset, bb.array(), bb.arrayOffset(), len)
+          bb.limit(len); bb.position(0)
+        } else {
+          val tmp = new Array[Byte](len)
+          readInternal(r.getOffset, tmp, 0, len)
+          bb.put(tmp); bb.flip()
+        }
+        f.complete(bb)
+      } catch { case e: Throwable => f.completeExceptionally(e) }
+    if (conf.readThreads > 0 && rs.size > 1) {
+      val pool = CachingInputStream.sharedPool(conf.readThreads)
+      rs.zip(futs).foreach { case (r, f) =>
+        pool.execute(() => fill(r, f))
+      }
+    } else rs.zip(futs).foreach { case (r, f) => fill(r, f) }
+  }
 
   override def close(): Unit = {
     closed = true
