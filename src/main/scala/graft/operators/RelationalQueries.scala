@@ -1081,6 +1081,44 @@ object RelationalQueries {
            |  FROM parquet.`$p` c JOIN chain ON c.c_custkey div 10 = chain.custkey
            |  WHERE c.c_custkey >= 10)
            |SELECT custkey, root, CAST(depth AS INT) AS depth FROM chain""".stripMargin)
+    },
+
+    // ---- salted skew join (q34's agg-salting sibling, on the join
+    // side): 30% of fact rows are remapped onto ONE hot part key, the
+    // worst case for a shuffle join — the hot key's entire fact volume
+    // lands on one reducer. The fix demonstrated here is explicit
+    // salting: the fact side gets salt = hash(row) % 8, the dim side is
+    // replicated once per salt, and the join key becomes (key, salt) —
+    // the hot key now spreads over 8 reducers, at the cost of an 8x
+    // blow-up of the SMALL side only. The shuffle_hash hint keeps the
+    // join a shuffle join (broadcast would hide the skew problem this
+    // operator exists to solve; at 100 TB the dim side has outgrown
+    // broadcast range). AQE's skewedJoin handles moderate skew
+    // post-hoc at runtime; explicit salting is the plan-level tool when
+    // one key is pathological and predictable. Oracle = the plain
+    // unsalted join (salting must be invisible in the results). ----
+    QueryDef("q53_salted_join",
+      """WITH f AS (
+        |  SELECT CASE WHEN l_partkey % 10 < 3 THEN 1 ELSE l_partkey END AS hot_key,
+        |         l_quantity
+        |  FROM lineitem)
+        |SELECT p.p_brand, count(*) AS n, sum(f.l_quantity) AS sum_qty
+        |FROM f JOIN part p ON f.hot_key = p.p_partkey
+        |GROUP BY p.p_brand""".stripMargin) { (s, dir) =>
+      val salts = 8
+      val fact = Tables.load(s, dir, "lineitem")
+        .select(expr("CASE WHEN l_partkey % 10 < 3 THEN 1 ELSE l_partkey END")
+            .as("hot_key"),
+          col("l_quantity"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts))
+            .cast("int").as("salt"))
+      val dim = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      fact.join(dim.hint("shuffle_hash"),
+          fact("hot_key") === dim("p_partkey") && fact("salt") === dim("salt"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
     }
   )
 }

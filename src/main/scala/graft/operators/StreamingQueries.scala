@@ -84,6 +84,17 @@ object StreamingQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       EventStreams.streamStaticJoin(s, dir)
+    },
+
+    // Spark 4 transformWithState (typed ValueState over RocksDB): per-user
+    // lifetime stats; the one-shot AvailableNow emission equals the batch
+    // aggregate, so the plain GROUP BY is the exact oracle (all-integer).
+    QueryDef("s08_transform_with_state",
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS span_us,
+        | CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      EventStreams.transformWithStateStats(s, dir)
     }
   )
 }

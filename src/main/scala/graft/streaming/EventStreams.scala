@@ -420,4 +420,68 @@ object EventStreams {
         .agg(sum("n").as("n"),
           (sum("cents").cast("double") / 100).as("sum_value"))
     }
+
+  /** Per-user lifetime stats via Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes [[sessionize]]'s
+    * flatMapGroupsWithState (typed ValueState/ListState/MapState handles,
+    * timers, TTL). State here is one 4-long ValueState per user (count,
+    * min/max event time, click count) — it merges across micro-batches,
+    * and each batch emits the user's updated running totals; in the
+    * gate's one-shot AvailableNow run that single emission equals the
+    * batch aggregate the oracle computes. Requires the RocksDB state
+    * store provider (the API rejects the HDFS-backed default) — scoped
+    * to this query via the conf save/restore, same discipline as
+    * [[EventStreams.withStreamConf]]. */
+  def transformWithStateStats(spark: SparkSession, dir: String): DataFrame =
+    withStreamConf(spark) {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import spark.implicits._
+        import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+        val proc = new StatefulProcessor[Long, (Long, Long, String), (Long, Long, Long, Long)] {
+          @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            st = getHandle.getValueState[(Long, Long, Long, Long)]("agg",
+              org.apache.spark.sql.Encoders.tuple(
+                org.apache.spark.sql.Encoders.scalaLong,
+                org.apache.spark.sql.Encoders.scalaLong,
+                org.apache.spark.sql.Encoders.scalaLong,
+                org.apache.spark.sql.Encoders.scalaLong),
+              TTLConfig.NONE)
+          override def handleInputRows(key: Long,
+              rows: Iterator[(Long, Long, String)],
+              timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+            var (n, mn, mx, clicks) =
+              if (st.exists()) st.get() else (0L, Long.MaxValue, Long.MinValue, 0L)
+            rows.foreach { case (_, tus, typ) =>
+              n += 1
+              if (tus < mn) mn = tus
+              if (tus > mx) mx = tus
+              if (typ == "click") clicks += 1
+            }
+            st.update((n, mn, mx, clicks))
+            Iterator.single((key, n, mx - mn, clicks))
+          }
+        }
+        val out = eventsStream(spark, dir)
+          .selectExpr("user_id", "unix_micros(ts) AS tus", "event_type")
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+        val name = s"graft_tws_${counter.incrementAndGet()}"
+        val q = out.toDF("user_id", "n_events", "span_us", "n_clicks")
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        try require(q.awaitTermination(120000),
+            s"streaming query ${q.name} timed out at 120s - table would be partial")
+        finally if (q.isActive) q.stop()
+        spark.table(name)
+      } finally prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
 }

@@ -258,4 +258,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange rangepartitioning"),
       s"range frame must not global-sort:\n$p")
   }
+
+  test("q52 recursive CTE: executed as Spark's UnionLoop, not an unrolled plan") {
+    val p = plan("q52_recursive_cte")
+    assert(p.contains("UnionLoop"), s"expected UnionLoop exec:\n$p")
+  }
+
+  test("q53 salted join: a shuffle join keyed on (hot_key, salt), dim replicated") {
+    val p = plan("q53_salted_join")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"salting demo must stay a shuffle join (broadcast hides the skew):\n$p")
+    assert(p.contains("salt"), s"salt must participate in the join keys:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"dim must not be broadcast:\n$p")
+  }
 }
