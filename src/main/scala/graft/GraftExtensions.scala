@@ -74,5 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(exprs(1), "numTables"), intLit(exprs(2), "planesPerTable"),
           intLit(exprs(3), "dims"))
     }
+    reg("cms_estimate",
+      "cms_estimate(sketch, term) - count-min sketch frequency estimate") {
+      exprs => arity(exprs, 2, "cms_estimate")
+        graft.functions.CmsEstimate(exprs(0), exprs(1))
+    }
   }
 }

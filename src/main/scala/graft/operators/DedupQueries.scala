@@ -329,10 +329,22 @@ object DedupQueries {
       // exact arm — the truth target. Persisted: three consumers (CC
       // edge set, recall denominator, recall semi-join); PinScope sweeps.
       val exactPairs = exactSemanticPairs(e, 0.35).persist()
-      val comps = TextQueries.componentsOf(
-        exactPairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
-        e.select(col("vec_id").as("doc_id")))
-      val quantPairs = quantSemanticPairs(s, e, 0.35, k = 16, nprobe = 8)
+      // the two arms are independent driver-synchronized loops (the CC
+      // fixpoint's per-pass first(); the quantizer's Lloyd collects) —
+      // submitted concurrently, the scheduler interleaves their stages
+      // instead of paying the two sequential-stage floors back to back
+      // (the e11 codebook-training pattern)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val compsF = Future {
+        TextQueries.componentsOf(
+          exactPairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+          e.select(col("vec_id").as("doc_id")))
+      }
+      val quantF = Future { quantSemanticPairs(s, e, 0.35, k = 16, nprobe = 8) }
+      val comps = Await.result(compsF, Duration.Inf)
+      val quantPairs = Await.result(quantF, Duration.Inf)
       val flag = exactPairs
         .join(quantPairs, Seq("id_a", "id_b"), "left_semi")
         .agg(count(lit(1)).as("hits"))

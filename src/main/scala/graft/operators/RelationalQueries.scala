@@ -1119,6 +1119,92 @@ object RelationalQueries {
           fact("hot_key") === dim("p_partkey") && fact("salt") === dim("salt"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    },
+
+    // ---- edit-distance similarity (fuzzy matching): classic unweighted
+    // levenshtein over a bounded probe x candidate pair set — both
+    // engines implement the same DP recurrence, so the distances are
+    // exact integers. The probe side is broadcast (e01's shape); the DP
+    // is per-pair CPU bounded by |a|x|b|, so the operator scales with
+    // the candidate join's output, not the corpus product. ----
+    QueryDef("q54_edit_distance",
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM documents a, documents b
+        |WHERE a.doc_id < 5 AND b.doc_id >= 5 AND b.doc_id < 45
+        |  AND a.lang = b.lang""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val a = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("a_id"), col("lang"), col("text").as("a_text"))
+      val b = d.filter(col("doc_id") >= 5 && col("doc_id") < 45)
+        .select(col("doc_id").as("b_id"), col("lang"), col("text").as("b_text"))
+      b.join(broadcast(a), Seq("lang"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_text"), col("b_text")).cast("long").as("dist"))
+    },
+
+    // ---- statistical outlier detection (3-sigma rule) in EXACT
+    // arithmetic: the textbook z-score filter |x - mean| > 3*stddev is
+    // all floating point; cross-multiplying removes every division —
+    // (x*n - S)^2 > 9*(n*Q - S^2) over exact cent-scaled integers (S =
+    // sum, Q = sum of squares). Both sides are exact longs through the
+    // final squaring, which runs in IEEE doubles identically on both
+    // engines (the long-to-double conversion and one multiply round the
+    // same way everywhere). One partial-agg pass for the moments + one
+    // broadcast join back — the two-pass shape every streaming-unfriendly
+    // exact detector needs. ----
+    QueryDef("q55_outliers",
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(round(value*100) AS BIGINT)) AS sv,
+        |    sum(CAST(round(value*100) AS BIGINT)*CAST(round(value*100) AS BIGINT)) AS qv
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  CAST(round(e.value*100) AS BIGINT) AS cents
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE CAST(CAST(round(e.value*100) AS BIGINT)*s.n - s.sv AS DOUBLE)
+        |      * CAST(CAST(round(e.value*100) AS BIGINT)*s.n - s.sv AS DOUBLE)
+        |      > CAST(9*(s.n*s.qv - s.sv*s.sv) AS DOUBLE)""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val moments = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("cents").as("sv"),
+        sum(col("cents") * col("cents")).as("qv"))
+      ev.join(broadcast(moments), Seq("event_type"))
+        .filter(((col("cents") * col("n") - col("sv")).cast("double")
+            * (col("cents") * col("n") - col("sv")).cast("double"))
+          > (lit(9) * (col("n") * col("qv") - col("sv") * col("sv"))).cast("double"))
+        .select(col("event_id"), col("event_type"), col("cents"))
+    },
+
+    // ---- equi-width histogram per group, exact integer buckets: bucket
+    // = clamp((x - lo) * nb / (hi - lo + 1)) over cent-scaled values
+    // with per-group [lo, hi] from one partial-agg pass broadcast back
+    // (DuckDB has no width_bucket — the arithmetic IS the operator, and
+    // integer division keeps both engines bit-identical). ----
+    QueryDef("q56_histogram",
+      """WITH r AS (
+        |  SELECT event_type,
+        |    min(CAST(round(value*100) AS BIGINT)) AS lo,
+        |    max(CAST(round(value*100) AS BIGINT)) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  CAST(least(9, ((CAST(round(e.value*100) AS BIGINT) - r.lo) * 10)
+        |    // (r.hi - r.lo + 1)) AS INT) AS bucket,
+        |  count(*) AS n
+        |FROM events e JOIN r ON e.event_type = r.event_type
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val range = ev.groupBy("event_type")
+        .agg(min("cents").as("lo"), max("cents").as("hi"))
+      ev.join(broadcast(range), Seq("event_type"))
+        .select(col("event_type"),
+          least(lit(9), expr("((cents - lo) * 10) div (hi - lo + 1)"))
+            .cast("int").as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"))
     }
   )
 }

@@ -963,6 +963,46 @@ object TextQueries {
             (col("chunk_idx") * 32 + 1).cast("int"),
             least(col("n_tok") - col("chunk_idx") * 32, lit(32L)).cast("int"))))
             .as("chunk_md5"))
+    },
+
+    // ---- corpus heavy hitters (top-10 terms) with a count-min-sketch
+    // cross-check: the exact arm is a vocabulary aggregation + TakeOrdered
+    // top-k (never a single-partition global window). The approximate arm
+    // builds Spark's native count_min_sketch aggregate (one binary row,
+    // broadcast) and probes it per heavy hitter with the cms_estimate
+    // expression — the read half Spark doesn't ship, evaluated in codegen
+    // so the contract never leaves the plan. CMS guarantees
+    // true <= est <= true + eps*N with prob >= conf per probe; with the
+    // fixed seed the outcome is deterministic, and the in-band `cms_ok`
+    // asserts it for all 10 hitters (eps = 0.001, N = total token count).
+    // At 100 TB the sketch is the mergeable, fixed-size (~70 KB) summary
+    // a frequency pipeline ships instead of the vocabulary. ----
+    QueryDef("d31_heavy_hitters",
+      """WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+        |           FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM w GROUP BY term),
+        |r AS (SELECT term, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, term) AS rnk FROM c)
+        |SELECT term, cnt, CAST(rnk AS BIGINT) AS rnk, true AS cms_ok
+        |FROM r WHERE rnk <= 10""".stripMargin) { (s, dir) =>
+      val terms = Tables.load(s, dir, "documents")
+        .select(explode(tokensCol).as("term")).persist()
+      val counts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      // TakeOrdered top-k (distributed), rank attached over the 10 rows
+      val top = counts.orderBy(col("cnt").desc, col("term")).limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+      val sketch = terms.agg(
+        expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
+      val total = terms.agg(count(lit(1)).as("n_total"))
+      val ok = top.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+        .withColumn("est",
+          graft.functions.CmsEstimate.cmsEstimateCol(col("sk"), col("term")))
+        .agg(min(col("est") >= col("cnt") &&
+          (col("est") - col("cnt")).cast("double") <=
+            col("n_total").cast("double") * 0.001).as("cms_ok"))
+      top.select(col("term"), col("cnt"), col("rnk"))
+        .crossJoin(broadcast(ok))
     }
   )
 }

@@ -32,7 +32,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  round(cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |                   array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 6) AS cs,
         |  l2norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nrm,
-        |  size(srp_bucket_ids(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 8, 4, 2)) AS nbuckets
+        |  size(srp_bucket_ids(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 8, 4, 2)) AS nbuckets,
+        |  cms_estimate(
+        |    (SELECT count_min_sketch(t, 0.01d, 0.99d, 7)
+        |     FROM VALUES ('x'), ('x'), ('y') AS v(t)), 'x') AS cms
         |""".stripMargin).collect()(0)
     assert(r.getLong(0) == graft.functions.Fingerprint64.hash("abc".getBytes("UTF-8")))
     assert(r.getInt(2) == 64)
@@ -41,6 +44,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(5) == 1.0)
     assert(r.getDouble(6) == 5.0)
     assert(r.getInt(7) == 8)
+    assert(r.getLong(8) == 2L, "cms_estimate must recover the exact count of 'x'")
   }
 
   test("SQL simhash64 equals builtin xxhash64 vote aggregation") {

@@ -30,11 +30,12 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   //   d29: a 1-row token-budget broadcast (same pattern)
   //   e11: the exact arm's bounded probe x corpus product + the 1-row
   //        recall-flag broadcast (e07/e08/e10's contract)
+  //   d31: 1-row sketch/total/contract broadcasts over the 10-row top-k
   private val bnljAllowed = Set("e01_knn_brute", "q24_theta_join",
     "q32_interval_join", "q28_correlated_subquery", "q36_exists_in_mix",
     "d16_bigram_coverage", "e07_ann_rerank", "e08_ivf_rerank",
     "e10_quantized_knn", "d26_semantic_dedup", "d28_bpe_merges",
-    "d29_budget_select", "e11_pq_adc")
+    "d29_budget_select", "e11_pq_adc", "d31_heavy_hitters")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
