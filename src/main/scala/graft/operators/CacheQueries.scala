@@ -367,6 +367,41 @@ object CacheQueries {
       wide(withFloor = true)
         .withColumn("narrow_bypassed", lit(narrowBypassed))
         .withColumn("wide_admitted", lit(wideAdmitted))
+    },
+
+    // Vectored-IO read path, gated in-band (r9): parquet's vectored
+    // reader hands the cache stream its column-chunk ranges in ONE
+    // readVectored call per row group (GraftSession enables the path;
+    // CachingInputStream advertises in:readvectored and runs every
+    // range through the chain planner). The cold scan must drive the
+    // vectored counter; the warm rescan must drive it AGAIN while
+    // serving >= 95% of block requests from cache — i.e. the vectored
+    // path composes with cache semantics instead of bypassing them.
+    // Same serial-lane caveat as c08/c11: the contract reads
+    // process-global metric deltas.
+    QueryDef("c12_vectored_scan",
+      """SELECT p_brand, count(*) AS n,
+        | round(sum(p_retailprice),3) AS price,
+        | true AS vectored_ok, true AS warm_ok
+        |FROM part GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      enableCacheFs(s)
+      def agg = s.read.parquet(s"graft://$dir/part.parquet")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 3).as("price"))
+      val before = metricsSnapshot(s)
+      agg.count() // cold: ranges flow vectored through the chain planner
+      val mid = metricsSnapshot(s)
+      agg.count() // warm: vectored again, now served from cache
+      val after = metricsSnapshot(s)
+      def delta(k: String, a: Map[String, Long], b: Map[String, Long]) =
+        b.getOrElse(k, 0L) - a.getOrElse(k, 0L)
+      val vectoredOk = delta("vectored_ranges", before, mid) > 0 &&
+        delta("vectored_ranges", mid, after) > 0
+      val hits = delta("cached_requests", mid, after)
+      val misses = delta("remote_requests", mid, after)
+      val warmOk = hits + misses > 0 && hits.toDouble / (hits + misses) >= 0.95
+      agg.withColumn("vectored_ok", lit(vectoredOk))
+        .withColumn("warm_ok", lit(warmOk))
     }
   )
 

@@ -396,6 +396,60 @@ object MultimodalQueries {
           }
         }
       }(enc)
+    },
+
+    // ---- REAL video container demux (m05's upgrade): each doc's bytes
+    // are framed as a genuine RIFF/AVI-style container (hdrl LIST with
+    // an avih header, movi LIST of 00db frame chunks, word-aligned) and
+    // run through the real demuxer — chunk-tree walk, declared-size and
+    // avih-consistency validation, then the REAL P6 parser per frame.
+    // One output row per demuxed frame (flatMap); every emitted value
+    // comes from the PARSED structures, and the oracle replays the
+    // framing rule (same-dims frames, pixels cycled from offset f). ----
+    QueryDef("m08_video_demux", MultimodalQueries.decodeOracle(
+      """,
+        |dims AS (
+        |  SELECT doc_id, n, bs,
+        |    4 + CASE WHEN n = 0 THEN 0 ELSE bs[1] % 8 END AS w,
+        |    4 + CASE WHEN n < 2 THEN 0 ELSE bs[2] % 8 END AS h,
+        |    2 + CASE WHEN n < 3 THEN 0 ELSE bs[3] % 4 END AS nf
+        |  FROM decoded),
+        |geo AS (
+        |  SELECT doc_id, n, bs, w, h, nf, w*h*3 AS k,
+        |    9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*3 AS ppm_len
+        |  FROM dims)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE list_sum(list_transform(
+        |    range(0, k), j -> bs[CAST((j + f) % n + 1 AS INT)])) END AS BIGINT) AS pix_sum,
+        |  CAST(60 + nf*(8 + ppm_len + ppm_len % 2) AS BIGINT) AS byte_len
+        |FROM geo, unnest(range(0, nf)) AS u(f)""".stripMargin)) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("pix_sum", LongType),
+        StructField("byte_len", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      docs.mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val container = AviCodec.makeAvi(r.getAs[Array[Byte]](1))
+          val video = AviCodec.decodeAvi(container)
+          video.frames.iterator.map { fr =>
+            var sum = 0L
+            var i = 0
+            while (i < fr.image.pixels.length) {
+              sum += (fr.image.pixels(i) & 0xff); i += 1
+            }
+            Row(id, fr.idx, fr.image.width, fr.image.height, sum,
+              container.length.toLong)
+          }
+        }
+      }(enc)
     }
   )
 }
