@@ -30,6 +30,7 @@ object QBench {
         rounds = args.drop(1).headOption.map(_.toInt).getOrElse(10))
       case "stream" => stream(spark, sfDir)
       case "s04" => s04(spark, sfDir)
+      case "mrl" => mrl(spark, sfDir)
       case name if SparkEntry.queries.contains(name) =>
         // generic: any gate query by name, 1 warmup + 3 timed reps
         time(name, 4)(SparkEntry.queries(name)(spark, sfDir))
@@ -162,6 +163,19 @@ object QBench {
           .agg(count(lit(1)).as("hits"))
           .crossJoin(exactPairs.agg(count(lit(1)).as("total")))
         t("recallFlag")(flag.count())
+      }
+    }
+  }
+
+  /** e12 recall grid: truncated-prefix shortlist recall@5 vs the exact
+    * arm, across prefix widths and shortlist sizes. */
+  private def mrl(spark: SparkSession, dir: String): Unit = {
+    for (p <- Seq(8, 16, 24, 32); n <- Seq(20, 50, 100)) {
+      PinScope.run(spark) {
+        val (exact, approx) = operators.VectorQueries.mrlArms(spark, dir, p, n)
+        val hits = exact.join(approx, Seq("qid", "cid"), "left_semi").count()
+        val total = exact.count()
+        println(f"prefix=$p%2d shortlist=$n%2d recall@5=${hits.toDouble / total}%.3f ($hits/$total)")
       }
     }
   }

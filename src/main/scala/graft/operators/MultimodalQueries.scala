@@ -117,6 +117,53 @@ object MultimodalQueries {
   val frameLen = 64
   val frameStride = 3
 
+  /** Perceptual difference-hash grid (m09): cell sums on a fixed
+    * `DhashW` × `DhashH` spatial grid, one bit per horizontally adjacent
+    * cell pair → (DhashW-1) × DhashH bits. 5×4 (16 bits) rather than the
+    * classic 9×8 because the framed images are 4-11 px per side — a
+    * finer grid than the pixel raster adds only empty cells. */
+  val DhashW = 5
+  val DhashH = 4
+
+  /** Difference hash over a decoded image: integer cell sums (all three
+    * channels — the grayscale reduction every dHash starts with, kept as
+    * the exact RGB sum so the oracle needs no float luma weights), then
+    * bit (r*(DhashW-1)+c) = mean(r,c) > mean(r,c+1). The mean compare is
+    * cross-multiplied (`s_a·n_b > s_b·n_a`) so it stays EXACT integer
+    * math: the raster rarely divides evenly into the grid, so cells hold
+    * unequal byte counts and a raw sum compare would hash a uniform
+    * image to a nonzero pattern. Deterministic, oracle-reproducible, and
+    * stable under uniform brightness/contrast scaling (the property that
+    * makes dHash a near-dup key rather than a checksum). */
+  def dhash(img: PpmImage): Long = {
+    val cells = new Array[Long](DhashW * DhashH)
+    val counts = new Array[Long](DhashW * DhashH)
+    var i = 0
+    while (i < img.pixels.length) {
+      val p = i / 3
+      val y = p / img.width
+      val x = p % img.width
+      val cell = (y * DhashH / img.height) * DhashW + (x * DhashW / img.width)
+      cells(cell) += (img.pixels(i) & 0xff)
+      counts(cell) += 1
+      i += 1
+    }
+    var h = 0L
+    var r = 0
+    while (r < DhashH) {
+      var c = 0
+      while (c < DhashW - 1) {
+        val a = r * DhashW + c
+        val b = a + 1
+        if (cells(a) * counts(b) > cells(b) * counts(a))
+          h |= 1L << (r * (DhashW - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
   /** Shared oracle CTE: per-doc UTF-8 byte values as a DuckDB list,
     * decoded from hex(encode(text)) (DuckDB cannot index BLOBs directly).
     * `body` selects from the `decoded(doc_id, lang, n, bs)` view. */
@@ -450,6 +497,66 @@ object MultimodalQueries {
           }
         }
       }(enc)
+    },
+
+    // ---- perceptual image hashing / image near-dup (m09): dHash over
+    // the REAL decoded pixel grid — integer cell sums on a fixed 5×4
+    // grid, one bit per horizontally adjacent cell pair (16 bits). The
+    // hash itself is a zero-shuffle per-row kernel (decode + one pass
+    // over the pixels); the near-dup verdict is ONE shuffle on the
+    // 16-bit key (window count per hash — d04's exact-dedup shape, so
+    // at 100 TB this is a hash-partitioned image-dedup pass whose keys
+    // are 2 bytes, not the image). The oracle replays the exact cell
+    // assignment (y*DhashH div h, x*DhashW div w) over the cycled
+    // content bytes, including cells the raster never hits (w=4 leaves
+    // grid column 4 empty → coalesce 0), so a grid-geometry or
+    // bit-order drift in the kernel is a hash mismatch. ----
+    QueryDef("m09_image_dhash", MultimodalQueries.ppmOracle(
+      s""",
+         |px AS (
+         |  SELECT doc_id,
+         |    ((i // (3*w)) * ${MultimodalQueries.DhashH} // h) * ${MultimodalQueries.DhashW}
+         |      + (((i // 3) % w) * ${MultimodalQueries.DhashW} // w) AS cell,
+         |    CASE WHEN n = 0 THEN 0 ELSE bs[CAST((i % n) + 1 AS INT)] END AS v
+         |  FROM feat, unnest(range(0, k)) AS u(i)),
+         |sums AS (SELECT doc_id, cell, sum(v) AS s, count(*) AS cnt
+         |         FROM px GROUP BY doc_id, cell),
+         |grid AS (
+         |  SELECT d.doc_id, g.cell, coalesce(s.s, 0) AS s, coalesce(s.cnt, 0) AS cnt
+         |  FROM (SELECT DISTINCT doc_id FROM feat) d
+         |  CROSS JOIN unnest(range(0, ${MultimodalQueries.DhashW * MultimodalQueries.DhashH})) AS g(cell)
+         |  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.cell = g.cell),
+         |hsh AS (
+         |  SELECT a.doc_id,
+         |    sum(CASE WHEN a.s * b.cnt > b.s * a.cnt
+         |      THEN CAST(1 AS BIGINT) << CAST((a.cell // ${MultimodalQueries.DhashW}) * ${MultimodalQueries.DhashW - 1}
+         |        + (a.cell % ${MultimodalQueries.DhashW}) AS INT)
+         |      ELSE 0 END) AS dhash
+         |  FROM grid a JOIN grid b
+         |    ON b.doc_id = a.doc_id AND b.cell = a.cell + 1
+         |  WHERE a.cell % ${MultimodalQueries.DhashW} < ${MultimodalQueries.DhashW - 1}
+         |  GROUP BY a.doc_id)
+         |SELECT f.doc_id, CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height,
+         |  CAST(h.dhash AS BIGINT) AS dhash,
+         |  CAST(count(*) OVER (PARTITION BY h.dhash) AS BIGINT) AS dup_cnt
+         |FROM feat f JOIN hsh h ON h.doc_id = f.doc_id""".stripMargin)) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("dhash", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val hashed = docs.mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val img = decodePpm(makePpm(r.getAs[Array[Byte]](1)))
+          Row(r.getLong(0), img.width, img.height, dhash(img))
+        }
+      }(enc)
+      hashed.withColumn("dup_cnt",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("dhash")).cast("long"))
     }
   )
 }

@@ -1003,6 +1003,41 @@ object TextQueries {
             col("n_total").cast("double") * 0.001).as("cms_ok"))
       top.select(col("term"), col("cnt"), col("rnk"))
         .crossJoin(broadcast(ok))
+    },
+
+    // ---- temperature-based corpus mixing weights (d32): the
+    // multilingual-pretraining resampling dial (XLM/mT5 recipe) —
+    // sampling weight ∝ n^α with α < 1 upweights low-resource slices.
+    // Emitted as ratios AGAINST THE LARGEST SLICE (n^α / max_n^α) in two
+    // temperatures (α = 1/2 and 1/4), not as normalized shares: the
+    // normalizer Σ n^α is an unordered float sum (engine-dependent last
+    // bit — the r2 e05 hash lesson), while sqrt on exact integers is
+    // correctly rounded IEEE on both engines, so every emitted double is
+    // bit-stable by construction. One tiny aggregation (≤ lang-count
+    // rows) + a 1-row broadcast max — nothing row-scale shuffles, and at
+    // 100 TB this is a metadata-sized pass over partition counts. The
+    // per-mille column is what a downstream sampler consumes (d15's
+    // stratified machinery applies it). ----
+    QueryDef("d32_temperature_mix",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT max(n) AS mx FROM c)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  sqrt(CAST(n AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)) AS w_half,
+        |  sqrt(sqrt(CAST(n AS DOUBLE))) / sqrt(sqrt(CAST(mx AS DOUBLE))) AS w_quarter,
+        |  CAST(trunc(1000 * sqrt(CAST(n AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE))) AS BIGINT)
+        |    AS per_mille_half
+        |FROM c, m""".stripMargin) { (s, dir) =>
+      val counts = Tables.load(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+      val mx = counts.agg(max(col("n")).as("mx"))
+      counts.crossJoin(broadcast(mx))
+        .select(col("lang"), col("n").cast("long").as("n_docs"),
+          (sqrt(col("n").cast("double")) / sqrt(col("mx").cast("double")))
+            .as("w_half"),
+          (sqrt(sqrt(col("n").cast("double"))) / sqrt(sqrt(col("mx").cast("double"))))
+            .as("w_quarter"),
+          floor(lit(1000) * sqrt(col("n").cast("double")) / sqrt(col("mx").cast("double")))
+            .cast("long").as("per_mille_half"))
     }
   )
 }

@@ -31,11 +31,15 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   //   e11: the exact arm's bounded probe x corpus product + the 1-row
   //        recall-flag broadcast (e07/e08/e10's contract)
   //   d31: 1-row sketch/total/contract broadcasts over the 10-row top-k
+  //   e12: the bounded probe broadcast (prefix-shortlist + exact arms)
+  //        + the 1-row recall-flag broadcast (e07/e10's contract)
+  //   d32: a 1-row max-count broadcast over the ≤5-row lang aggregate
   private val bnljAllowed = Set("e01_knn_brute", "q24_theta_join",
     "q32_interval_join", "q28_correlated_subquery", "q36_exists_in_mix",
     "d16_bigram_coverage", "e07_ann_rerank", "e08_ivf_rerank",
     "e10_quantized_knn", "d26_semantic_dedup", "d28_bpe_merges",
-    "d29_budget_select", "e11_pq_adc", "d31_heavy_hitters")
+    "d29_budget_select", "e11_pq_adc", "d31_heavy_hitters",
+    "e12_matryoshka", "d32_temperature_mix")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
