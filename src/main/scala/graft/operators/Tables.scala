@@ -22,15 +22,31 @@ object Tables {
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; read it as raw nanos and truncate to micros — exactly what
-    // DuckDB does when it loads the same file (so oracles agree).
+    // events.ts has been generated as parquet TIMESTAMP(NANOS) (which
+    // Spark's vectorized reader rejects → read as raw nanos, truncate to
+    // micros) and, since the 2026-08-13 regeneration, as naive
+    // timestamp[us] (isAdjustedToUTC=false → Spark infers TIMESTAMP_NTZ).
+    // Normalize both to plain TIMESTAMP: the session timezone is pinned to
+    // UTC (GraftSession/Verify/Bench), so NTZ→TZ keeps the micros value
+    // bit-identical to DuckDB's naive read of the same file, and every
+    // downstream consumer (unix_micros, watermarks, java.sql.Timestamp
+    // encoders) sees the same type it was built against.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(path(dir, name))
       if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else df
-    } else spark.read.parquet(path(dir, name))
+        normalizeNtz(df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+      else normalizeNtz(df)
+    } else normalizeNtz(spark.read.parquet(path(dir, name)))
+  }
+
+  /** Cast every TIMESTAMP_NTZ column to TIMESTAMP. Value-preserving only
+    * because the session timezone is pinned to UTC. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, d(f.name).cast("timestamp"))
+    }
   }
 }

@@ -67,6 +67,10 @@ object EventStreams {
       .parquet(dir)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      // naive timestamp[us] testdata (2026-08-13 regeneration): same
+      // normalization as Tables.load — UTC session tz makes it lossless.
+      raw.withColumn("ts", col("ts").cast("timestamp"))
     else raw
   }
 
