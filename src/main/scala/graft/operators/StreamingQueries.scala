@@ -95,6 +95,33 @@ object StreamingQueries {
         | CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks
         |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
       EventStreams.transformWithStateStats(s, dir)
+    },
+
+    // Built-in session_window aggregation; oracle = the same 30-min-gap
+    // islands formulation as s02, with sessions keyed by their start
+    // time instead of a per-user counter (window identity is the merged
+    // interval). Boundary convention differs from s02: session_window
+    // intervals are half-open [ts, ts+gap), so a gap of EXACTLY 30min
+    // does not merge — the oracle splits on >= where s02 splits on >.
+    // All-integer output.
+    QueryDef("s09_session_window",
+      """WITH flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
+        |  count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      EventStreams.sessionWindows(s, dir)
     }
   )
 }

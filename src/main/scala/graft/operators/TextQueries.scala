@@ -1038,6 +1038,59 @@ object TextQueries {
             .as("w_quarter"),
           floor(lit(1000) * sqrt(col("n").cast("double")) / sqrt(col("mx").cast("double")))
             .cast("long").as("per_mille_half"))
+    },
+
+    // ---- vocabulary-coverage (OOV-rate) quality filter (d33): score
+    // each doc by the share of its tokens OUTSIDE the corpus top-K
+    // vocabulary — the integer-exact stand-in for LM-perplexity
+    // filtering (CCNet shape): rare-token-heavy docs score high and get
+    // filtered, and unlike a real LM score every emitted value is an
+    // integer (permille via int division), so the gate is bit-stable
+    // with no float/log rounding contract. Scale shape: the token
+    // explode hash-partitions on the token (Heaps'-law sublinear
+    // distinct count); the top-K is TakeOrderedAndProject (per-partition
+    // top-K then a K-row driver merge — NO global sort, NO
+    // single-partition window); the K-row vocabulary broadcasts back
+    // into a per-doc rollup. Tiebreak at the rank-K boundary is total
+    // (count DESC, token ASC) so both engines cut identically. K=16
+    // because the synthetic corpus draws from a 31-token vocabulary —
+    // a production corpus would use 10^4-10^5; the plan shape is
+    // K-independent. ----
+    QueryDef("d33_oov_rate",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        |  FROM documents),
+        |voc AS (
+        |  SELECT w FROM tok GROUP BY w
+        |  ORDER BY count(*) DESC, w LIMIT 16),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         count(*) FILTER (WHERE v.w IS NULL) AS n_oov
+        |  FROM tok t LEFT JOIN voc v USING (w) GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(n_oov, 0) AS n_oov,
+        |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 1000
+        |       ELSE (1000 * n_oov) // n_tokens END AS oov_permille
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      // persisted: feeds both the vocabulary ranking and the scoring
+      // join (d16 convention — PinScope unpersists after materialization)
+      val tok = docs.select(col("doc_id"), explode(tokensCol).as("w")).persist()
+      val voc = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(16)
+        .select(col("w"), lit(1).as("inv"))
+      val per = tok.join(broadcast(voc), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("inv").isNull, lit(1))).as("n_oov"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(1000L))
+            .otherwise(expr("(1000 * n_oov) div n_tokens")).cast("long")
+            .as("oov_permille"))
     }
   )
 }

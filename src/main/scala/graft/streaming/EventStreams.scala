@@ -315,6 +315,44 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Built-in session windows (session_window, Spark 3.2+): per-user
+    * sessions split on >30min inactivity, same semantics as the custom
+    * flatMapGroupsWithState [[sessionize]] but expressed through the
+    * native session-window state store — merging windows, watermark-aware
+    * eviction, no user state code. Sessions are identified by their start
+    * time (epoch micros), not a counter, because window identity IS the
+    * merged interval here. Runs in complete mode onto a memory sink so
+    * the batch islands oracle can check the final merged sessions; in a
+    * continuous deployment this would be append mode + watermark, where
+    * closed sessions emit exactly once. Scale shape: state is
+    * hash-partitioned on user_id and each merge touches only that key's
+    * open windows — the same per-key bound as the custom op, minus the
+    * per-batch sort buffer (the state store keeps windows ordered). */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    withStreamConf(spark) {
+      val events = eventsStream(spark, dir)
+      val agg = events
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          col("n_events"),
+          (unix_micros(col("mx")) - unix_micros(col("session_window.start")))
+            .as("dur_us"))
+      val name = s"graft_sesswin_${counter.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000),
+          s"streaming query ${q.name} timed out at 120s - table would be partial")
+      finally if (q.isActive) q.stop()
+      spark.table(name)
+    }
+
   /** Stream-static join: the events stream enriched with the customer
     * dimension, then aggregated per (segment, event_type). The static
     * side is re-planned per micro-batch (so a dimension update between

@@ -66,6 +66,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == expected, s"windowed n sums to $total, expected $expected")
   }
 
+  test("session_window agrees with batch islands under the [ts, ts+gap) convention") {
+    val streamed = graft.streaming.EventStreams.sessionWindows(spark, dir)
+      .orderBy("user_id", "sess_start_us").collect()
+
+    Tables.load(spark, dir, "events").createOrReplaceTempView("ev_sw")
+    // session_window merges half-open intervals, so a gap of EXACTLY the
+    // 30-min threshold starts a new session: split on >=, not > (s02).
+    val batch = spark.sql(
+      """WITH flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR unix_micros(ts) - unix_micros(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev_sw
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, unix_micros(min(ts)) AS sess_start_us,
+        |  count(*) AS n_events,
+        |  unix_micros(max(ts)) - unix_micros(min(ts)) AS dur_us
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin).collect()
+
+    assert(streamed.length == batch.length && streamed.nonEmpty,
+      s"session count ${streamed.length} != batch ${batch.length}")
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toString == b.toString, s"session mismatch: $s vs $b")
+    }
+  }
+
   test("stream-static join matches the batch join+agg") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.EventStreams.streamStaticJoin(spark, dir)

@@ -189,4 +189,33 @@ class TextPipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"ok_len disagrees with d01 n_tokens=$n: $r")
     }
   }
+
+  test("d33 oov rate: agrees with an independently-computed top-16 vocabulary") {
+    val rows = q("d33_oov_rate").collect()
+    assert(rows.length == 500)
+    // independent recomputation: tokenize on the driver, rank by
+    // (count desc, token asc), cut at 16, score each doc
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        "\\S+".r.findAllIn(r.getAs[String]("text")).toSeq)
+    val counts = docs.flatMap(_._2).groupBy(identity).map { case (w, ws) => (w, ws.length) }
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(16).map(_._1).toSet
+    val expected = docs.map { case (id, toks) =>
+      val oov = toks.count(!vocab.contains(_))
+      (id, (toks.length.toLong, oov.toLong,
+        if (toks.isEmpty) 1000L else 1000L * oov / toks.length))
+    }.toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val got = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+        r.getAs[Long]("oov_permille"))
+      assert(got == expected(id), s"doc $id: got $got expected ${expected(id)}")
+    }
+    // sanity: permille bounded, and not everything is in-vocab (the
+    // 31-token synthetic vocabulary guarantees out-of-top-16 tokens)
+    assert(rows.forall { r =>
+      val p = r.getAs[Long]("oov_permille"); p >= 0 && p <= 1000 })
+    assert(rows.exists(_.getAs[Long]("n_oov") > 0))
+  }
 }
