@@ -74,6 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(exprs(1), "numTables"), intLit(exprs(2), "planesPerTable"),
           intLit(exprs(3), "dims"))
     }
+    reg("sign_bits64",
+      "sign_bits64(emb) - 1-bit sign quantization of a float vector into one long") {
+      exprs => arity(exprs, 1, "sign_bits64"); VectorOps.SignBits64(exprs.head)
+    }
     reg("cms_estimate",
       "cms_estimate(sketch, term) - count-min sketch frequency estimate") {
       exprs => arity(exprs, 2, "cms_estimate")

@@ -154,6 +154,23 @@ object VectorOps {
     dot.toDouble / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble)
   }
 
+  /** Sign-bit packing of a float vector into one long: bit d set iff
+    * v(d) > 0. The 1-bit quantization tier below int8 — a 64-dim float32
+    * vector compresses 32× to 8 bytes, and candidate scoring becomes a
+    * single XOR + POPCNT per pair (hamming distance approximates angular
+    * distance for mean-centered data; same family as the SRP bucket
+    * bits, but kept as a full 64-bit code for distance ranking instead
+    * of being chopped into bucket keys). Dims beyond 64 are ignored;
+    * shorter vectors leave high bits zero. */
+  def signBits64(a: ArrayData): Long = {
+    val v = a.toFloatArray()
+    val n = math.min(v.length, 64)
+    var bits = 0L
+    var i = 0
+    while (i < n) { if (v(i) > 0.0f) bits |= (1L << i); i += 1 }
+    bits
+  }
+
   /** L1 mass of a float vector, folded from 0.0 — the fold order of
     * `aggregate(emb, 0.0D, (a, x) -> a + abs(x))` (e02's per-row term). */
   def absSum(a: ArrayData): Double = {
@@ -551,6 +568,27 @@ object VectorOps {
     override def prettyName: String = "int_cosine_sim"
   }
 
+  /** Sign-bit packing (1-bit quantization, e13's encode step): one long
+    * of sign bits per vector, computed in a single JIT loop per row —
+    * the scan-side kernel for hamming-shortlist retrieval. */
+  case class SignBits64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child.dataType, prettyName)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      if (hasNullElement(aa)) null else signBits64(aa)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""if (graft.functions.VectorOps.hasNullElement($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VectorOps.signBits64($a); }""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "sign_bits64"
+  }
+
   /** Exact sum of a long array (e09 sum_q). */
   case class LongArraySum(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -635,6 +673,7 @@ object VectorOps {
   def int8EncodeAutoCol(a: Column): Column = exprCol(Int8EncodeAuto(exprOf(a)))
   def intCosineSimCol(a: Column, b: Column): Column =
     exprCol(IntCosineSim(exprOf(a), exprOf(b)))
+  def signBits64Col(a: Column): Column = exprCol(SignBits64(exprOf(a)))
   def longSumCol(a: Column): Column = exprCol(LongArraySum(exprOf(a)))
   def longAbsMaxCol(a: Column): Column = exprCol(LongArrayAbsMax(exprOf(a)))
   def quantErrPpmCol(emb: Column, qv: Column, scale: Column): Column =

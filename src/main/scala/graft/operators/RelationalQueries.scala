@@ -1205,6 +1205,36 @@ object RelationalQueries {
             .cast("int").as("bucket"))
         .groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- forward-fill gap fill (q57): IGNORE NULLS running last_value,
+    // the standard sparse-series densification (sensor/price carry-
+    // forward). The sparse series is derived deterministically (a
+    // customer's order price is "observed" only on order keys divisible
+    // by 3), then filled per customer in order-key order with
+    // last(_, ignoreNulls = true) over a running ROWS frame; rows before
+    // a customer's first observation stay NULL, which the hash gate
+    // covers explicitly. All-integer (cents). Scale shape: ONE hash
+    // exchange on o_custkey + per-partition sort — the frame is a single
+    // carry-forward register per partition, no global sort, no second
+    // pass. ----
+    QueryDef("q57_gap_fill",
+      """SELECT o_custkey, o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0
+        |       THEN CAST(round(o_totalprice*100) AS BIGINT) END AS observed_cents,
+        |  last_value(CASE WHEN o_orderkey % 3 = 0
+        |       THEN CAST(round(o_totalprice*100) AS BIGINT) END IGNORE NULLS)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0,
+            round(col("o_totalprice") * 100).cast("long")).as("observed_cents"))
+        .withColumn("filled_cents",
+          last(col("observed_cents"), ignoreNulls = true).over(w))
     }
   )
 }

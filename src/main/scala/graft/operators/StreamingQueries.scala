@@ -122,6 +122,23 @@ object StreamingQueries {
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
       EventStreams.sessionWindows(s, dir)
+    },
+
+    // Sliding-window aggregation (6h windows every 3h — size/slide = 2
+    // overlapping windows per event); oracle assigns each event to both
+    // of its window starts via UNION ALL and re-aggregates. Same
+    // round(,3) sum contract as s01.
+    QueryDef("s10_sliding_window",
+      """WITH w AS (
+        |  SELECT CAST(floor(epoch(ts) / 10800) * 10800 AS BIGINT) AS win_start_s,
+        |         event_type, value FROM events
+        |  UNION ALL
+        |  SELECT CAST((floor(epoch(ts) / 10800) - 1) * 10800 AS BIGINT) AS win_start_s,
+        |         event_type, value FROM events)
+        |SELECT win_start_s, event_type, count(*) AS n,
+        |       round(sum(value), 3) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      EventStreams.slidingCounts(s, dir)
     }
   )
 }

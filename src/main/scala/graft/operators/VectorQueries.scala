@@ -594,6 +594,41 @@ object VectorQueries {
       exact
         .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
         .crossJoin(broadcast(recallFlag(exact, mrl, 0.6, "mrl_recall_ok")))
+    },
+
+    // ---- 1-bit sign quantization + hamming-shortlist retrieval (e13):
+    // the binary-hashing tier below e09's int8 — each 64-dim float32
+    // vector packs to ONE long of sign bits (32× scan compression), and
+    // candidate scoring is a single XOR + POPCNT per pair (builtin
+    // `bit_count`, fully codegen). Top-128 per probe by (hamming, cid)
+    // shortlist, exact-cosine rerank on full vectors, under e07's gate
+    // contract: emitted rows are the exact top-5 truth target the oracle
+    // recomputes brute-force; the hamming arm's recall@5 >= 0.6 rides
+    // in-band (measured 0.72-0.96 across SFs — the binary code is the
+    // coarsest quantizer in the family, and the uniform-random synthetic
+    // dims are its worst case). At 100 TB the sign-bit column is the
+    // cheapest possible first-pass scan (8 bytes/vector, SIMD-friendly
+    // XOR+POPCNT), exactly the binary-hashing front tier production
+    // retrieval stacks run before int8/float rerank. ----
+    QueryDef("e13_hamming_rerank",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM q, c)
+        |SELECT qid, cid, round(cos, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk,
+        |       true AS ham_recall_ok
+        |FROM (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |  FROM s) t WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val (exact, ham) = hammingArms(s, dir)
+      exact
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
+        .crossJoin(broadcast(recallFlag(exact, ham, 0.6, "ham_recall_ok")))
     }
   )
 
@@ -628,6 +663,43 @@ object VectorQueries {
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("cid"))
     (exact, mrl)
+  }
+
+  /** e13's two arms (exact truth target + hamming-shortlist-reranked
+    * top-5), parameterized so HammingRecallSpec can chart recall against
+    * shortlist size. Sign bits are computed scan-side by the native
+    * [[graft.functions.VectorOps.SignBits64]] kernel; the pair score is
+    * builtin `bit_count(qb ^ cb)` — the whole shortlist stage stays in
+    * whole-stage codegen. The exact arm is persisted; callers run under
+    * PinScope (see [[knnIvf]]'s pinning contract). */
+  def hammingArms(s: org.apache.spark.sql.SparkSession, dir: String,
+      shortlistN: Int = 128): (DataFrame, DataFrame) = {
+    val base = Tables.load(s, dir, "embeddings")
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        graft.functions.VectorOps.signBits64Col(col("embedding")).as("qb"))
+    val c = base.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        graft.functions.VectorOps.signBits64Col(col("embedding")).as("cb"))
+    val exact = exactTop5(
+      q.select(col("qid"), col("qe")), c.select(col("cid"), col("ce"))).persist()
+    // shortlist on XOR+POPCNT over the 8-byte codes (the narrow scan at
+    // scale); ce rides along so the rerank needs no second corpus pass
+    // (e12's trade — at open scale an ids-only shortlist + semi-join
+    // back is the alternative when the window shuffle must stay thin)
+    val shortW = Window.partitionBy("qid").orderBy(col("ham").asc, col("cid"))
+    val shortlist = c.join(broadcast(q))
+      .withColumn("ham", expr("bit_count(qb ^ cb)"))
+      .select(col("qid"), col("qe"), col("cid"), col("ce"), col("ham"))
+      .withColumn("srnk", row_number().over(shortW))
+      .filter(col("srnk") <= shortlistN)
+    val ham = shortlist
+      .withColumn("cos", cos(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("cos"))
+      .withColumn("rnk", row_number().over(top5Window).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"))
+    (exact, ham)
   }
 
   /** e11's two arms (exact truth target + PQ-shortlist-reranked top-5),

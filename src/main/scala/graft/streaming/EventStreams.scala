@@ -353,6 +353,37 @@ object EventStreams {
       spark.table(name)
     }
 
+  /** Sliding-window aggregation (size 6 h, slide 3 h): every event lands
+    * in exactly TWO overlapping windows — the moving-average/trailing-
+    * rate shape tumbling windows (s01) can't express. Spark expands each
+    * row into its size/slide = 2 window assignments before the shuffle,
+    * so state is 2× the tumbling equivalent and still hash-partitioned
+    * on (window, key); the watermark evicts each window size-after-slide
+    * later than tumbling would. Complete mode onto a memory sink so the
+    * batch oracle (each event UNION ALL'd into both its window starts)
+    * can check the final counts. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    withStreamConf(spark) {
+      val events = eventsStream(spark, dir)
+      val agg = events
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+        .select(unix_seconds(col("window.start")).as("win_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+      val name = s"graft_sliding_${counter.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000),
+          s"streaming query ${q.name} timed out at 120s - table would be partial")
+      finally if (q.isActive) q.stop()
+      spark.table(name)
+    }
+
   /** Stream-static join: the events stream enriched with the customer
     * dimension, then aggregated per (segment, event_type). The static
     * side is re-planned per micro-batch (so a dimension update between
