@@ -805,4 +805,12 @@ object VectorQueries {
     val hits = exact.join(mrl, Seq("qid", "cid"), "left_semi").count().toDouble
     hits / exact.count()
   }
+
+  /** e13's measured recall@5 (HammingRecallSpec). */
+  def hammingRecall(s: org.apache.spark.sql.SparkSession, dir: String,
+      shortlistN: Int = 128): Double = {
+    val (exact, ham) = hammingArms(s, dir, shortlistN)
+    val hits = exact.join(ham, Seq("qid", "cid"), "left_semi").count().toDouble
+    hits / exact.count()
+  }
 }

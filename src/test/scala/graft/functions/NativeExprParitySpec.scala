@@ -172,6 +172,19 @@ class NativeExprParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "integer cosine must be bit-identical to the HOF fold")
   }
 
+  test("sign_bits64 == HOF shift-fold formulation (bit parity)") {
+    // e13's encode: bit i set iff embedding[i] > 0, folded as a sum of
+    // disjoint powers of two (equivalent to OR for distinct bits)
+    val hof = expr(
+      """aggregate(sequence(0, size(embedding) - 1), 0L,
+        |  (a, i) -> a + IF(CAST(element_at(embedding, i + 1) AS DOUBLE) > 0.0D,
+        |                   shiftleft(1L, i), 0L))""".stripMargin)
+    val cmp = embs.select(col("vec_id"),
+      hof.as("hof"), VectorOps.signBits64Col(col("embedding")).as("nat"))
+    assert(cmp.filter(col("hof") =!= col("nat")).count() == 0,
+      "sign-bit packing must be bit-identical to the HOF fold")
+  }
+
   test("null array elements: vector exprs return NULL, text hashes skip") {
     val s = spark
     import s.implicits._

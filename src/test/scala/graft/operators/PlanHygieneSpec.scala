@@ -34,12 +34,14 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   //   e12: the bounded probe broadcast (prefix-shortlist + exact arms)
   //        + the 1-row recall-flag broadcast (e07/e10's contract)
   //   d32: a 1-row max-count broadcast over the ≤5-row lang aggregate
+  //   e13: the bounded probe broadcast (hamming-shortlist + exact arms)
+  //        + the 1-row recall-flag broadcast (e07/e10's contract)
   private val bnljAllowed = Set("e01_knn_brute", "q24_theta_join",
     "q32_interval_join", "q28_correlated_subquery", "q36_exists_in_mix",
     "d16_bigram_coverage", "e07_ann_rerank", "e08_ivf_rerank",
     "e10_quantized_knn", "d26_semantic_dedup", "d28_bpe_merges",
     "d29_budget_select", "e11_pq_adc", "d31_heavy_hitters",
-    "e12_matryoshka", "d32_temperature_mix")
+    "e12_matryoshka", "d32_temperature_mix", "e13_hamming_rerank")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
@@ -54,7 +56,7 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("no batch query plans a CartesianProduct; BNLJ only where bounded") {
     val batchQueries = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_.startsWith("s0")) // streaming queries execute on build
+      .filterNot(_.startsWith("s")) // streaming queries execute on build
     assert(batchQueries.size >= 58)
     val offenders = batchQueries.flatMap { name =>
       val plan = graft.SparkEntry.queries(name)(spark, dir)

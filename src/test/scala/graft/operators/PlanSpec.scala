@@ -271,4 +271,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("salt"), s"salt must participate in the join keys:\n$p")
     assert(!p.contains("BroadcastHashJoin"), s"dim must not be broadcast:\n$p")
   }
+
+  test("q57 gap fill: one hash exchange on o_custkey feeding one Window") {
+    val p = plan("q57_gap_fill")
+    assert(p.contains("Window"), s"no window exec:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"carry-forward must not global-sort:\n$p")
+  }
 }

@@ -66,6 +66,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == expected, s"windowed n sums to $total, expected $expected")
   }
 
+  test("sliding windows cover every event exactly twice (size/slide = 2)") {
+    val win = graft.streaming.EventStreams.slidingCounts(spark, dir)
+    val total = win.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    val expected = Tables.load(spark, dir, "events").count()
+    assert(total == 2 * expected,
+      s"sliding n sums to $total, expected ${2 * expected} (every event in 2 windows)")
+    // and each window start is a slide-aligned epoch second
+    val misaligned = win.filter(
+      org.apache.spark.sql.functions.expr("win_start_s % 10800 != 0")).count()
+    assert(misaligned == 0, s"$misaligned window starts off the 3h slide grid")
+  }
+
   test("session_window agrees with batch islands under the [ts, ts+gap) convention") {
     val streamed = graft.streaming.EventStreams.sessionWindows(spark, dir)
       .orderBy("user_id", "sess_start_us").collect()
