@@ -1091,6 +1091,152 @@ object TextQueries {
           when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(1000L))
             .otherwise(expr("(1000 * n_oov) div n_tokens")).cast("long")
             .as("oov_permille"))
+    },
+
+    // ---- hashed-feature importance voting (d34): the DSIR shape
+    // (Data Selection via Importance Resampling, Xie et al. 2023) in
+    // integer-exact form — score each document by how target-like its
+    // hashed n-gram feature distribution is. Features are unigram FNV-1a
+    // buckets (B = 64; unsigned mod is EXACT in signed long arithmetic
+    // because 2^64 ≡ 0 mod 64); the target is the English slice; each
+    // token votes +1/-1 by the sign of the cross-multiplied ratio test
+    // t_n * r_tot <=> r_n * t_tot (the integer surrogate for
+    // log p_target(b) - log p_raw(b), sign-exact, no float/log rounding
+    // contract). Scale shape: the token explode is scan-bounded; bucket
+    // stats are a 64-row aggregate broadcast back; the per-doc rollup is
+    // the ONE row-scale shuffle (doc_id). On the synthetic corpus the
+    // vote spread is real (-39..+11 at sf0.01) — stopword-heavy English
+    // docs score highest, exactly DSIR's intent. ----
+    QueryDef("d34_importance_votes",
+      """WITH tok AS (
+        |  SELECT d.doc_id, d.lang, unnest(regexp_extract_all(d.text, '\S+')) AS w
+        |  FROM documents d),
+        |voc AS (SELECT DISTINCT w FROM tok),
+        |fp AS (
+        |  SELECT w,
+        |    CAST(list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, octet_length(encode(w)) + 1), i ->
+        |          CAST(16 * (strpos('0123456789ABCDEF', upper(substring(hex(encode(w)), CAST(2*i-1 AS INT), 1))) - 1)
+        |             + (strpos('0123456789ABCDEF', upper(substring(hex(encode(w)), CAST(2*i AS INT), 1))) - 1) AS HUGEINT))),
+        |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)
+        |      % 64 AS BIGINT) AS b
+        |  FROM voc),
+        |bt AS (
+        |  SELECT fp.b, count(*) AS r_n,
+        |    count(*) FILTER (WHERE tok.lang = 'en') AS t_n
+        |  FROM tok JOIN fp USING (w) GROUP BY fp.b),
+        |tot AS (SELECT CAST(sum(r_n) AS BIGINT) AS r_tot,
+        |               CAST(sum(t_n) AS BIGINT) AS t_tot FROM bt),
+        |scored AS (
+        |  SELECT tok.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN bt.t_n * tot.r_tot > bt.r_n * tot.t_tot THEN 1
+        |             WHEN bt.t_n * tot.r_tot < bt.r_n * tot.t_tot THEN -1
+        |             ELSE 0 END) AS BIGINT) AS votes
+        |  FROM tok JOIN fp USING (w) JOIN bt USING (b) CROSS JOIN tot
+        |  GROUP BY tok.doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(s.n_tokens, 0) AS n_tokens,
+        |  coalesce(s.votes, 0) AS votes,
+        |  coalesce(s.votes, 0) > 0 AS target_like
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin) { (s, dir) =>
+      graft.functions.Fingerprint64.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      // persisted: feeds the 64-row bucket stats AND the per-doc scoring
+      // rollup (d33 convention — PinScope unpersists after materialization)
+      val tok = docs.select(col("doc_id"), col("lang"), explode(tokensCol).as("w"))
+        .withColumn("b",
+          pmod(graft.functions.Fingerprint64.fingerprint64(col("w")), lit(64L)))
+        .persist()
+      val bt = tok.groupBy("b").agg(count(lit(1)).as("r_n"),
+        count(when(col("lang") === "en", 1)).as("t_n"))
+      val tot = bt.agg(sum("r_n").as("r_tot"), sum("t_n").as("t_tot"))
+      val vote = when(col("t_n") * col("r_tot") > col("r_n") * col("t_tot"), 1L)
+        .when(col("t_n") * col("r_tot") < col("r_n") * col("t_tot"), -1L)
+        .otherwise(0L)
+      val scored = tok.join(broadcast(bt), Seq("b")).crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(vote).as("votes"))
+      docs.select("doc_id", "lang").join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("votes"), lit(0L)).as("votes"),
+          (coalesce(col("votes"), lit(0L)) > 0).as("target_like"))
+    },
+
+    // ---- URL canonicalization + URL-level dedup (d35): the web-crawl
+    // frontier/dedup step (CommonCrawl shape) — raw URLs differ by
+    // scheme/host case, a www. prefix, an explicit default port, a
+    // trailing slash, or a #fragment while naming the same resource.
+    // Canonical form: lowercase scheme+host, strip www. and :80/:443,
+    // drop the fragment, strip one trailing slash; path case and query
+    // are PRESERVED (case-sensitive server-side). Built by extraction +
+    // concat, not replacement, so the regexes stay in the Java∩RE2
+    // subset (d17's contract — no lookaheads, no group-ref replacement
+    // syntax divergence). URLs are deterministically synthesized from
+    // doc_id residues (d20's augmentation pattern) so both engines see
+    // identical raw inputs with REAL cross-doc collision structure
+    // (500 raw → 77 canonical at sf0.01). Dedup verdict = first
+    // occurrence by min doc_id per canonical URL — ONE shuffle on the
+    // canonical key; canonicalization itself is a zero-shuffle per-row
+    // projection. ----
+    QueryDef("d35_url_canonical",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    'Site' || (doc_id % 7) || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || (doc_id % 11) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 1 THEN '#sec' || (doc_id % 6) ELSE '' END) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/#?]+)', 1),
+        |                         '^([^:]+)', 1)) AS host,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/#?]+([^#]*)', 1) AS rest
+        |  FROM aug),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://' ||
+        |    (CASE WHEN host LIKE 'www.%' THEN substring(host, 5) ELSE host END) ||
+        |    (CASE WHEN rest LIKE '%/' THEN substring(rest, 1, length(rest) - 1)
+        |          ELSE rest END) AS curl
+        |  FROM parts)
+        |SELECT c.doc_id, c.url, c.curl,
+        |  c.doc_id = min(c.doc_id) OVER (PARTITION BY c.curl) AS keep,
+        |  CAST(count(*) OVER (PARTITION BY c.curl) AS BIGINT) AS n_dups
+        |FROM canon c""".stripMargin) { (s, dir) =>
+      val aug = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, "HTTPS").otherwise("https"), lit("://"),
+          when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+          lit("Site"), (col("doc_id") % 7).cast("string"), lit(".Example.COM"),
+          when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+          lit("/p/"), (col("doc_id") % 11).cast("string"),
+          when(col("doc_id") % 4 === 0, "/").otherwise(""),
+          when(col("doc_id") % 3 === 1,
+            concat(lit("#sec"), (col("doc_id") % 6).cast("string")))
+            .otherwise("")).as("url"))
+      val parts = aug.select(col("doc_id"), col("url"),
+        lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)).as("scheme"),
+        lower(regexp_extract(
+          regexp_extract(col("url"), "^[A-Za-z]+://([^/#?]+)", 1),
+          "^([^:]+)", 1)).as("host"),
+        regexp_extract(col("url"), "^[A-Za-z]+://[^/#?]+([^#]*)", 1).as("rest"))
+      val canon = parts.select(col("doc_id"), col("url"),
+        concat(col("scheme"), lit("://"),
+          when(col("host").like("www.%"), expr("substring(host, 5)"))
+            .otherwise(col("host")),
+          when(col("rest").like("%/"),
+            expr("substring(rest, 1, length(rest) - 1)"))
+            .otherwise(col("rest"))).as("curl"))
+      val w = Window.partitionBy("curl")
+      canon.select(col("doc_id"), col("url"), col("curl"),
+        (col("doc_id") === min("doc_id").over(w)).as("keep"),
+        count(lit(1)).over(w).as("n_dups"))
     }
   )
 }

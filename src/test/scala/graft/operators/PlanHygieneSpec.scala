@@ -36,12 +36,15 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   //   d32: a 1-row max-count broadcast over the ≤5-row lang aggregate
   //   e13: the bounded probe broadcast (hamming-shortlist + exact arms)
   //        + the 1-row recall-flag broadcast (e07/e10's contract)
+  //   d34: a 1-row totals broadcast over the 64-row bucket stats (the
+  //        d16 threshold pattern)
   private val bnljAllowed = Set("e01_knn_brute", "q24_theta_join",
     "q32_interval_join", "q28_correlated_subquery", "q36_exists_in_mix",
     "d16_bigram_coverage", "e07_ann_rerank", "e08_ivf_rerank",
     "e10_quantized_knn", "d26_semantic_dedup", "d28_bpe_merges",
     "d29_budget_select", "e11_pq_adc", "d31_heavy_hitters",
-    "e12_matryoshka", "d32_temperature_mix", "e13_hamming_rerank")
+    "e12_matryoshka", "d32_temperature_mix", "e13_hamming_rerank",
+    "d34_importance_votes")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")

@@ -218,4 +218,42 @@ class TextPipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val p = r.getAs[Long]("oov_permille"); p >= 0 && p <= 1000 })
     assert(rows.exists(_.getAs[Long]("n_oov") > 0))
   }
+
+  test("d34 importance votes: bounded by token count, sign-consistent, discriminative") {
+    val rows = graft.PinScope.run(spark) { q("d34_importance_votes").collect() }
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val v = r.getAs[Long]("votes")
+      assert(math.abs(v) <= n, s"votes $v exceed token count $n")
+      assert(r.getAs[Boolean]("target_like") == (v > 0))
+    }
+    // the vote test must discriminate: both positive and negative scores
+    // exist on the synthetic corpus (measured -39..+11 at sf0.01)
+    assert(rows.exists(_.getAs[Long]("votes") > 0), "no target-like docs")
+    assert(rows.exists(_.getAs[Long]("votes") < 0), "no anti-target docs")
+  }
+
+  test("d35 url canonicalization: messy variants unify, exactly one keeper per group") {
+    val rows = q("d35_url_canonical").collect()
+    assert(rows.nonEmpty)
+    // canonical form is fully normalized: lowercase scheme+host, no
+    // www., no default port, no fragment, no trailing slash
+    rows.foreach { r =>
+      val c = r.getAs[String]("curl")
+      assert(c.startsWith("https://site"), s"bad canonical: $c")
+      assert(!c.contains("www.") && !c.contains(":443") && !c.contains("#") &&
+        !c.endsWith("/"), s"unnormalized canonical: $c")
+    }
+    // keep is exactly the min-doc_id row of each canonical group
+    val byCanon = rows.groupBy(_.getAs[String]("curl"))
+    byCanon.foreach { case (c, g) =>
+      val keepers = g.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length == 1, s"$c has ${keepers.length} keepers")
+      assert(keepers.head.getAs[Long]("doc_id") ==
+        g.map(_.getAs[Long]("doc_id")).min, s"$c keeper is not min doc_id")
+      assert(g.forall(_.getAs[Long]("n_dups") == g.length))
+    }
+    // real dedup structure: fewer canonical urls than raw urls
+    assert(byCanon.size < rows.length, "no cross-doc collisions — vacuous dedup")
+  }
 }
