@@ -31,6 +31,7 @@ object QBench {
       case "stream" => stream(spark, sfDir)
       case "s04" => s04(spark, sfDir)
       case "mrl" => mrl(spark, sfDir)
+      case "ham" => ham(spark, sfDir)
       case name if SparkEntry.queries.contains(name) =>
         // generic: any gate query by name, 1 warmup + 3 timed reps
         time(name, 4)(SparkEntry.queries(name)(spark, sfDir))
@@ -176,6 +177,19 @@ object QBench {
         val hits = exact.join(approx, Seq("qid", "cid"), "left_semi").count()
         val total = exact.count()
         println(f"prefix=$p%2d shortlist=$n%2d recall@5=${hits.toDouble / total}%.3f ($hits/$total)")
+      }
+    }
+  }
+
+  /** e13 recall grid: 1-bit hamming shortlist recall@5 vs the exact arm,
+    * across shortlist sizes. */
+  private def ham(spark: SparkSession, dir: String): Unit = {
+    for (n <- Seq(5, 16, 32, 64, 128, 256)) {
+      PinScope.run(spark) {
+        val (exact, approx) = operators.VectorQueries.hammingArms(spark, dir, n)
+        val hits = exact.join(approx, Seq("qid", "cid"), "left_semi").count()
+        val total = exact.count()
+        println(f"shortlist=$n%3d recall@5=${hits.toDouble / total}%.3f ($hits/$total)")
       }
     }
   }

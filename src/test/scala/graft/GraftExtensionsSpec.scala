@@ -35,7 +35,9 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  size(srp_bucket_ids(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 8, 4, 2)) AS nbuckets,
         |  cms_estimate(
         |    (SELECT count_min_sketch(t, 0.01d, 0.99d, 7)
-        |     FROM VALUES ('x'), ('x'), ('y') AS v(t)), 'x') AS cms
+        |     FROM VALUES ('x'), ('x'), ('y') AS v(t)), 'x') AS cms,
+        |  sign_bits64(array(CAST(1.5 AS FLOAT), CAST(-0.5 AS FLOAT),
+        |                    CAST(0.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS sb
         |""".stripMargin).collect()(0)
     assert(r.getLong(0) == graft.functions.Fingerprint64.hash("abc".getBytes("UTF-8")))
     assert(r.getInt(2) == 64)
@@ -45,6 +47,8 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(6) == 5.0)
     assert(r.getInt(7) == 8)
     assert(r.getLong(8) == 2L, "cms_estimate must recover the exact count of 'x'")
+    assert(r.getLong(9) == 9L, // bits 0 (1.5>0) and 3 (2.0>0); 0.0 is NOT set
+      "sign_bits64 must set exactly the strictly-positive dims")
   }
 
   test("SQL simhash64 equals builtin xxhash64 vote aggregation") {
