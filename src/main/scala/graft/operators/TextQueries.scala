@@ -1237,6 +1237,66 @@ object TextQueries {
       canon.select(col("doc_id"), col("url"), col("curl"),
         (col("doc_id") === min("doc_id").over(w)).as("keep"),
         count(lit(1)).over(w).as("n_dups"))
+    },
+
+    // ---- contiguous sequence packing (d36): the GPT-style training-
+    // stream step d24's sibling — instead of chunking WITHIN documents,
+    // the whole corpus is laid out as one token stream in doc_id order
+    // and cut into fixed 128-token sequences, documents straddling cut
+    // points (the standard pretraining packing; the EOD token between
+    // docs is the tokenizer's concern, not the layout's). Emitted per
+    // doc: its exclusive token offset, the sequence it starts in, its
+    // in-sequence offset, and how many sequences it touches. The
+    // exclusive prefix sum over the global doc_id order is the same
+    // single-partition-window trap as d29, solved the same way: doc_id
+    // ranges bucket the corpus (monotone in the order), per-bucket
+    // totals roll up to an aggregate-sized offset table (broadcast
+    // back), and the within-bucket running sum is a bucket-PARTITIONED
+    // window — nothing row-scale through one partition; at 100 TB the
+    // fixed-width buckets become sampled range boundaries. ----
+    QueryDef("d36_sequence_pack",
+      """WITH t AS (SELECT doc_id,
+        |             len(regexp_extract_all(text, '\S+')) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        |      FROM t)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CAST(tok_start AS BIGINT) AS token_start,
+        |  CAST(tok_start // 128 AS BIGINT) AS seq_id,
+        |  CAST(tok_start % 128 AS BIGINT) AS seq_offset,
+        |  CAST(CASE WHEN n_tok = 0 THEN 0
+        |       ELSE (tok_start + n_tok - 1) // 128 - tok_start // 128 + 1
+        |       END AS BIGINT) AS n_seqs
+        |FROM c""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(tokensCol).cast("long").as("n_tok"))
+        // doc_id-range buckets: monotone in doc_id, so bucket-asc nests
+        // the global order (d29's score-bucket trick on the id axis)
+        .withColumn("bucket", expr("doc_id div 100L"))
+        .persist() // two consumers: bucket totals + the main pass
+      val totals = toks.groupBy("bucket").agg(sum("n_tok").as("btotal"))
+      // exclusive prefix over the TINY per-bucket table (aggregate-sized)
+      val offsets = totals.withColumn("off",
+        coalesce(
+          sum("btotal").over(w.orderBy(col("bucket").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val byBucket = w.partitionBy("bucket").orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .join(broadcast(offsets.select(col("bucket"), col("off"))), Seq("bucket"))
+        .withColumn("tok_start",
+          (col("off") + coalesce(sum("n_tok").over(byBucket), lit(0L))).cast("long"))
+        .select(col("doc_id"), col("n_tok").as("n_tokens"),
+          col("tok_start").as("token_start"),
+          expr("tok_start div 128L").as("seq_id"),
+          pmod(col("tok_start"), lit(128L)).as("seq_offset"),
+          when(col("n_tok") === 0, lit(0L))
+            .otherwise(expr("(tok_start + n_tok - 1) div 128L - tok_start div 128L + 1"))
+            .cast("long").as("n_seqs"))
     }
   )
 }

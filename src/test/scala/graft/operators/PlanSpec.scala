@@ -179,6 +179,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d36 sequence pack: prefix sum is bucket-partitioned, never a row-scale global window") {
+    val p = plan("d36_sequence_pack")
+    // the doc-table exclusive cumsum must be PARTITIONED by the doc_id
+    // bucket (partition cols print first in windowspecdefinition)
+    assert("windowspecdefinition\\(bucket#\\d+L?, doc_id#".r.findFirstIn(p).isDefined,
+      s"doc-table window must partition by bucket:\n$p")
+    // the naive shape — one global window ordered by doc_id over all
+    // rows (exactly what the DuckDB oracle does) — must NOT appear
+    assert("windowspecdefinition\\(doc_id#".r.findFirstIn(p).isEmpty,
+      s"found an unpartitioned doc_id-ordered window (single-partition trap):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e04 ann: corpus never shuffled, probe side broadcast") {
     // pure-LSH op is library surface (no gate entry since r8) — plan
     // audited directly

@@ -256,4 +256,28 @@ class TextPipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // real dedup structure: fewer canonical urls than raw urls
     assert(byCanon.size < rows.length, "no cross-doc collisions — vacuous dedup")
   }
+
+  test("d36 sequence pack: stream is contiguous and seq arithmetic is consistent") {
+    val rows = graft.PinScope.run(spark) {
+      q("d36_sequence_pack").orderBy("doc_id").collect()
+    }
+    assert(rows.length == 500)
+    // contiguity: each doc starts exactly where the previous one ended
+    // (the bucketed prefix sum must equal the naive serial cumsum)
+    var expectStart = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("token_start") == expectStart,
+        s"doc ${r.getAs[Long]("doc_id")} starts at ${r.getAs[Long]("token_start")}, expected $expectStart")
+      expectStart += r.getAs[Long]("n_tokens")
+    }
+    rows.foreach { r =>
+      val (st, n) = (r.getAs[Long]("token_start"), r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("seq_id") == st / 128)
+      assert(r.getAs[Long]("seq_offset") == st % 128)
+      val expectSeqs = if (n == 0) 0L else (st + n - 1) / 128 - st / 128 + 1
+      assert(r.getAs[Long]("n_seqs") == expectSeqs)
+    }
+    // packing is real: some docs straddle a sequence boundary
+    assert(rows.exists(_.getAs[Long]("n_seqs") > 1), "no doc crosses a cut point")
+  }
 }
