@@ -123,7 +123,15 @@ object QBench {
       "e10_quantized_knn", "m02_decode_stub", "m05_frame_sample",
       "d08_fingerprint64",
       "c01_cached_scan_agg", "c08_warm_hitrate", "c11_admission_gate",
-      "s03_stream_dedup", "s07_stream_static_join")
+      "s03_stream_dedup", "s07_stream_static_join",
+      // round-9 session additions: recursive CTE, salted join, gap
+      // fill, the three newest retrieval tiers, DSIR votes, URL
+      // canonicalization, sequence packing, video demux, sliding
+      // windows (serial lane via the s prefix)
+      "q52_recursive_cte", "q53_salted_join", "q57_gap_fill",
+      "e11_pq_adc", "e12_matryoshka", "e13_hamming_rerank",
+      "d34_importance_votes", "d35_url_canonical", "d36_sequence_pack",
+      "m08_video_demux", "s10_sliding_window")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(
