@@ -52,8 +52,11 @@ class ConcurrentGateSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("c*/s* are the only serial-lane families") {
     val lane = graft.SparkEntry.allDefs.map(_.name)
       .filter(graft.ConcurrentHarness.serialLane)
+    // every classified name must carry a numbered cache/stream prefix
+    // (c01..., s10...) — a hypothetical future family starting with a
+    // bare c/s would silently serialize, so pin the digit too
     assert(lane.nonEmpty && lane.forall(n =>
-      n.startsWith("c0") || n.startsWith("c1") || n.startsWith("s0")),
+      n.matches("[cs]\\d\\d_.*")),
       s"unexpected names classified serial-lane: $lane")
     assert(pool.count(graft.ConcurrentHarness.serialLane) == 3,
       "spec pool must exercise the serial lane (c01, c08, s03)")
