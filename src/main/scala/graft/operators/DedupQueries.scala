@@ -354,6 +354,70 @@ object DedupQueries {
         .select(col("doc_id").as("vec_id"), col("comp"),
           (col("doc_id") === col("comp")).as("kept"))
         .crossJoin(broadcast(flag))
+    },
+
+    // ---- Bloom-filter dedup against an already-ingested corpus (the
+    // Dolma dedupe-tool shape): the even-doc_id half plays the "seen"
+    // corpus, summarized into a broadcast Bloom sketch over the 8-token
+    // prefix chunk key (xxhash64 — hashing first only tightens the
+    // sketch's input, it cannot create false negatives w.r.t. key
+    // equality); every incoming (odd) doc tests membership with ZERO
+    // shuffle via the native BloomMightContain codegen expression, and
+    // ONLY the hits ride the exact-verify semi-join. Scale shape: the
+    // reference corpus is read once (treeAggregate into the sketch) and
+    // once more for the hit-verify join whose probe side is the ~dup+fp
+    // sliver, not the corpus; a 10^9-key sketch at 1% fpp is ~1.2 GB —
+    // one broadcast, or key-range shards of the same expression beyond
+    // that. The hash-gated `dup` column is EXACT (bloom misses prove
+    // novelty, hits are string-verified), so a false negative flips a row
+    // and fails the gate; the in-band flags additionally pin zero false
+    // negatives explicitly and the false-positive count under
+    // max(5, 5% of non-dups) — 5x the configured fpp, deterministic per
+    // SF because the sketch is a seed-fixed pure function of its input.
+    QueryDef("d37_bloom_dedup",
+      """WITH k AS (SELECT doc_id,
+        |  concat_ws(' ', list_slice(regexp_extract_all(text, '\S+'), 1, 8)) AS key
+        |  FROM documents)
+        |SELECT k.doc_id,
+        |  EXISTS(SELECT 1 FROM k r WHERE r.doc_id % 2 = 0 AND r.key = k.key) AS dup,
+        |  true AS bloom_fn_ok, true AS bloom_fp_ok
+        |FROM k WHERE k.doc_id % 2 = 1""".stripMargin) { (s, dir) =>
+      val B = graft.functions.BloomExprs
+      val keyed = Tables.load(s, dir, "documents").select(col("doc_id"),
+        expr("concat_ws(' ', slice(regexp_extract_all(text, '\\\\S+', 0), 1, 8))")
+          .as("key"))
+      // persisted: ref feeds the sizing count, the sketch build, and the
+      // verify join; inc feeds the output, the verify probe, and the
+      // contract aggregates (PinScope sweeps both)
+      val ref = keyed.filter(col("doc_id") % 2 === 0).persist()
+      val bloom = B.broadcastBloom(s,
+        ref.select(xxhash64(col("key")).as("k")), "k",
+        math.max(ref.count(), 1L), 0.01)
+      val inc = keyed.filter(col("doc_id") % 2 === 1)
+        .withColumn("hit", B.mightContainCol(xxhash64(col("key")), bloom))
+        .persist()
+      val refKeys = ref.select(col("key")).distinct()
+      // engine arm: exact verification of the bloom hits only
+      val verified = inc.filter(col("hit"))
+        .join(refKeys, Seq("key"), "left_semi")
+        .select(col("doc_id"), lit(true).as("vdup"))
+      // truth arm (contract only): full semi-join, hit flag alongside
+      val truth = inc.join(refKeys, Seq("key"), "left_semi")
+        .select(col("doc_id"), col("hit"))
+      val flags = truth
+        .agg(sum(when(!col("hit"), 1L).otherwise(0L)).as("fn_cnt"),
+          count(lit(1)).as("n_truth"))
+        .crossJoin(inc.agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"),
+          count(lit(1)).as("n_inc")))
+        .select(
+          (coalesce(col("fn_cnt"), lit(0L)) === 0L).as("bloom_fn_ok"),
+          ((coalesce(col("n_hit"), lit(0L)) - col("n_truth")) <=
+            greatest(lit(5L), (col("n_inc") - col("n_truth")) / 20L))
+            .as("bloom_fp_ok"))
+      inc.select(col("doc_id"))
+        .join(verified, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("vdup"), lit(false)).as("dup"))
+        .crossJoin(broadcast(flags))
     }
   )
 }

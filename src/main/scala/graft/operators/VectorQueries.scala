@@ -629,6 +629,76 @@ object VectorQueries {
       exact
         .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
         .crossJoin(broadcast(recallFlag(exact, ham, 0.6, "ham_recall_ok")))
+    },
+
+    // ---- range search (radius query): ALL corpus vectors within cosine
+    // >= tau of each probe, not a fixed top-k — the other half of the
+    // ANN-benchmarks query taxonomy, and the primitive behind
+    // "find every near-duplicate of this document" lookups. Plan shape
+    // is e01's: the bounded probe set (pushed-down vec_id < 10) is
+    // broadcast, the corpus is scanned ONCE with the native cosine
+    // kernel and never shuffled — no window, no rank: the threshold
+    // filter is the entire reduction, so the operator is a single
+    // whole-stage-codegen map over the corpus at any scale. ----
+    QueryDef("e14_range_search",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM q, c)
+        |SELECT qid, cid, round(cos, 4) AS cos_sim
+        |FROM s WHERE cos >= 0.35""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      c.join(broadcast(q))
+        .withColumn("cos", cos(col("qe"), col("ce")))
+        .filter(col("cos") >= 0.35)
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"))
+    },
+
+    // ---- kNN JOIN: every corpus vector's top-3 neighbors (not a bounded
+    // probe set — the whole table is the query side), the primitive
+    // behind kNN-LM / retrieval-augmented dataset builds and d26's
+    // cluster assignment. Candidates are label-blocked (the corpus'
+    // coarse-cluster stand-in: at 100 TB the blocking key is a trained
+    // IVF cell exactly as in e08/d26, so pair count stays
+    // sum-of-cell-squares, never corpus²); within a block the join
+    // shuffles BOTH sides on the block key once, scores with the native
+    // cosine kernel, and ranks per vector — the window repartitions on
+    // vec_id, the second and last exchange. ----
+    QueryDef("e15_knn_join",
+      """WITH s AS (SELECT a.vec_id AS vid, b.vec_id AS nid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM embeddings a JOIN embeddings b
+        |         ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT vid AS vec_id, nid AS nbr_id, round(cos, 4) AS cos_sim,
+        |       CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT vid, nid, cos,
+        |    row_number() OVER (PARTITION BY vid ORDER BY cos DESC, nid) AS rnk
+        |  FROM s) t WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("vid"),
+        col("embedding").as("va"))
+      val b = e.select(col("label").as("label_b"), col("vec_id").as("nid"),
+        col("embedding").as("vb"))
+      val w = Window.partitionBy("vid").orderBy(col("cos").desc, col("nid"))
+      a.join(b, col("label") === col("label_b") && col("vid") =!= col("nid"))
+        .withColumn("cos", cos(col("va"), col("vb")))
+        .select(col("vid"), col("nid"), col("cos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("vid").as("vec_id"), col("nid").as("nbr_id"),
+          round(col("cos"), 4).as("cos_sim"), col("rnk"))
     }
   )
 
