@@ -1235,6 +1235,41 @@ object RelationalQueries {
             round(col("o_totalprice") * 100).cast("long")).as("observed_cents"))
         .withColumn("filled_cents",
           last(col("observed_cents"), ignoreNulls = true).over(w))
+    },
+
+    // ---- nested-data round-trip (q58): each customer's orders packed
+    // into an ARRAY<STRUCT> (collect_list -> array_sort on the struct's
+    // lexicographic field order -> slice to the earliest 3), then
+    // posexplode'd back to flat rows — the document-model build/flatten
+    // cycle every denormalized training manifest goes through. The
+    // nested value is internal; the emitted rows are flat all-integer
+    // columns, so the oracle is the plain window-rank formulation.
+    // Scale shape: ONE hash exchange on o_custkey for the collect_list;
+    // the sort/slice run inside the aggregate buffer per key (bounded
+    // by orders-per-customer), and the explode is a zero-shuffle
+    // projection. ----
+    QueryDef("q58_nested_orders",
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey AS c_custkey, CAST(rn AS BIGINT) AS pos,
+        |  o_orderkey, epoch_us(o_orderdate) AS odate_us, cents
+        |FROM r WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val packed = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), struct(col("o_orderdate"),
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")).as("o"))
+        .groupBy(col("o_custkey"))
+        .agg(slice(array_sort(collect_list(col("o"))), 1, 3).as("first3"))
+      packed
+        .select(col("o_custkey").as("c_custkey"),
+          posexplode(col("first3")).as(Seq("pos0", "o")))
+        .select(col("c_custkey"), (col("pos0") + 1).cast("long").as("pos"),
+          col("o.o_orderkey").as("o_orderkey"),
+          unix_micros(col("o.o_orderdate")).as("odate_us"),
+          col("o.cents").as("cents"))
     }
   )
 }

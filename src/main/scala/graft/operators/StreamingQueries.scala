@@ -139,6 +139,27 @@ object StreamingQueries {
         |       round(sum(value), 3) AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       EventStreams.slidingCounts(s, dir)
+    },
+
+    // Stream-stream LEFT OUTER join: s04's pairing plus null-padded
+    // emission for click-less purchases once the watermark proves no
+    // match can arrive. Both arms restrict to the completed region
+    // (p_ts <= max stream time - 2h: watermark delay + join range +
+    // margin) — a purchase's verdict is final only once its window
+    // closed; the last delay's worth is still legitimately pending
+    // state when an AvailableNow run stops. count(c.event_id) counts
+    // non-null matches, so unmatched purchases emit n_clicks = 0.
+    QueryDef("s11_stream_outer_join",
+      """SELECT p.user_id AS p_user, p.event_id AS p_id,
+        | count(c.event_id) AS n_clicks
+        |FROM events p LEFT JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) <= (SELECT max(epoch_us(ts)) FROM events) - 7200000000
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      EventStreams.streamOuterJoin(s, dir)
     }
   )
 }

@@ -289,6 +289,59 @@ object EventStreams {
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_clicks"))
     }
 
+  /** Stream-stream LEFT OUTER join: s04's purchase×preceding-hour-clicks
+    * pairing, but purchases with NO clicks also emit — as a null-padded
+    * row once the watermark proves no match can still arrive. This is
+    * the state-machine behavior the inner join never exercises: Spark
+    * holds the unmatched left row until the watermark passes its join
+    * window, then evicts-and-emits, which requires no-data micro-batches
+    * after the final data batch (noDataBatches=true below — the s02/s09
+    * comment's caveat, load-bearing here).
+    *
+    * A stream never "ends", so the last watermark-delay's worth of
+    * purchases is still pending in state when AvailableNow stops —
+    * their no-click verdict is genuinely unknowable yet. Both the
+    * engine arm and the batch oracle therefore restrict to the
+    * COMPLETED region (p_ts at least 2 h before the stream's max event
+    * time: 30 min watermark delay + 1 h join range + margin), which is
+    * the deployment semantics too — a purchase's click count is final
+    * only once its window closed. Scale shape: state is bounded by the
+    * watermark on both sides exactly as s04; the outer emission adds no
+    * state, only an eviction-time emit. */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    withStreamConf(spark, noDataBatches = true) {
+      val purchases = eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+      val clicks = eventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+      val name = s"graft_ssoj_${counter.incrementAndGet()}"
+      val q = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+        .select(col("p_user"), col("p_id"), col("p_ts"), col("c_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      try require(q.awaitTermination(120000),
+          s"streaming query ${q.name} timed out at 120s - table would be partial")
+      finally if (q.isActive) q.stop()
+      // completed-region boundary, computed batch-side (deterministic)
+      val maxUs = graft.operators.Tables.load(spark, dir, "events")
+        .agg(org.apache.spark.sql.functions.max(unix_micros(col("ts"))))
+        .head().getLong(0)
+      spark.table(name)
+        .filter(unix_micros(col("p_ts")) <= maxUs - 7200L * 1000000L)
+        .groupBy(col("p_user"), col("p_id"))
+        .agg(org.apache.spark.sql.functions.count(col("c_id")).as("n_clicks"))
+    }
+
   /** Tumbling 6h windows of count/sum(value) per event_type.
     * Returns the final (complete-mode) result as a batch DataFrame. */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame =

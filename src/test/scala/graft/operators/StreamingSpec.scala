@@ -128,4 +128,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s.toString == b.toString, s"row mismatch: $s vs $b")
     }
   }
+
+  test("stream-stream outer join emits null-padded rows for click-less purchases") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.EventStreams.streamOuterJoin(spark, dir)
+    val counts = out.groupBy((col("n_clicks") === 0L).as("unmatched"))
+      .count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    // the whole point vs s04: zero-click purchases DO appear, via the
+    // watermark-driven eviction emit — if noDataBatches regressed or the
+    // state watermark stopped passing, this drops to zero
+    assert(counts.getOrElse(true, 0L) > 0,
+      s"no unmatched purchases emitted: $counts")
+    assert(counts.getOrElse(false, 0L) > 0,
+      s"no matched purchases emitted: $counts")
+    // and the matched subset must agree with the inner join (the outer
+    // output is already completed-region-filtered; the id-join restricts
+    // the comparison to the common region)
+    val inner = graft.streaming.EventStreams.streamStreamJoin(spark, dir)
+      .withColumnRenamed("p_user", "u").withColumnRenamed("p_id", "i")
+      .withColumnRenamed("n_clicks", "n_inner")
+    val joined = out.filter(col("n_clicks") > 0)
+      .join(inner, col("p_user") === col("u") && col("p_id") === col("i"))
+    assert(joined.filter(col("n_clicks") =!= col("n_inner")).count() == 0)
+  }
 }
