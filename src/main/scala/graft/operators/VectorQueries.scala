@@ -699,6 +699,74 @@ object VectorQueries {
         .filter(col("rnk") <= 3)
         .select(col("vid").as("vec_id"), col("nid").as("nbr_id"),
           round(col("cos"), 4).as("cos_sim"), col("rnk"))
+    },
+
+    // ---- the full IVFADC pipeline (e16): trained coarse quantizer
+    // restricts candidates to nprobe probed cells (e08), ONLY those are
+    // ADC-scored from PQ codes (e11), shortlist exactly reranked — the
+    // composition every production-scale ANN index runs, where the
+    // scoring arm touches a nprobe/coarseK fraction of the corpus
+    // instead of all of it. Hash-gated rows are the exact arm (e01's
+    // oracle); the pipeline arm rides in-band as a recall@5 contract
+    // (IvfPqRecallSpec records the measured values). ----
+    QueryDef("e16_ivfpq",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM q, c)
+        |SELECT qid, cid, round(cos, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk,
+        |       true AS ivfpq_recall_ok
+        |FROM (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |  FROM s) t WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val (exact, ivfpq) = ivfPqArms(s, dir)
+      exact
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"), col("rnk"))
+        .crossJoin(broadcast(recallFlag(exact, ivfpq, 0.6, "ivfpq_recall_ok")))
+    },
+
+    // ---- hard-negative mining (e17): for each probe, the top-3
+    // most-similar corpus vectors with a DIFFERENT label — the
+    // contrastive-training sampler (highest-cosine wrong-class
+    // neighbors are the negatives that actually move an embedding
+    // model). Same plan as e01 with the label-mismatch predicate
+    // fused into the broadcast join: one corpus scan, no shuffle
+    // before the per-probe rank. ----
+    QueryDef("e17_hard_negatives",
+      """WITH q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qe
+        |            FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, label AS clab, embedding AS ce
+        |            FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM q JOIN c ON qlab <> clab)
+        |SELECT qid, cid, round(cos, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |  FROM s) t WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          col("embedding").as("qe"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("label").as("clab"),
+          col("embedding").as("ce"))
+      c.join(broadcast(q), col("qlab") =!= col("clab"))
+        .withColumn("cos", cos(col("qe"), col("ce")))
+        .select(col("qid"), col("cid"), col("cos"))
+        .withColumn("rnk", row_number().over(top5Window).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"),
+          col("rnk"))
     }
   )
 
@@ -857,6 +925,114 @@ object VectorQueries {
       .select(col("qid"), col("cid"))
       .persist()
     (exact, pq)
+  }
+
+  /** e16's two arms: the full IVFADC pipeline (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search" — the shape every
+    * production ANN index at open scale composes): a trained coarse
+    * quantizer restricts candidates to the probe's nprobe nearest cells
+    * (e08's blocking), ONLY those candidates are ADC-scored from the PQ
+    * codes (e11's table lookups), the ADC shortlist is exactly reranked.
+    * vs e11 alone: the ADC aggregation touches nprobe/k of the corpus
+    * instead of all of it — at 100 TB that factor (cells grow with the
+    * corpus, nprobe stays small) is what makes the scoring arm a
+    * constant-fraction scan. Exact arm persisted; callers run under
+    * PinScope. */
+  def ivfPqArms(s: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int = 2, shortlistN: Int = 64, m: Int = 16, k: Int = 32,
+      coarseK: Int = 16, nprobe: Int = 8): (DataFrame, DataFrame) = {
+    val subDim = 64 / m
+    val V = graft.functions.VectorOps
+    val base = Tables.load(s, dir, "embeddings")
+    def normalized(df: DataFrame): DataFrame = df
+      .withColumn("nrm0", norm(col("embedding")))
+      .withColumn("nrm", when(col("nrm0") === 0.0, lit(1.0)).otherwise(col("nrm0")))
+      .withColumn("ne",
+        expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT))"))
+      .drop("nrm0", "nrm")
+    def slice(sub: Int): Column = expr(
+      s"transform(sequence(0, 63), i -> IF(i < $subDim, ne[i + ${sub * subDim}], CAST(0.0 AS FLOAT)))")
+    val corpus = normalized(base.filter(col("vec_id") >= 10))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("ne"))
+      .persist()
+    val probes = normalized(base.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("ne").as("qn"))
+    val exact = exactTop5(
+      probes.select(col("qid"), col("qe")),
+      corpus.select(col("cid"), col("ce"))).persist()
+    // coarse quantizer + m per-subspace codebooks, trained concurrently
+    // over the same persisted corpus (the pqArms/d26 interleave pattern)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val coarseF = Future(kmeansCentroids(
+      corpus.select(col("cid").as("vec_id"), col("ne").as("embedding")),
+      coarseK, iters = iters, trainTargetRows = 1000L))
+    val codebooksF = Future.traverse((0 until m).toList) { sub => Future {
+      kmeansCentroids(
+        corpus.select(col("cid").as("vec_id"), slice(sub).as("embedding")),
+        k, iters = iters, trainTargetRows = 500L)
+    }}
+    val coarse = Await.result(coarseF, Duration.Inf)
+    val codebooks = Await.result(codebooksF, Duration.Inf)
+    val coarseBc = V.broadcastCentroids(s, coarse)
+    // IVF candidate generation: corpus rows keyed by home cell, probes
+    // exploded to their nprobe cells — the equi-join IS the shortlist's
+    // search scope (no scoring outside it)
+    val encoded = (0 until m).foldLeft(
+      corpus.withColumn("cell", V.nearestCentroidCol(col("ne"), coarseBc))) {
+      (df, sub) =>
+        val bc = V.broadcastCentroids(s, codebooks(sub))
+        df.withColumn(s"code$sub", V.nearestCentroidCol(slice(sub), bc))
+    }
+    val codes = encoded.select(col("cid"), col("cell"),
+      array((0 until m).map(i => col(s"code$i")): _*).as("codes"))
+    val probeCells = probes
+      .select(col("qid"),
+        explode(V.nearestCentroidsCol(col("qn"), coarseBc, nprobe)).as("cell"))
+    import s.implicits._
+    val cb = (for { sub <- 0 until m; c <- 0 until k }
+      yield (sub, c, codebooks(sub)(c).take(subDim)))
+      .toDF("sub", "code", "cent")
+    val ipTable = probes
+      .select(col("qid"), col("qn"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("qid"), col("sub"), expr(
+        s"transform(sequence(0, ${subDim - 1}), i -> CAST(qn[i + sub * $subDim] AS DOUBLE))").as("qsub"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("ip",
+        expr("aggregate(zip_with(qsub, cent, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .select(col("qid"), col("sub"), col("code"), col("ip"))
+    // ADC over the IVF-restricted candidates only: the cell join lands
+    // first, so each (qid, cid) scored is inside the probed cells
+    val adc = codes
+      .join(broadcast(probeCells), Seq("cell"))
+      .select(col("qid"), col("cid"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(ipTable), Seq("qid", "sub", "code"))
+      .groupBy("qid", "cid").agg(sum("ip").as("adc"))
+    val shortlist = adc
+      .withColumn("srnk",
+        row_number().over(Window.partitionBy("qid").orderBy(col("adc").desc, col("cid"))))
+      .filter(col("srnk") <= shortlistN)
+      .select(col("qid"), col("cid"))
+    val ivfpq = shortlist
+      .join(corpus.select(col("cid"), col("ce")), Seq("cid"))
+      .join(broadcast(probes.select(col("qid"), col("qe"))), Seq("qid"))
+      .withColumn("cos", cos(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("cos"))
+      .withColumn("rnk", row_number().over(top5Window).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"))
+      .persist()
+    (exact, ivfpq)
+  }
+
+  /** e16's measured recall@5 (IvfPqRecallSpec). */
+  def ivfPqRecall(s: org.apache.spark.sql.SparkSession, dir: String,
+      shortlistN: Int = 64, nprobe: Int = 8): Double = {
+    val (exact, ivfpq) = ivfPqArms(s, dir, shortlistN = shortlistN,
+      nprobe = nprobe)
+    val hits = exact.join(ivfpq, Seq("qid", "cid"), "left_semi").count().toDouble
+    hits / exact.count()
   }
 
   /** Measured recall@5 of [[pqArms]]'s PQ arm against its exact arm. */
