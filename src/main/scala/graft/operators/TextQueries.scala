@@ -1297,6 +1297,48 @@ object TextQueries {
           when(col("n_tok") === 0, lit(0L))
             .otherwise(expr("(tok_start + n_tok - 1) div 128L - tok_start div 128L + 1"))
             .cast("long").as("n_seqs"))
+    },
+
+    // ---- sentence segmentation (d38): split on terminator+whitespace
+    // boundaries, per-doc sentence stats in exact integers plus the
+    // md5-pinned first sentence (d23's rewrite-evidence convention).
+    // The d01 stats are token-axis; sequence packing and sentence-level
+    // filtering both need the sentence axis. Both engines split with
+    // the same regex and drop whitespace-only fragments, so counts are
+    // engine-exact; per-sentence token mean rides as integer permille
+    // (no float ratios). Zero shuffle: one projection over the corpus
+    // scan — every column is a per-row expression. ----
+    QueryDef("d38_sentences",
+      """WITH s AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+        |      x -> length(trim(x)) > 0) AS sents
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sents,
+        |  CAST(list_sum(list_transform(sents,
+        |    x -> length(regexp_extract_all(x, '\S+')))) AS BIGINT) AS sent_tokens,
+        |  CAST(CASE WHEN len(sents) = 0 THEN 0
+        |       ELSE list_sum(list_transform(sents,
+        |         x -> length(regexp_extract_all(x, '\S+')))) * 1000
+        |            // len(sents) END AS BIGINT) AS toks_per_sent_permille,
+        |  CAST(COALESCE(list_max(list_transform(sents,
+        |    x -> length(regexp_extract_all(x, '\S+')))), 0) AS BIGINT) AS max_sent_toks,
+        |  md5(COALESCE(sents[1], '')) AS first_md5
+        |FROM s""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("sents",
+          expr("filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)"))
+        .withColumn("stoks",
+          expr("transform(sents, x -> CAST(size(regexp_extract_all(x, '\\\\S+', 0)) AS BIGINT))"))
+        .select(col("doc_id"),
+          size(col("sents")).cast("long").as("n_sents"),
+          coalesce(expr("aggregate(stoks, 0L, (a, x) -> a + x)"), lit(0L))
+            .as("sent_tokens"),
+          when(size(col("sents")) === 0, lit(0L))
+            .otherwise(expr(
+              "aggregate(stoks, 0L, (a, x) -> a + x) * 1000L div size(sents)"))
+            .cast("long").as("toks_per_sent_permille"),
+          coalesce(expr("array_max(stoks)"), lit(0L)).as("max_sent_toks"),
+          md5(coalesce(expr("sents[0]"), lit(""))).as("first_md5"))
     }
   )
 }

@@ -38,13 +38,24 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   //        + the 1-row recall-flag broadcast (e07/e10's contract)
   //   d34: a 1-row totals broadcast over the 64-row bucket stats (the
   //        d16 threshold pattern)
+  //   d37: a 1-row fn/fp contract-flag broadcast (the recall-flag
+  //        pattern); the bloom test itself is a zero-join projection
+  //        and the verify joins are key equi-joins
+  //   e14: the bounded probe broadcast (10 vectors) against the corpus
+  //        — the range-search scan IS the unconditioned broadcast join
+  //   e16: the exact arm's bounded probe x corpus product + the 1-row
+  //        recall-flag broadcast (e07/e10's contract); the IVF/ADC
+  //        joins are cell/code equi-joins
+  //   e17: the bounded probe broadcast with only the label-mismatch
+  //        predicate — by construction a non-equi join over a 10-row side
   private val bnljAllowed = Set("e01_knn_brute", "q24_theta_join",
     "q32_interval_join", "q28_correlated_subquery", "q36_exists_in_mix",
     "d16_bigram_coverage", "e07_ann_rerank", "e08_ivf_rerank",
     "e10_quantized_knn", "d26_semantic_dedup", "d28_bpe_merges",
     "d29_budget_select", "e11_pq_adc", "d31_heavy_hitters",
     "e12_matryoshka", "d32_temperature_mix", "e13_hamming_rerank",
-    "d34_importance_votes")
+    "d34_importance_votes", "d37_bloom_dedup", "e14_range_search",
+    "e16_ivfpq", "e17_hard_negatives")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
