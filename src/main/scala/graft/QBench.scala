@@ -32,6 +32,7 @@ object QBench {
       case "s04" => s04(spark, sfDir)
       case "mrl" => mrl(spark, sfDir)
       case "ham" => ham(spark, sfDir)
+      case "ivfpq" => ivfpq(spark, sfDir)
       case name if SparkEntry.queries.contains(name) =>
         // generic: any gate query by name, 1 warmup + 3 timed reps
         time(name, 4)(SparkEntry.queries(name)(spark, sfDir))
@@ -191,6 +192,17 @@ object QBench {
 
   /** e13 recall grid: 1-bit hamming shortlist recall@5 vs the exact arm,
     * across shortlist sizes. */
+  /** e16 recall grid over the IVF probing width (shortlist fixed at the
+    * committed 64): how much of PQ's recall the cell restriction keeps. */
+  private def ivfpq(spark: SparkSession, dir: String): Unit = {
+    for (np <- Seq(1, 2, 4, 8, 16)) {
+      PinScope.run(spark) {
+        val r = operators.VectorQueries.ivfPqRecall(spark, dir, nprobe = np)
+        println(f"nprobe=$np%2d recall@5=$r%.3f")
+      }
+    }
+  }
+
   private def ham(spark: SparkSession, dir: String): Unit = {
     for (n <- Seq(5, 16, 32, 64, 128, 256)) {
       PinScope.run(spark) {

@@ -1339,6 +1339,124 @@ object TextQueries {
             .cast("long").as("toks_per_sent_permille"),
           coalesce(expr("array_max(stoks)"), lit(0L)).as("max_sent_toks"),
           md5(coalesce(expr("sents[0]"), lit(""))).as("first_md5"))
+    },
+
+    // ---- adaptive per-slice quality cutoff (d39): each language slice
+    // keeps documents at or above ITS OWN 25th-percentile token count —
+    // per-slice adaptive thresholds instead of one global floor (the
+    // CCNet practice: a cutoff tuned for English over-prunes low-resource
+    // slices). The discrete percentile is the ceil(n/4)-th smallest
+    // element, computed scalably: per-(lang, score) histogram counts
+    // (ONE row-scale shuffle with map-side combine), then a running sum
+    // over the aggregate-sized histogram — the per-lang window touches
+    // score-cardinality rows, never corpus rows (d29's bucket pattern;
+    // a naive per-lang sort of the corpus is exactly what the oracle
+    // runs and what this plan avoids). Cutoffs broadcast back. ----
+    QueryDef("d39_adaptive_cutoff",
+      """WITH s AS (SELECT doc_id, lang,
+        |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (SELECT lang, score,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM s),
+        |c AS (SELECT lang, score AS cutoff FROM r WHERE rn = (n + 3) // 4)
+        |SELECT s.doc_id, s.lang, s.score, c.cutoff,
+        |       s.score >= c.cutoff AS keep
+        |FROM s JOIN c USING (lang)""".stripMargin) { (s, dir) =>
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(tokensCol).cast("long").as("score"))
+      val hist = scored.groupBy("lang", "score")
+        .agg(count(lit(1)).as("cnt"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("score")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = hist.groupBy("lang").agg(sum("cnt").as("n"))
+      val cut = hist.withColumn("cum", sum("cnt").over(wl))
+        .join(broadcast(tot), Seq("lang"))
+        .filter(col("cum") >= expr("(n + 3) div 4"))
+        .groupBy("lang").agg(min("score").as("cutoff"))
+      scored.join(broadcast(cut), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("score"), col("cutoff"),
+          (col("score") >= col("cutoff")).as("keep"))
+    },
+
+    // ---- code-switching detection (d40): d03's stopword lang-ID voted
+    // PER SENTENCE (d38's split), rolled up to the dominant language,
+    // the distinct-language count, and a mixed flag — the CCNet
+    // practice of classifying at sub-document granularity, which
+    // catches documents a whole-doc classifier mislabels. Deterministic
+    // everywhere: d03's tie chain per sentence, (votes desc, fixed lang
+    // order) for dominance. Scale shape: the explode is bounded by
+    // sentences/doc; votes roll up on (doc_id, vote) with map-side
+    // combine, then a doc_id window over the ≤4-votes-per-doc
+    // aggregate — both exchanges carry aggregated rows, never raw
+    // sentence text. ----
+    QueryDef("d40_lang_segments",
+      """WITH s AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+        |      x -> length(trim(x)) > 0) AS sents
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(sents) AS sent FROM s),
+        |v AS (SELECT doc_id,
+        |    CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |         WHEN de >= fr AND de >= es THEN 'de'
+        |         WHEN fr >= es THEN 'fr' ELSE 'es' END AS vote
+        |  FROM (SELECT doc_id,
+        |      length(list_filter(regexp_extract_all(sent, '\S+'), t -> t IN ('the','a','and','of','is'))) AS en,
+        |      length(list_filter(regexp_extract_all(sent, '\S+'), t -> t IN ('der','die','das','und','ist'))) AS de,
+        |      length(list_filter(regexp_extract_all(sent, '\S+'), t -> t IN ('le','la','et','les','des'))) AS fr,
+        |      length(list_filter(regexp_extract_all(sent, '\S+'), t -> t IN ('el','los','las','y','es'))) AS es
+        |    FROM u) t),
+        |c AS (SELECT doc_id, vote, count(*) AS n FROM v GROUP BY 1, 2),
+        |r AS (SELECT doc_id, vote, n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC,
+        |      CASE vote WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2 ELSE 3 END) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_langs,
+        |    sum(n) OVER (PARTITION BY doc_id) AS n_sents
+        |  FROM c),
+        |d AS (SELECT doc_id, vote AS dominant, n_langs, n_sents FROM r WHERE rn = 1)
+        |SELECT doc.doc_id, COALESCE(d.dominant, 'none') AS dominant,
+        |  CAST(COALESCE(d.n_langs, 0) AS BIGINT) AS n_langs,
+        |  CAST(COALESCE(d.n_sents, 0) AS BIGINT) AS n_sents,
+        |  COALESCE(d.n_langs, 0) > 1 AS mixed
+        |FROM documents doc LEFT JOIN d USING (doc_id)""".stripMargin) { (s, dir) =>
+      def cnt(words: Seq[String]) =
+        size(expr(s"filter(regexp_extract_all(sent, '\\\\S+', 0), t -> t IN ${inList(words)})"))
+      val docs = Tables.load(s, dir, "documents")
+      val votes = docs
+        .select(col("doc_id"), explode(
+          expr("filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)"))
+          .as("sent"))
+        .select(col("doc_id"),
+          cnt(Seq("the", "a", "and", "of", "is")).as("en"),
+          cnt(Seq("der", "die", "das", "und", "ist")).as("de"),
+          cnt(Seq("le", "la", "et", "les", "des")).as("fr"),
+          cnt(Seq("el", "los", "las", "y", "es")).as("es"))
+        .select(col("doc_id"),
+          when(col("en") >= col("de") && col("en") >= col("fr") && col("en") >= col("es"), "en")
+            .when(col("de") >= col("fr") && col("de") >= col("es"), "de")
+            .when(col("fr") >= col("es"), "fr")
+            .otherwise("es").as("vote"))
+      val perDocW = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val rankW = perDocW.orderBy(col("n").desc,
+        when(col("vote") === "en", 0).when(col("vote") === "de", 1)
+          .when(col("vote") === "fr", 2).otherwise(3))
+      val dom = votes.groupBy("doc_id", "vote").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(rankW))
+        .withColumn("n_langs", count(lit(1)).over(perDocW))
+        .withColumn("n_sents", sum("n").over(perDocW))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("vote").as("dominant"),
+          col("n_langs"), col("n_sents"))
+      docs.select(col("doc_id")).join(dom, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dominant"), lit("none")).as("dominant"),
+          coalesce(col("n_langs"), lit(0L)).cast("long").as("n_langs"),
+          coalesce(col("n_sents"), lit(0L)).cast("long").as("n_sents"),
+          (coalesce(col("n_langs"), lit(0L)) > 1).as("mixed"))
     }
   )
 }

@@ -60,6 +60,28 @@ class BloomExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$fp false positives out of $n non-members")
   }
 
+  test("1M-key sketch: no false negatives, FP rate in band, size as modeled") {
+    // the 100 TB sizing argument made concrete: 10^6 keys at 1% fpp is
+    // ~1.2 MB (so 10^9 is ~1.2 GB — one broadcast); membership behavior
+    // must hold at this density, not just at the 250-doc gate corpus
+    val keys = spark.range(0, 1000000L)
+      .selectExpr("xxhash64(id) AS k")
+    val bc = BloomExprs.broadcastBloom(spark, keys, "k", 1000000L, 0.01)
+    val sizeBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bc.value.writeTo(bos)
+      bos.size()
+    }
+    assert(sizeBytes > 800000 && sizeBytes < 2500000,
+      s"sketch size $sizeBytes bytes outside the ~1.2 MB model")
+    val misses = keys.filter(!BloomExprs.mightContainCol(col("k"), bc)).count()
+    assert(misses === 0L, s"$misses false negatives at 1M keys")
+    val outside = spark.range(1000000L, 1100000L)
+      .selectExpr("xxhash64(id) AS k")
+    val fp = outside.filter(BloomExprs.mightContainCol(col("k"), bc)).count()
+    assert(fp <= 3000L, s"$fp false positives per 100k non-members (fpp=0.01)")
+  }
+
   test("sketch is deterministic across rebuilds (gate-hash prerequisite)") {
     val ref = keyed.filter(col("doc_id") % 2 === 0)
     val a = ref.stat.bloomFilter("k", 1000L, 0.01)
