@@ -132,7 +132,13 @@ object QBench {
       "q52_recursive_cte", "q53_salted_join", "q57_gap_fill",
       "e11_pq_adc", "e12_matryoshka", "e13_hamming_rerank",
       "d34_importance_votes", "d35_url_canonical", "d36_sequence_pack",
-      "m08_video_demux", "s10_sliding_window")
+      "m08_video_demux", "s10_sliding_window",
+      // late-round-9 additions: bloom dedup (broadcast sketch under
+      // concurrency), nested round-trip, the composed IVFADC and kNN
+      // join, adaptive cutoffs, lang segments, outer join (serial lane)
+      "d37_bloom_dedup", "d39_adaptive_cutoff", "d40_lang_segments",
+      "q58_nested_orders", "e15_knn_join", "e16_ivfpq",
+      "s11_stream_outer_join")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(
