@@ -293,4 +293,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange rangepartitioning"),
       s"carry-forward must not global-sort:\n$p")
   }
+
+  test("d37 bloom dedup: membership test is codegen'd, no corpus-vs-corpus join") {
+    val p = plan("d37_bloom_dedup")
+    // the native expression must sit inside a whole-stage span, not an
+    // interpreted fallback projection
+    assert(p.contains("bloom_might_contain"), s"native expression missing:\n$p")
+    // codegen'd operators print with the *(N) span marker in toString
+    assert("""\*\(\d+\) Project \[[^\n]*bloom_might_contain""".r
+      .findFirstIn(p).isDefined,
+      s"membership projection fell out of whole-stage codegen:\n$p")
+    // the verify joins are key equi-joins over the hit sliver — never a
+    // sort-merge of the two corpus halves on raw text
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d39 adaptive cutoff: the percentile window runs over the histogram, not the corpus") {
+    val p = plan("d39_adaptive_cutoff")
+    // the cumulative-count window partitions by lang and is fed by the
+    // (lang, score) aggregate — Window above HashAggregate in the plan
+    assert("windowspecdefinition\\(lang#\\d+, score#".r.findFirstIn(p).isDefined,
+      s"expected the lang-partitioned histogram window:\n$p")
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must consume an aggregate (histogram), not corpus rows:\n$p")
+    // no row-scale unpartitioned window anywhere
+    assert("windowspecdefinition\\(score#".r.findFirstIn(p).isEmpty, p)
+  }
+
+  test("e15 knn join: label equi-join feeds a vid-partitioned rank window") {
+    val p = plan("e15_knn_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the label block:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"kNN join must never be all-pairs:\n$p")
+    assert("windowspecdefinition\\(vid#\\d+L".r.findFirstIn(p).isDefined,
+      s"expected the per-vector rank window:\n$p")
+  }
 }
