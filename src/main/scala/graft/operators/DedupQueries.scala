@@ -418,6 +418,68 @@ object DedupQueries {
         .join(verified, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("vdup"), lit(false)).as("dup"))
         .crossJoin(broadcast(flags))
+    },
+
+    // ---- exact set-similarity join with PPJoin-style prefix filtering
+    // (d42): all document pairs with token-set Jaccard >= 0.5, found by
+    // joining ONLY on each doc's prefix tokens — its floor(n/2)+1
+    // RAREST tokens under the global (df, token) order. The prefix
+    // theorem makes this exact: two sets at J >= t MUST share a token
+    // inside those prefixes, so candidate recall is 1.0 and the integer
+    // verify (3·|A∩B| >= |A|+|B|, division-free) kills the rest. The
+    // scale point is WHICH tokens the join keys on: the oracle's naive
+    // formulation joins on every shared token — its hot keys are
+    // stopwords shared by the whole corpus (an n² partition at web
+    // scale); the prefix join's keys are each doc's rarest tokens,
+    // whose df — and thus the join's worst partition — the frequency
+    // order actively minimizes. The universe is bounded (doc_id <
+    // 1000) for the ORACLE's sake, not the engine's. One df aggregate,
+    // one per-doc rank window (token-count rows), one candidate join
+    // on prefix tokens, one intersection count on the candidate
+    // sliver. ----
+    QueryDef("d42_setsim_join",
+      """WITH d AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS tk
+        |           FROM documents WHERE doc_id < 1000),
+        |n AS (SELECT doc_id, len(tk) AS n FROM d),
+        |u AS (SELECT doc_id, unnest(tk) AS t FROM d),
+        |i AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+        |      FROM u x JOIN u y ON x.t = y.t AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(a.n + b.n - inter AS BIGINT) AS un,
+        |  CAST(inter * 1000 // (a.n + b.n - inter) AS BIGINT) AS jac_permille
+        |FROM i JOIN n a ON a.doc_id = doc_a JOIN n b ON b.doc_id = doc_b
+        |WHERE 3 * inter >= a.n + b.n""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"), explode(
+          expr("array_distinct(regexp_extract_all(text, '\\\\S+', 0))")).as("t"))
+        .persist() // df agg, prefix ranking, and both intersection sides
+      val df = toks.groupBy("t").agg(count(lit(1)).as("df"))
+      val n = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // rank tokens per doc by global rarity; prefix = floor(n/2)+1 rarest
+      val byRarity = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df"), col("t"))
+      val prefix = toks.join(df, Seq("t"))
+        .withColumn("rn", row_number().over(byRarity))
+        .join(n, Seq("doc_id"))
+        .filter(col("rn") <= expr("n div 2") + 1)
+        .select(col("doc_id"), col("t"))
+      val cands = prefix.as("pa").join(prefix.as("pb"),
+          col("pa.t") === col("pb.t") && col("pa.doc_id") < col("pb.doc_id"))
+        .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val inter = cands
+        .join(toks.select(col("doc_id").as("doc_a"), col("t")), Seq("doc_a"))
+        .join(toks.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .filter(col("inter") * 3 >= col("na") + col("nb"))
+        .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+          (col("na") + col("nb") - col("inter")).cast("long").as("un"),
+          expr("inter * 1000L div (na + nb - inter)").cast("long").as("jac_permille"))
     }
   )
 }
