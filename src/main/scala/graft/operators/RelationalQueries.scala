@@ -1270,6 +1270,39 @@ object RelationalQueries {
           col("o.o_orderkey").as("o_orderkey"),
           unix_micros(col("o.o_orderdate")).as("odate_us"),
           col("o.cents").as("cents"))
+    },
+
+    // ---- cumulative distinct users per day (q59): COUNT(DISTINCT) over
+    // a growing window is quadratic done naively and approximate done
+    // with sketches — the exact scalable shape is FIRST-SEEN
+    // DECOMPOSITION: a user contributes to distinct-growth only on their
+    // first day, so cumulative distinct = running sum of per-day
+    // first-seen counts. One shuffle on user_id (the min-date agg, map-
+    // side combined), one on the day key (day-cardinality rows), then a
+    // running sum over the tiny day table. All-integer, and the same
+    // decomposition the oracle runs. ----
+    QueryDef("q59_cumulative_distinct",
+      """WITH f AS (SELECT user_id,
+        |    min(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS h0
+        |  FROM events GROUP BY user_id),
+        |n AS (SELECT h0, count(*) AS n_new FROM f GROUP BY h0)
+        |SELECT h0 * 3600 AS hour_start_s, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY h0 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_users
+        |FROM n""".stripMargin) { (s, dir) =>
+      val firstSeen = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(expr("unix_seconds(ts) div 3600")).as("h0"))
+      val perHour = firstSeen.groupBy("h0").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("h0")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the global running sum is over HOUR-cardinality rows (tens of
+      // thousands even for years of data), not events — the single-
+      // partition window is metadata-sized by construction
+      perHour
+        .select((col("h0") * 3600).cast("long").as("hour_start_s"),
+          col("n_new").cast("long").as("n_new"),
+          sum("n_new").over(w).cast("long").as("cum_users"))
     }
   )
 }

@@ -160,6 +160,21 @@ object StreamingQueries {
         |  AND epoch_us(p.ts) <= (SELECT max(epoch_us(ts)) FROM events) - 7200000000
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       EventStreams.streamOuterJoin(s, dir)
+    },
+
+    // Streaming sketch maintenance: per-micro-batch count-min partials
+    // (native count_min_sketch aggregate) appended to a log, merged
+    // after the stream with no raw replay; emission = exact top-10
+    // users (ties by user_id) with the merged sketch's estimate
+    // contract riding in-band (seed-fixed, deterministic per SF).
+    QueryDef("s12_stream_sketch",
+      """SELECT user_id, cnt, CAST(rnk AS BIGINT) AS rnk, true AS cms_ok
+        |FROM (
+        |  SELECT user_id, count(*) AS cnt,
+        |    row_number() OVER (ORDER BY count(*) DESC, user_id) AS rnk
+        |  FROM events GROUP BY user_id) t
+        |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
+      EventStreams.streamingSketch(s, dir)
     }
   )
 }

@@ -350,6 +350,45 @@ object TextQueries {
           (col("doc_id") === col("comp")).as("kept"))
     },
 
+    // ---- leakage-free train/val/test split (d43): d11's deterministic
+    // splitting made NEAR-DUP-AWARE — the unit of assignment is the
+    // d10 connected component, not the document, so two near-duplicate
+    // docs can never land on opposite sides of a train/test boundary
+    // (the contamination path a content-hash split leaves open: twin
+    // docs have different hashes). Split = comp % 10 (0-7 train, 8
+    // val, 9 test), a pure function of the component id both engines
+    // derive identically. The leak_free flag re-checks the invariant
+    // in-band (distinct splits per component == 1 everywhere) so a
+    // refactor back to per-doc assignment hash-fails loudly. Scale
+    // shape: d10's fixpoint plus one zero-shuffle projection. ----
+    QueryDef("d43_leakfree_split", TextQueries.jaccardOracle(
+      """, und AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.3
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.3),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node),
+        |c AS (SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS comp
+        |      FROM walk GROUP BY node)
+        |SELECT doc_id, comp,
+        |  CASE WHEN comp % 10 < 8 THEN 'train'
+        |       WHEN comp % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  true AS leak_free
+        |FROM c""".stripMargin)
+      .replaceFirst("WITH sh AS", "WITH RECURSIVE sh AS")) { (s, dir) =>
+      val comps = connectedComponents(s, dir)
+        .select(col("doc_id"), col("comp"),
+          when(pmod(col("comp"), lit(10)) < 8, "train")
+            .when(pmod(col("comp"), lit(10)) === 8, "val")
+            .otherwise("test").as("split"))
+      val flag = comps.groupBy("comp")
+        .agg(countDistinct("split").as("ns"))
+        .agg((max("ns") === 1).as("leak_free"))
+      comps.crossJoin(broadcast(flag))
+    },
+
     // ---- dedup survivor selection by CONTENT policy: within each
     // near-dup component keep the LONGEST document (tie -> lowest id),
     // the standard production alternative to d10's keep-lowest-id — a

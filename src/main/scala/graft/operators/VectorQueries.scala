@@ -767,6 +767,48 @@ object VectorQueries {
         .filter(col("rnk") <= 3)
         .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"),
           col("rnk"))
+    },
+
+    // ---- filtered ANN (e18): top-5 restricted to corpus vectors
+    // satisfying each query's metadata predicate (same label here) —
+    // the big-ann-benchmarks "filtered search" track, and the shape
+    // every production retrieval runs (tenant/language/licence
+    // filters). The predicate lands BEFORE the distance computation as
+    // a join condition, so selectivity cuts the scored set instead of
+    // post-filtering a top-k that may then starve below k — the
+    // correctness trap this operator exists to avoid. Bounded probe
+    // side broadcast; the label predicate makes the join a hash
+    // equi-join (no BNLJ), one corpus scan. ----
+    QueryDef("e18_filtered_knn",
+      """WITH q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qe
+        |            FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, label AS clab, embedding AS ce
+        |            FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM q JOIN c ON qlab = clab)
+        |SELECT qid, cid, round(cos, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |  FROM s) t WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("lbl"),
+          col("embedding").as("qe"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("label").as("lbl"),
+          col("embedding").as("ce"))
+      c.join(broadcast(q), Seq("lbl"))
+        .withColumn("cos", cos(col("qe"), col("ce")))
+        .select(col("qid"), col("cid"), col("cos"))
+        .withColumn("rnk", row_number().over(top5Window).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"),
+          col("rnk"))
     }
   )
 

@@ -547,6 +547,71 @@ object EventStreams {
           (sum("cents").cast("double") / 100).as("sum_value"))
     }
 
+  /** Streaming sketch maintenance (s12): each micro-batch folds its
+    * user-id frequencies into a count-min sketch (Spark's native
+    * `count_min_sketch` aggregate — distributed, one binary row per
+    * batch), appended to a partials log exactly like [[foreachBatchPartials]]'
+    * cents; sketches are associative, so the post-stream merge is a fold
+    * over batch-count rows (driver-side here; a treeAggregate at scale)
+    * with NO raw-event replay — the streaming analog of d31's
+    * heavy-hitter contract, and the op a 100 TB/day pipeline runs to
+    * keep "how often has this key been seen, ever" queryable without
+    * storing per-key state. Emission: the exact top-10 users (truth arm,
+    * batch SQL over the same events) with the merged sketch's estimate
+    * contract in-band — est >= true and est - true <= eps*N, seed-fixed
+    * so the flag is deterministic per SF. */
+  def streamingSketch(spark: SparkSession, dir: String): DataFrame =
+    withStreamConf(spark) {
+      import org.apache.spark.util.sketch.CountMinSketch
+      val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft-scms/" + new java.io.File(dir).getName
+      val hc = spark.sparkContext.hadoopConfiguration
+      org.apache.hadoop.fs.FileSystem.getLocal(hc)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val q = eventsStream(spark, dir)
+        .select(col("user_id").cast("string").as("uid"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.agg(
+            expr("count_min_sketch(uid, 0.001d, 0.99d, 42)").as("sk"),
+            count(lit(1)).as("n"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$base/sketches")
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000),
+          s"streaming query ${q.name} timed out at 120s - table would be partial")
+      finally if (q.isActive) q.stop()
+      val parts = spark.read.parquet(s"$base/sketches")
+        .select(col("sk"), col("n")).collect()
+      val merged = parts.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val total = parts.map(_.getLong(1)).sum
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      val skBytes = bos.toByteArray
+      // truth arm + in-band estimate contract over the merged sketch
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("user_id"))
+      val top = graft.operators.Tables.load(spark, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", org.apache.spark.sql.functions.row_number()
+          .over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .persist()
+      val ok = top
+        .withColumn("est", graft.functions.CmsEstimate.cmsEstimateCol(
+          lit(skBytes), col("user_id").cast("string")))
+        .agg(min(col("est") >= col("cnt") &&
+          (col("est") - col("cnt")).cast("double") <= total * 0.001)
+          .as("cms_ok"))
+      top.select(col("user_id"), col("cnt"), col("rnk"))
+        .crossJoin(broadcast(ok))
+    }
+
   /** Per-user lifetime stats via Spark 4's `transformWithState` — the
     * arbitrary-state API that supersedes [[sessionize]]'s
     * flatMapGroupsWithState (typed ValueState/ListState/MapState handles,

@@ -55,7 +55,10 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d29_budget_select", "e11_pq_adc", "d31_heavy_hitters",
     "e12_matryoshka", "d32_temperature_mix", "e13_hamming_rerank",
     "d34_importance_votes", "d37_bloom_dedup", "e14_range_search",
-    "e16_ivfpq", "e17_hard_negatives")
+    "e16_ivfpq", "e17_hard_negatives",
+    // d43: a 1-row leak-free contract-flag broadcast (the recall-flag
+    // pattern); split assignment itself is a zero-join projection
+    "d43_leakfree_split")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
