@@ -557,6 +557,78 @@ object MultimodalQueries {
       hashed.withColumn("dup_cnt",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("dhash")).cast("long"))
+    },
+
+    // ---- format sniffing / modality router (m10): a heterogeneous
+    // binary column (each doc framed as PPM, WAV, or AVI by doc_id % 3)
+    // routed by MAGIC BYTES alone — 'P6' for PPM; RIFF containers need
+    // bytes 8..11 ('WAVE' vs 'AVI ') because the 4-byte magic is shared
+    // — then dispatched to the matching REAL parser. This is the
+    // ingest-side dispatch every mixed-modality manifest needs before
+    // any per-format op (m02-m09) can run. The oracle independently
+    // derives what each doc's format and container length MUST be from
+    // the content bytes and the three framing formulas, so a sniffing
+    // or framing drift on any branch is a hash mismatch; parsed_ok
+    // additionally requires the real decoder to accept the routed
+    // payload. Zero shuffle — one mapPartitions projection. ----
+    QueryDef("m10_format_router", MultimodalQueries.decodeOracle(
+      """,
+        |geo AS (
+        |  SELECT doc_id, n, bs,
+        |    4 + CASE WHEN n = 0 THEN 0 ELSE bs[1] % 8 END AS w,
+        |    4 + CASE WHEN n < 2 THEN 0 ELSE bs[2] % 8 END AS h,
+        |    2 + CASE WHEN n < 3 THEN 0 ELSE bs[3] % 4 END AS nf,
+        |    32 + CASE WHEN n = 0 THEN 0 ELSE bs[1] % 64 END AS ns
+        |  FROM decoded),
+        |fmt AS (
+        |  SELECT doc_id, n, w, h, nf, ns,
+        |    9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*3 AS ppm_len
+        |  FROM geo)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' ELSE 'avi' END AS detected,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN ppm_len
+        |    WHEN 1 THEN 56 + 2 * ns
+        |    ELSE 60 + nf * (8 + ppm_len + ppm_len % 2) END AS BIGINT) AS byte_len,
+        |  true AS parsed_ok
+        |FROM fmt""".stripMargin)) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("detected", StringType),
+        StructField("byte_len", LongType),
+        StructField("parsed_ok", BooleanType)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      docs.mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val content = r.getAs[Array[Byte]](1)
+          val container = (id % 3) match {
+            case 0 => makePpm(content)
+            case 1 => WavCodec.makeWav(content)
+            case _ => AviCodec.makeAvi(content)
+          }
+          def ascii(at: Int): String =
+            if (container.length >= at + 4)
+              new String(container, at, 4, "US-ASCII")
+            else ""
+          // sniff from the bytes alone — the id plays no part here
+          val detected =
+            if (container.length >= 2 && container(0) == 'P'.toByte &&
+              container(1) == '6'.toByte) "ppm"
+            else if (ascii(0) == "RIFF" && ascii(8) == "WAVE") "wav"
+            else if (ascii(0) == "RIFF" && ascii(8) == "AVI ") "avi"
+            else "unknown"
+          val ok = detected match {
+            case "ppm" => decodePpm(container).width > 0
+            case "wav" => WavCodec.decodeWav(container).samples.nonEmpty
+            case "avi" => AviCodec.decodeAvi(container).frames.nonEmpty
+            case _     => false
+          }
+          Row(id, detected, container.length.toLong, ok)
+        }
+      }(enc)
     }
   )
 }
