@@ -809,6 +809,53 @@ object VectorQueries {
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"),
           col("rnk"))
+    },
+
+    // ---- late-interaction MaxSim retrieval (e19, the ColBERT scoring
+    // shape): each vector is treated as FOUR 16-dim token vectors
+    // (contiguous slices), and the pair score is sum over query tokens
+    // of the max dot product against any doc token — the multi-vector
+    // relevance model single-vector cosine can't express (a doc can
+    // match different query aspects with different regions). Bit-
+    // stable across engines: max is order-free, the outer sum runs in
+    // fixed token order, every dot is the same fixed-order fold.
+    // Plan shape is e01's — bounded probes broadcast, one corpus scan,
+    // per-probe rank; the token decomposition is a projection, never a
+    // row explosion (4x4 dots per pair stay inside one expression). ----
+    QueryDef("e19_maxsim",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(0, 4), tq ->
+        |         list_max(list_transform(range(0, 4), tc ->
+        |           list_sum(list_transform(range(1, 17), i ->
+        |             CAST(qe[tq*16 + i] AS DOUBLE) * CAST(ce[tc*16 + i] AS DOUBLE))))))) AS ms
+        |       FROM q, c)
+        |SELECT qid, cid, round(ms, 4) AS maxsim, CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT qid, cid, ms,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ms DESC, cid) AS rnk
+        |  FROM s) t WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      // the same fixed-order folds as the oracle: per query token, the
+      // max over doc tokens of a 16-element dot, summed in token order
+      val ms = expr(
+        """aggregate(sequence(0, 3), 0D, (acc, tq) -> acc +
+          |  array_max(transform(sequence(0, 3), tc ->
+          |    aggregate(sequence(1, 16), 0D, (a, i) ->
+          |      a + CAST(qe[tq*16 + i - 1] AS DOUBLE) * CAST(ce[tc*16 + i - 1] AS DOUBLE)))))""".stripMargin)
+      val w = Window.partitionBy("qid").orderBy(col("ms").desc, col("cid"))
+      c.join(broadcast(q))
+        .withColumn("ms", ms)
+        .select(col("qid"), col("cid"), col("ms"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("cid"), round(col("ms"), 4).as("maxsim"),
+          col("rnk"))
     }
   )
 
