@@ -145,8 +145,15 @@ object GraphQueries {
         .select(col("o1.src").as("u"),
           least(col("o1.dst"), col("o2.dst")).as("va"),
           greatest(col("o1.dst"), col("o2.dst")).as("vb"))
+      // close against a BROADCAST of the canonical edge set: the wedge
+      // stream (the big side — sum of oriented outdeg², ~30M at sf0.1)
+      // then never shuffles, each wedge probes a map-side hash table.
+      // 1.2M 16-byte edges ≈ 20 MB — comfortably a broadcast; at a scale
+      // where the edge set itself outgrows broadcast, this reverts to a
+      // shuffle join on (va, vb) and the orientation still bounds the
+      // wedge volume either way.
       val tris = wedges
-        .join(e, col("va") === col("a") && col("vb") === col("b"))
+        .join(broadcast(e), col("va") === col("a") && col("vb") === col("b"))
         .select(col("u"), col("va"), col("vb"))
       tris.select(col("u").as("part"))
         .union(tris.select(col("va").as("part")))
