@@ -32,7 +32,14 @@ import org.apache.spark.util.sketch.BloomFilter
 object BloomExprs {
 
   /** Build + broadcast a Bloom filter over a LongType key column.
-    * One distributed pass over `keys`; nothing else is collected. */
+    * One distributed pass over `keys`; nothing else is collected.
+    *
+    * Lifecycle: the handle is referenced by the returned expression's
+    * plan, so it cannot be destroyed eagerly (unlike kmeansCentroids'
+    * per-iteration broadcasts); once the caller drops the plan, Spark's
+    * ContextCleaner reclaims the broadcast on driver GC. Long-lived
+    * sessions re-building sketches should reuse one handle per
+    * reference corpus rather than re-calling this per query. */
   def broadcastBloom(spark: SparkSession, keys: DataFrame, keyCol: String,
       expectedNumItems: Long, fpp: Double): Broadcast[BloomFilter] =
     spark.sparkContext.broadcast(
