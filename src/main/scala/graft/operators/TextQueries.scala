@@ -1380,6 +1380,48 @@ object TextQueries {
           md5(coalesce(expr("sents[0]"), lit(""))).as("first_md5"))
     },
 
+    // ---- within-doc duplicate-sentence fraction (d44): the Gopher
+    // duplicate-line rule at sentence granularity — the fraction of a
+    // doc's sentences whose exact text appears more than once IN THAT
+    // DOC (boilerplate/navigation repetition, distinct from d13's
+    // shingle repetition and d21's CROSS-doc windows). Exact integers
+    // throughout; keep = duplicate fraction < 30 %. Scale shape: ONE
+    // shuffle keyed (doc_id, sentence) with map-side combine, one
+    // doc_id rollup — never cross-doc, never pairwise. ----
+    QueryDef("d44_dup_sentences",
+      """WITH s AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+        |      x -> length(trim(x)) > 0) AS sents
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(sents) AS sent FROM s),
+        |c AS (SELECT doc_id, sent, count(*) AS k FROM u GROUP BY 1, 2),
+        |p AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_sents,
+        |        CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS n_dup
+        |      FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_sents, 0) AS n_sents, COALESCE(p.n_dup, 0) AS n_dup,
+        |  CAST(COALESCE(p.n_dup, 0) * 1000 // greatest(COALESCE(p.n_sents, 0), 1)
+        |    AS BIGINT) AS dup_permille,
+        |  COALESCE(p.n_dup * 10 < p.n_sents * 3, true) AS keep
+        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin) { (s, dir) =>
+      val sents = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(
+          expr("filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)"))
+          .as("sent"))
+      val per = sents.groupBy("doc_id", "sent").agg(count(lit(1)).as("k"))
+        .groupBy("doc_id")
+        .agg(sum("k").cast("long").as("n_sents"),
+          sum(when(col("k") > 1, col("k")).otherwise(0L)).cast("long").as("n_dup"))
+      Tables.load(s, dir, "documents").select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          expr("coalesce(n_dup, 0L) * 1000L div greatest(coalesce(n_sents, 0L), 1L)")
+            .cast("long").as("dup_permille"),
+          coalesce(col("n_dup") * 10 < col("n_sents") * 3, lit(true)).as("keep"))
+    },
+
     // ---- adaptive per-slice quality cutoff (d39): each language slice
     // keeps documents at or above ITS OWN 25th-percentile token count —
     // per-slice adaptive thresholds instead of one global floor (the

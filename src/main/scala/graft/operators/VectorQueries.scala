@@ -856,6 +856,67 @@ object VectorQueries {
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("cid"), round(col("ms"), 4).as("maxsim"),
           col("rnk"))
+    },
+
+    // ---- reciprocal-rank fusion (e20): two rankers over the same
+    // corpus — whole-vector cosine (e01's relevance model) and
+    // late-interaction MaxSim (e19's) — fused per the standard RRF
+    // recipe, score = Σ 1/(60 + rank), which rewards documents BOTH
+    // rankers place high without comparing their incommensurable raw
+    // scores. Integer-exact across engines: the fused score is
+    // Σ 10^9 div (60 + rank) in integer division, so no float-sum
+    // ordering can flip a rank. One corpus scan computes both scores,
+    // two qid-windows rank them, the fusion is a projection; ties →
+    // lowest cid. ----
+    QueryDef("e20_rrf_fusion",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos,
+        |       list_sum(list_transform(range(0, 4), tq ->
+        |         list_max(list_transform(range(0, 4), tc ->
+        |           list_sum(list_transform(range(1, 17), i ->
+        |             CAST(qe[tq*16 + i] AS DOUBLE) * CAST(ce[tc*16 + i] AS DOUBLE))))))) AS ms
+        |       FROM q, c),
+        |r AS (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r1,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ms DESC, cid) AS r2
+        |  FROM s),
+        |f AS (SELECT qid, cid,
+        |    CAST(1000000000 // (60 + r1) + 1000000000 // (60 + r2) AS BIGINT) AS rrf
+        |  FROM r)
+        |SELECT qid, cid, rrf, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT qid, cid, rrf,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rnk
+        |  FROM f) t WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val ms = expr(
+        """aggregate(sequence(0, 3), 0D, (acc, tq) -> acc +
+          |  array_max(transform(sequence(0, 3), tc ->
+          |    aggregate(sequence(1, 16), 0D, (a, i) ->
+          |      a + CAST(qe[tq*16 + i - 1] AS DOUBLE) * CAST(ce[tc*16 + i - 1] AS DOUBLE)))))""".stripMargin)
+      val w1 = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      val w2 = Window.partitionBy("qid").orderBy(col("ms").desc, col("cid"))
+      val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("cid"))
+      c.join(broadcast(q))
+        .withColumn("cos", cos(col("qe"), col("ce")))
+        .withColumn("ms", ms)
+        .select(col("qid"), col("cid"), col("cos"), col("ms"))
+        .withColumn("r1", row_number().over(w1))
+        .withColumn("r2", row_number().over(w2))
+        .withColumn("rrf",
+          (expr("1000000000 div (60 + r1)") + expr("1000000000 div (60 + r2)"))
+            .cast("long"))
+        .withColumn("rnk", row_number().over(wf).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("cid"), col("rrf"), col("rnk"))
     }
   )
 

@@ -58,9 +58,9 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     "e16_ivfpq", "e17_hard_negatives",
     // d43: a 1-row leak-free contract-flag broadcast (the recall-flag
     // pattern); split assignment itself is a zero-join projection
-    // e19: the bounded probe broadcast (10 vectors) against the corpus,
-    //      the e01/e14 shape with the MaxSim score expression
-    "d43_leakfree_split", "e19_maxsim")
+    // e19/e20: the bounded probe broadcast (10 vectors) against the
+    //      corpus — the e01/e14 shape with MaxSim / dual-ranker scores
+    "d43_leakfree_split", "e19_maxsim", "e20_rrf_fusion")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
