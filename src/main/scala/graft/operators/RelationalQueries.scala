@@ -1303,6 +1303,29 @@ object RelationalQueries {
         .select((col("h0") * 3600).cast("long").as("hour_start_s"),
           col("n_new").cast("long").as("n_new"),
           sum("n_new").over(w).cast("long").as("cum_users"))
+    },
+
+    // ---- deterministic ordered string aggregation (q60): per market
+    // segment, the 5 alphabetically-first customer names joined into
+    // one string — LISTAGG/STRING_AGG with an explicit ORDER BY, the
+    // report-building aggregate that is silently nondeterministic
+    // without one (collect_list order is partition-arrival order).
+    // Spark side sorts INSIDE the aggregate buffer (array_sort over
+    // collect_list, then slice+join); one exchange on the segment key.
+    // ----
+    QueryDef("q60_string_agg",
+      """WITH r AS (SELECT c_mktsegment, c_name,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_name) AS rn
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_top,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS first5
+        |FROM r WHERE rn <= 5 GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(slice(array_sort(collect_list(col("c_name"))), 1, 5).as("names"))
+        .select(col("c_mktsegment"),
+          size(col("names")).cast("long").as("n_top"),
+          array_join(col("names"), ",").as("first5"))
     }
   )
 }

@@ -917,6 +917,60 @@ object VectorQueries {
         .withColumn("rnk", row_number().over(wf).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("cid"), col("rrf"), col("rnk"))
+    },
+
+    // ---- kNN classification (e21): each probe's label predicted as
+    // the MAJORITY label among its exact top-5 neighbors (ties → the
+    // smallest label id) — the inference op behind kNN-LM-style
+    // retrieval classifiers and embedding-space label propagation,
+    // composed from e01's machinery: the neighbor set is the exact
+    // top-5, the vote is one tiny aggregate per probe, and correct =
+    // prediction equals the probe's own held-out label (emitted as
+    // data, so classifier accuracy itself rides the hash gate). ----
+    QueryDef("e21_knn_classify",
+      """WITH q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qe
+        |            FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, label AS clab, embedding AS ce
+        |            FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, qlab, cid, clab,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM q, c),
+        |top AS (SELECT qid, qlab, clab FROM (
+        |    SELECT qid, qlab, clab,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |    FROM s) t WHERE rnk <= 5),
+        |votes AS (SELECT qid, qlab, clab, count(*) AS v
+        |          FROM top GROUP BY 1, 2, 3)
+        |SELECT qid, CAST(qlab AS BIGINT) AS true_label,
+        |  CAST(pred AS BIGINT) AS pred_label, CAST(v AS BIGINT) AS votes,
+        |  pred = qlab AS correct
+        |FROM (SELECT qid, qlab, clab AS pred, v,
+        |    row_number() OVER (PARTITION BY qid ORDER BY v DESC, clab) AS pr
+        |  FROM votes) t WHERE pr = 1""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          col("embedding").as("qe"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("label").as("clab"),
+          col("embedding").as("ce"))
+      val top = c.join(broadcast(q))
+        .withColumn("cos", cos(col("qe"), col("ce")))
+        .select(col("qid"), col("qlab"), col("cid"), col("clab"), col("cos"))
+        .withColumn("rnk", row_number().over(top5Window))
+        .filter(col("rnk") <= 5)
+      val voteW = Window.partitionBy("qid")
+        .orderBy(col("v").desc, col("clab"))
+      top.groupBy("qid", "qlab", "clab").agg(count(lit(1)).as("v"))
+        .withColumn("pr", row_number().over(voteW))
+        .filter(col("pr") === 1)
+        .select(col("qid"), col("qlab").cast("long").as("true_label"),
+          col("clab").cast("long").as("pred_label"),
+          col("v").cast("long").as("votes"),
+          (col("clab") === col("qlab")).as("correct"))
     }
   )
 

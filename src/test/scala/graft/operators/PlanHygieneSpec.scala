@@ -58,9 +58,11 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     "e16_ivfpq", "e17_hard_negatives",
     // d43: a 1-row leak-free contract-flag broadcast (the recall-flag
     // pattern); split assignment itself is a zero-join projection
-    // e19/e20: the bounded probe broadcast (10 vectors) against the
-    //      corpus — the e01/e14 shape with MaxSim / dual-ranker scores
-    "d43_leakfree_split", "e19_maxsim", "e20_rrf_fusion")
+    // e19/e20/e21: the bounded probe broadcast (10 vectors) against the
+    //      corpus — the e01/e14 shape with MaxSim / dual-ranker /
+    //      neighbor-vote scoring
+    "d43_leakfree_split", "e19_maxsim", "e20_rrf_fusion",
+    "e21_knn_classify")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
