@@ -138,7 +138,13 @@ object QBench {
       // join, adaptive cutoffs, lang segments, outer join (serial lane)
       "d37_bloom_dedup", "d39_adaptive_cutoff", "d40_lang_segments",
       "q58_nested_orders", "e15_knn_join", "e16_ivfpq",
-      "s11_stream_outer_join")
+      "s11_stream_outer_join",
+      // the round's last wave: triangles, set-sim join, leak-free
+      // split, RRF fusion, kNN classify, dup sentences, string agg,
+      // streaming CMS (serial lane)
+      "d41_triangles", "d42_setsim_join", "d43_leakfree_split",
+      "e20_rrf_fusion", "e21_knn_classify", "d44_dup_sentences",
+      "q60_string_agg", "s12_stream_sketch")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(
