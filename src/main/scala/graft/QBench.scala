@@ -202,8 +202,6 @@ object QBench {
     }
   }
 
-  /** e13 recall grid: 1-bit hamming shortlist recall@5 vs the exact arm,
-    * across shortlist sizes. */
   /** e16 recall grid over the IVF probing width (shortlist fixed at the
     * committed 64): how much of PQ's recall the cell restriction keeps. */
   private def ivfpq(spark: SparkSession, dir: String): Unit = {
@@ -215,6 +213,8 @@ object QBench {
     }
   }
 
+  /** e13 recall grid: 1-bit hamming shortlist recall@5 vs the exact arm,
+    * across shortlist sizes. */
   private def ham(spark: SparkSession, dir: String): Unit = {
     for (n <- Seq(5, 16, 32, 64, 128, 256)) {
       PinScope.run(spark) {

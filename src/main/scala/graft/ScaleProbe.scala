@@ -1,0 +1,40 @@
+package graft
+
+/** Scale step-up probe runner (SCALE.md): times a subset of
+  * SparkEntry.queries against an arbitrary (possibly ScaleGen-tiled)
+  * table dir — Bench's methodology (noop sink, PinScope per rep, cold
+  * discarded, median of 3 warm) without dragging the full 157-query
+  * suite through every scale point.
+  *
+  * Usage: runMain graft.ScaleProbe <sfDir> <q1,q2,...> [reps=3]
+  * Prints one JSON line: {"metric":"scale_probe","sf":...,"queries":{...}}
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args(1).split(',').toSeq
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def once(n: String): Double = PinScope.run(spark) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val med = names.map { n =>
+      once(n) // cold: codegen + JIT, discarded
+      val ts = Seq.fill(reps)(once(n)).sorted
+      val m = ts(ts.size / 2)
+      println(f"""{"q":"$n","med":$m%.3f,"min":${ts.head}%.3f,"max":${ts.last}%.3f}""")
+      n -> m
+    }
+    val qs = med.map { case (n, m) => f""""$n":$m%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","sf":"$dir","queries":$qs}""")
+    spark.stop()
+  }
+}

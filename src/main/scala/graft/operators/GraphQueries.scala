@@ -148,12 +148,16 @@ object GraphQueries {
       // close against a BROADCAST of the canonical edge set: the wedge
       // stream (the big side — sum of oriented outdeg², ~30M at sf0.1)
       // then never shuffles, each wedge probes a map-side hash table.
-      // 1.2M 16-byte edges ≈ 20 MB — comfortably a broadcast; at a scale
-      // where the edge set itself outgrows broadcast, this reverts to a
-      // shuffle join on (va, vb) and the orientation still bounds the
-      // wedge volume either way.
+      // 1.2M 16-byte edges ≈ 20 MB — comfortably a broadcast. The hint is
+      // GATED on a measured edge count (e is persisted, so the count is a
+      // cached-scan pass reused by every downstream stage): past ~16M
+      // edges (~256 MB hashed) the closing join degrades gracefully to a
+      // shuffle join on (va, vb) instead of a broadcast OOM; the
+      // orientation bounds the wedge volume either way.
+      val edgeCount = e.count()
+      val closeSide = if (edgeCount <= 16L * 1000 * 1000) broadcast(e) else e
       val tris = wedges
-        .join(broadcast(e), col("va") === col("a") && col("vb") === col("b"))
+        .join(closeSide, col("va") === col("a") && col("vb") === col("b"))
         .select(col("u"), col("va"), col("vb"))
       tris.select(col("u").as("part"))
         .union(tris.select(col("va").as("part")))

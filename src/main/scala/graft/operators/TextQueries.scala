@@ -18,6 +18,23 @@ object TextQueries {
     * expressions (regexp '\S+'). */
   private val tokensCol: Column = expr("regexp_extract_all(text, '\\\\S+', 0)")
 
+  /** The sentence axis shared by d38/d40/d44 — split `text` on
+    * terminator+whitespace boundaries, drop whitespace-only fragments.
+    * Exactly one definition per engine: this Column and
+    * [[sentenceAxisCte]] MUST stay equivalent — editing one without the
+    * other silently skews the sentence axis all three ops share. */
+  val sentencesCol: Column =
+    expr("filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)")
+
+  /** DuckDB CTE body `s(doc_id, sents)` over `documents` — the oracle
+    * side of [[sentencesCol]]. Compose as `"WITH " + sentenceAxisCte`
+    * (+ `",\n..."` for further CTEs). */
+  val sentenceAxisCte: String =
+    """s AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+      |      x -> length(trim(x)) > 0) AS sents
+      |  FROM documents)""".stripMargin
+
   private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
   private def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -1348,11 +1365,8 @@ object TextQueries {
     // (no float ratios). Zero shuffle: one projection over the corpus
     // scan — every column is a per-row expression. ----
     QueryDef("d38_sentences",
-      """WITH s AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
-        |      x -> length(trim(x)) > 0) AS sents
-        |  FROM documents)
-        |SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sents,
+      "WITH " + sentenceAxisCte + "\n" +
+      """SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sents,
         |  CAST(list_sum(list_transform(sents,
         |    x -> length(regexp_extract_all(x, '\S+')))) AS BIGINT) AS sent_tokens,
         |  CAST(CASE WHEN len(sents) = 0 THEN 0
@@ -1364,8 +1378,7 @@ object TextQueries {
         |  md5(COALESCE(sents[1], '')) AS first_md5
         |FROM s""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
-        .withColumn("sents",
-          expr("filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)"))
+        .withColumn("sents", sentencesCol)
         .withColumn("stoks",
           expr("transform(sents, x -> CAST(size(regexp_extract_all(x, '\\\\S+', 0)) AS BIGINT))"))
         .select(col("doc_id"),
@@ -1389,11 +1402,8 @@ object TextQueries {
     // shuffle keyed (doc_id, sentence) with map-side combine, one
     // doc_id rollup — never cross-doc, never pairwise. ----
     QueryDef("d44_dup_sentences",
-      """WITH s AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
-        |      x -> length(trim(x)) > 0) AS sents
-        |  FROM documents),
-        |u AS (SELECT doc_id, unnest(sents) AS sent FROM s),
+      "WITH " + sentenceAxisCte + ",\n" +
+      """u AS (SELECT doc_id, unnest(sents) AS sent FROM s),
         |c AS (SELECT doc_id, sent, count(*) AS k FROM u GROUP BY 1, 2),
         |p AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_sents,
         |        CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS n_dup
@@ -1405,9 +1415,7 @@ object TextQueries {
         |  COALESCE(p.n_dup * 10 < p.n_sents * 3, true) AS keep
         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin) { (s, dir) =>
       val sents = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(
-          expr("filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)"))
-          .as("sent"))
+        .select(col("doc_id"), explode(sentencesCol).as("sent"))
       val per = sents.groupBy("doc_id", "sent").agg(count(lit(1)).as("k"))
         .groupBy("doc_id")
         .agg(sum("k").cast("long").as("n_sents"),
@@ -1476,11 +1484,8 @@ object TextQueries {
     // aggregate — both exchanges carry aggregated rows, never raw
     // sentence text. ----
     QueryDef("d40_lang_segments",
-      """WITH s AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
-        |      x -> length(trim(x)) > 0) AS sents
-        |  FROM documents),
-        |u AS (SELECT doc_id, unnest(sents) AS sent FROM s),
+      "WITH " + sentenceAxisCte + ",\n" +
+      """u AS (SELECT doc_id, unnest(sents) AS sent FROM s),
         |v AS (SELECT doc_id,
         |    CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
         |         WHEN de >= fr AND de >= es THEN 'de'
@@ -1508,9 +1513,7 @@ object TextQueries {
         size(expr(s"filter(regexp_extract_all(sent, '\\\\S+', 0), t -> t IN ${inList(words)})"))
       val docs = Tables.load(s, dir, "documents")
       val votes = docs
-        .select(col("doc_id"), explode(
-          expr("filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)"))
-          .as("sent"))
+        .select(col("doc_id"), explode(sentencesCol).as("sent"))
         .select(col("doc_id"),
           cnt(Seq("the", "a", "and", "of", "is")).as("en"),
           cnt(Seq("der", "die", "das", "und", "ist")).as("de"),

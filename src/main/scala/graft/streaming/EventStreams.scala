@@ -563,11 +563,11 @@ object EventStreams {
   def streamingSketch(spark: SparkSession, dir: String): DataFrame =
     withStreamConf(spark) {
       import org.apache.spark.util.sketch.CountMinSketch
-      val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-scms/" + new java.io.File(dir).getName
-      val hc = spark.sparkContext.hadoopConfiguration
-      org.apache.hadoop.fs.FileSystem.getLocal(hc)
-        .delete(new org.apache.hadoop.fs.Path(base), true)
+      // Per-run scratch root: createTempDirectory is unique per call, so two
+      // JVMs (or two same-named dataset dirs) benchmarking concurrently can
+      // never delete each other's partials log or checkpoint mid-run.
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-scms-").toString
       val q = eventsStream(spark, dir)
         .select(col("user_id").cast("string").as("uid"))
         .writeStream
@@ -587,12 +587,18 @@ object EventStreams {
       finally if (q.isActive) q.stop()
       val parts = spark.read.parquet(s"$base/sketches")
         .select(col("sk"), col("n")).collect()
+      require(parts.nonEmpty,
+        s"streaming sketch produced no partials under $base/sketches - empty events input?")
       val merged = parts.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
         .reduce { (a, b) => a.mergeInPlace(b); a }
       val total = parts.map(_.getLong(1)).sum
       val bos = new java.io.ByteArrayOutputStream()
       merged.writeTo(bos)
       val skBytes = bos.toByteArray
+      // scratch dir is per-run; reclaim it now that the sketch is in memory
+      org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
       // truth arm + in-band estimate contract over the merged sketch
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("user_id"))

@@ -22,8 +22,17 @@ import sys
 
 
 def load_queries(path):
-    """Return {short_id: median_sec} from a driver artifact, a raw bench
-    JSON line, or a log containing one."""
+    """Return ({short_id: median_sec}, warm_total_or_None) from a driver
+    artifact, a raw bench JSON line, a bench_artifact.json, or a log.
+
+    Fallback chain (r9 lesson — the driver's 2000-char tail window can cut
+    the big line's totals head off while the queries dict survives, or
+    vice versa):
+      1. driver wrapper with a parsed dict
+      2. a COMPLETE artifact line (totals head + queries dict)
+      3. the "totals_only" compact line (headline value, no per-query)
+         plus whatever per-query fragment survives in the tail
+    """
     text = open(path).read()
     # driver artifact wrapper?
     try:
@@ -34,14 +43,47 @@ def load_queries(path):
             text = d["tail"]
     except json.JSONDecodeError:
         pass
-    # find the LAST compact artifact line in the text
+    # 1) LAST complete artifact line (has both the totals head and queries)
     best = None
-    for m in re.finditer(r'\{"metric":"total".*?"sf":"?[^"}]*"?\}', text):
+    for m in re.finditer(
+            r'\{"metric":"total",.*?"queries":\{[^{}]*\},"sf":"?[^"}]*"?\}',
+            text):
         best = m.group(0)
-    if best is None:
+    if best is not None:
+        d = json.loads(best)
+        return d["queries"], d.get("value")
+    # 2) totals-only compact line -> headline warm total
+    value = None
+    for m in re.finditer(r'\{"metric":"totals_only".*?"sf":"?[^"}]*"?\}', text):
+        try:
+            value = json.loads(m.group(0)).get("value")
+        except json.JSONDecodeError:
+            pass
+    # 3) per-query fragment: a complete "queries":{...} dict if present,
+    #    else the head-truncated run of "id":sec pairs ending at the big
+    #    line's },"sf" anchor (the totals_only line has no } before "sf",
+    #    so it can never match). A half-cut leading pair (e.g. 0":0.90)
+    #    lacks its opening quote and is dropped by the pair regex.
+    frags = [m.group(1)
+             for m in re.finditer(r'"queries":\{([^{}]*)\},"sf"', text)]
+    truncated = not frags
+    if truncated:
+        frags = [m.group(1)
+                 for m in re.finditer(r'([^{}\n]*)\},"sf"', text)]
+    queries = {}
+    for f in frags:
+        pairs = dict(re.findall(r'"([A-Za-z][A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)',
+                                f))
+        if len(pairs) > len(queries):
+            queries = pairs
+    if not queries and value is None:
         raise SystemExit(f"{path}: no bench totals line found")
-    d = json.loads(best)
-    return d["queries"], d.get("value")
+    if truncated:
+        print(f"note: {path} carries a tail-truncated per-query dict "
+              f"({len(queries)} surviving entries) — 'dropped queries' "
+              f"below may be truncation, not removal; prefer "
+              f"bench_artifact.json", file=sys.stderr)
+    return ({k: float(v) for k, v in queries.items()}, value)
 
 
 def main():
