@@ -20,21 +20,20 @@ import org.apache.spark.sql.functions._
   * submission) and requires every concurrent execution to reproduce the
   * result fingerprint of its sequential run.
   *
-  * Lane discipline: c* queries assert DELTAS of session-global cache
-  * counters (the c08/c11 in-band metric contracts) and share per-purpose
-  * scratch dirs; s* queries mutate session confs around stream starts
-  * and re-create fixed checkpoint dirs. Both therefore need MUTUAL
-  * exclusion among themselves — but not isolation from the rest of the
-  * surface, because no other family touches the graft:// counters,
-  * the scratch dirs, or a stream checkpoint. The harness runs them on a
-  * dedicated serial lane (one worker, submission order) while every
-  * other family — relational, text, dedup, vector, multimodal,
-  * fingerprint — interleaves freely on the remaining workers. The one
-  * cross-talk channel left is the s* shuffle-partition override, whose
-  * window can change how many partitions a concurrently-planned query
-  * shuffles through — a plan-shape change, never a result change (gate
-  * queries are partition-count-invariant by construction), and the
-  * fingerprint check would catch any violation.
+  * Lane discipline (r10): only s* queries remain on the serial lane —
+  * they mutate session confs around stream starts and re-create fixed
+  * checkpoint dirs, which is inherently process-global. The c* family
+  * ran serial through round 9 because c08/c11/c12 asserted DELTAS of
+  * session-global cache counters; those contracts now read per-execution
+  * TAGGED counters (MetricsTag/CacheMetrics.taggedSnapshot) and every c*
+  * scratch dir and catalog name carries a per-execution suffix, so the
+  * whole cache family races freely — the multi-tenant shape a real
+  * deployment has. The one cross-talk channel left is the s*
+  * shuffle-partition override, whose window can change how many
+  * partitions a concurrently-planned query shuffles through — a
+  * plan-shape change, never a result change (gate queries are
+  * partition-count-invariant by construction), and the fingerprint check
+  * would catch any violation.
   *
   * Pinned intermediates: several pool queries persist subtrees they
   * cannot unpersist before materialization (e07/e08/e10's exact arm, the
@@ -46,11 +45,11 @@ import org.apache.spark.sql.functions._
   */
 object ConcurrentHarness {
 
-  /** Gate names that must not run concurrently with EACH OTHER (shared
-    * global counters / scratch dirs / checkpoints / session confs) and
-    * therefore ride the serial lane. */
-  def serialLane(name: String): Boolean =
-    name.startsWith("c") || name.startsWith("s")
+  /** Gate names that must not run concurrently with EACH OTHER (fixed
+    * stream checkpoint dirs + session-conf windows) and therefore ride
+    * the serial lane: s* only since r10 — c*'s metric contracts moved to
+    * per-execution tagged counters and per-execution scratch dirs. */
+  def serialLane(name: String): Boolean = name.startsWith("s")
 
   /** Deterministic, order-insensitive result fingerprint: (row count,
     * Σ (xxhash64(canonical-JSON row) & (2^40 − 1))). The mask keeps the

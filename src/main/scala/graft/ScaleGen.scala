@@ -65,9 +65,22 @@ object ScaleGen {
     import spark.implicits._
 
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // Mirror the driver corpus layout EXACTLY: one bare <table>.parquet
+    // FILE per table (the streaming sources glob on the literal file
+    // name — a directory named events.parquet reads as an empty stream).
     def save(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[scalegen] $t -> $out/$t.parquet")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(s"$out/_tmp_$t")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written for $t"))
+      val dest = new org.apache.hadoop.fs.Path(s"$out/$t.parquet")
+      fs.delete(dest, true)
+      fs.rename(part, dest)
+      fs.delete(tmp, true)
+      println(s"[scalegen] $t -> $dest")
     }
 
     // key strides = max(key)+1 of the SOURCE, so tiles never collide

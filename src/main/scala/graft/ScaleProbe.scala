@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 /** Scale step-up probe runner (SCALE.md): times a subset of
   * SparkEntry.queries against an arbitrary (possibly ScaleGen-tiled)
   * table dir — Bench's methodology (noop sink, PinScope per rep, cold
@@ -19,9 +21,17 @@ object ScaleProbe {
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // scale arms: operator bodies whose GATE entry caps its input for
+    // oracle tractability — a capped input measures constant work at
+    // every SF, so the probe needs the uncapped body
+    val scaleArms: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "d42_uncapped" -> ((s, d) =>
+        operators.DedupQueries.setSimJoin(s, d, cap = None)))
+
     def once(n: String): Double = PinScope.run(spark) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, dir)
+      scaleArms.getOrElse(n, SparkEntry.queries(n))(spark, dir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

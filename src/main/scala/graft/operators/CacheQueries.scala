@@ -20,12 +20,13 @@ object CacheQueries {
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cache")
   }
 
-  /** Scratch dir namespaced by purpose + scale-factor dir name, deleted
-    * on JVM exit. Within a run the writers use mode(overwrite), so the
-    * footprint is bounded to one copy; the shutdown hook removes that
-    * copy so repeated sessions don't accumulate scratch in shared /tmp.
-    * (Catalog entries like c09's bucketed tables live in the session's
-    * in-memory catalog and die with the JVM on their own.) */
+  /** Scratch dir namespaced by purpose + scale-factor dir name + a
+    * PER-EXECUTION sequence number, deleted on JVM exit. The sequence
+    * suffix makes every execution's scratch private, so two concurrent
+    * executions of the same c* query (the r10 concurrent arm runs the
+    * whole family off the shared lane) can never overwrite each other's
+    * files mid-read; the shutdown hook removes all of them so repeated
+    * sessions don't accumulate scratch in shared /tmp. */
   private val scratchDirs = scala.collection.concurrent.TrieMap[String, Unit]()
   sys.addShutdownHook {
     def rm(f: java.io.File): Unit = {
@@ -34,9 +35,12 @@ object CacheQueries {
     }
     scratchDirs.keys.foreach(d => rm(new java.io.File(d)))
   }
+  private val execSeq = new java.util.concurrent.atomic.AtomicLong
+  /** Unique per call — callers derive every path of one execution from a
+    * single tmpBase result. */
   private def tmpBase(prefix: String, dir: String): String = {
     val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/$prefix/" +
-      new java.io.File(dir).getName
+      new java.io.File(dir).getName + "-e" + execSeq.incrementAndGet()
     scratchDirs.put(p, ())
     p
   }
@@ -210,25 +214,26 @@ object CacheQueries {
       """SELECT p_brand, count(*) AS n,
         | round(sum(p_retailprice),3) AS price, true AS warm_hits_ok
         |FROM part GROUP BY p_brand""".stripMargin) { (s, dir) =>
-      // NOTE: the before/after delta below reads the process-global
-      // cache-metrics registry, so this contract requires that no OTHER
-      // c* query runs concurrently (only c* traffic moves these
-      // counters). Verify and the bench's gate passes run sequentially;
-      // the round-9 concurrent arm runs c* on a dedicated serial lane
-      // (ConcurrentHarness.serialLane — same caveat as c11) while the
-      // rest of the surface interleaves around them on 7 more threads.
+      // The warm-scan window runs under a per-execution MetricsTag, so
+      // the hit-rate contract reads ONLY this execution's block requests
+      // — concurrent neighbors (including other c* queries, or another
+      // execution of c08 itself) can move the global counters freely.
+      // Round 9 needed a serial lane for exactly this read; round 10's
+      // tagged counters retired it (ConcurrentHarness.serialLane is s*
+      // only now).
       enableCacheFs(s)
       def agg = s.read.parquet(s"graft://$dir/part.parquet")
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 3).as("price"))
       agg.count() // cold: warms every touched block
-      val before = metricsSnapshot(s)
-      agg.count() // warm: must be served from cache
-      val after = metricsSnapshot(s)
-      val hits = after.getOrElse("cached_requests", 0L) -
-        before.getOrElse("cached_requests", 0L)
-      val misses = after.getOrElse("remote_requests", 0L) -
-        before.getOrElse("remote_requests", 0L)
+      val tag = "c08-" + java.util.UUID.randomUUID()
+      graft.cache.MetricsTag.withTag(s, tag) {
+        agg.count() // warm: must be served from cache
+      }
+      val tm = taggedMetrics(s, tag)
+      dropTag(s, tag)
+      val hits = tm("cached_requests")
+      val misses = tm("remote_requests")
       val ok = hits + misses > 0 && hits.toDouble / (hits + misses) >= 0.95
       agg.withColumn("warm_hits_ok", lit(ok))
     },
@@ -248,22 +253,27 @@ object CacheQueries {
         |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
       enableCacheFs(s)
       val base = tmpBase("graft-bucketed", dir)
+      // catalog names carry the scratch dir's per-execution suffix: two
+      // concurrent executions (the shared-lane concurrent arm) must not
+      // overwrite each other's table definitions mid-join
+      val execTag = base.substring(base.lastIndexOf("-e") + 1)
       Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"graft://$base/lineitem_b")
-        .saveAsTable("c09_lineitem_b")
+        .saveAsTable(s"c09_lineitem_b_$execTag")
       Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"graft://$base/orders_b")
-        .saveAsTable("c09_orders_b")
+        .saveAsTable(s"c09_orders_b_$execTag")
       s.sql(
-        """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity),3) AS qty
-          |FROM c09_orders_b JOIN c09_lineitem_b ON o_orderkey = l_orderkey
-          |GROUP BY o_orderstatus""".stripMargin)
+        s"""SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity),3) AS qty
+           |FROM c09_orders_b_$execTag JOIN c09_lineitem_b_$execTag
+           |  ON o_orderkey = l_orderkey
+           |GROUP BY o_orderstatus""".stripMargin)
     },
 
     // Schema evolution through the cache: two parquet batches with
@@ -316,12 +326,10 @@ object CacheQueries {
     // aggregate itself. Metrics come from the manager bound to the
     // session-keyed FS — per-scan confs (the refused narrow path) swap
     // CacheManager.current to a throwaway instance, so the session
-    // manager is the one whose counters must stay flat. Like c08, the
-    // delta check assumes no other c* query runs concurrently (only c*
-    // traffic moves these process-global counters): Verify and the
-    // bench gate passes are sequential, and the round-9 concurrent arm
-    // serializes c* on a dedicated lane (ConcurrentHarness.serialLane)
-    // while running them concurrently with the non-c* surface.
+    // manager is the one whose counters must stay flat. Both checks read
+    // per-execution TAGGED counters (MetricsTag), so any neighbor —
+    // including another execution of this query — may run concurrently;
+    // the round-9 serial lane existed only for the global-delta reads.
     QueryDef("c11_admission_gate",
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_quantity),3) AS qty,
@@ -350,20 +358,32 @@ object CacheQueries {
       // independent of which c* query ran earlier: footer/schema reads
       // and the data blocks are all cached after this pass
       wide(withFloor = false).write.format("noop").mode("overwrite").save()
-      val warmup0 = m.warmupBytes.get
-      val remote0 = m.bytesFromRemote.get
       // narrow: 2 of 16 columns, below the floor -> direct read; the
-      // warm session-FS counters must not move for the DATA scan
-      s.read.format("graft").option(floorOpt._1, floorOpt._2).load(path)
-        .select("l_orderkey", "l_quantity")
-        .write.format("noop").mode("overwrite").save()
+      // warm session-FS counters must not move FOR THIS EXECUTION'S
+      // traffic (per-execution MetricsTag — concurrent neighbors may
+      // move the globals freely; round 9 needed the serial lane for
+      // this read, tagged counters retired it). warmup_requests bumps
+      // at enqueue time on the scan task's own thread, so a narrow scan
+      // that wrongly triggered warmup is billed to this tag even though
+      // the download itself would run on an (untagged) pool worker.
+      val tagN = "c11n-" + java.util.UUID.randomUUID()
+      graft.cache.MetricsTag.withTag(s, tagN) {
+        s.read.format("graft").option(floorOpt._1, floorOpt._2).load(path)
+          .select("l_orderkey", "l_quantity")
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tmN = m.taggedSnapshot(tagN)
       val narrowBypassed =
-        m.warmupBytes.get == warmup0 && m.bytesFromRemote.get == remote0
+        tmN("warmup_requests") == 0L && tmN("bytes_from_remote") == 0L
+      m.dropTag(tagN)
       // wide: the aggregate projects 6 columns, clears the floor; its
       // scan must be served THROUGH the (warm) cache
-      val cached0 = m.bytesFromCache.get
-      wide(withFloor = true).write.format("noop").mode("overwrite").save()
-      val wideAdmitted = m.bytesFromCache.get > cached0
+      val tagW = "c11w-" + java.util.UUID.randomUUID()
+      graft.cache.MetricsTag.withTag(s, tagW) {
+        wide(withFloor = true).write.format("noop").mode("overwrite").save()
+      }
+      val wideAdmitted = m.taggedSnapshot(tagW)("bytes_from_cache") > 0L
+      m.dropTag(tagW)
       wide(withFloor = true)
         .withColumn("narrow_bypassed", lit(narrowBypassed))
         .withColumn("wide_admitted", lit(wideAdmitted))
@@ -377,8 +397,8 @@ object CacheQueries {
     // vectored counter; the warm rescan must drive it AGAIN while
     // serving >= 95% of block requests from cache — i.e. the vectored
     // path composes with cache semantics instead of bypassing them.
-    // Same serial-lane caveat as c08/c11: the contract reads
-    // process-global metric deltas.
+    // Both windows read per-execution tagged counters (MetricsTag), so
+    // the contract is concurrency-safe without a serial lane.
     QueryDef("c12_vectored_scan",
       """SELECT p_brand, count(*) AS n,
         | round(sum(p_retailprice),3) AS price,
@@ -388,17 +408,21 @@ object CacheQueries {
       def agg = s.read.parquet(s"graft://$dir/part.parquet")
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 3).as("price"))
-      val before = metricsSnapshot(s)
-      agg.count() // cold: ranges flow vectored through the chain planner
-      val mid = metricsSnapshot(s)
-      agg.count() // warm: vectored again, now served from cache
-      val after = metricsSnapshot(s)
-      def delta(k: String, a: Map[String, Long], b: Map[String, Long]) =
-        b.getOrElse(k, 0L) - a.getOrElse(k, 0L)
-      val vectoredOk = delta("vectored_ranges", before, mid) > 0 &&
-        delta("vectored_ranges", mid, after) > 0
-      val hits = delta("cached_requests", mid, after)
-      val misses = delta("remote_requests", mid, after)
+      // one tag per pass: the contract reads only this execution's
+      // traffic (tagged counters; no serial lane needed — see c08)
+      val tagC = "c12c-" + java.util.UUID.randomUUID()
+      val tagW = "c12w-" + java.util.UUID.randomUUID()
+      graft.cache.MetricsTag.withTag(s, tagC) {
+        agg.count() // cold: ranges flow vectored through the chain planner
+      }
+      graft.cache.MetricsTag.withTag(s, tagW) {
+        agg.count() // warm: vectored again, now served from cache
+      }
+      val (tmC, tmW) = (taggedMetrics(s, tagC), taggedMetrics(s, tagW))
+      dropTag(s, tagC); dropTag(s, tagW)
+      val vectoredOk = tmC("vectored_ranges") > 0 && tmW("vectored_ranges") > 0
+      val hits = tmW("cached_requests")
+      val misses = tmW("remote_requests")
       val warmOk = hits + misses > 0 && hits.toDouble / (hits + misses) >= 0.95
       agg.withColumn("vectored_ok", lit(vectoredOk))
         .withColumn("warm_ok", lit(warmOk))
@@ -414,11 +438,24 @@ object CacheQueries {
     * red in round 8 exactly this way when queries(…) map order put c11
     * before c08). */
   def metricsSnapshot(s: SparkSession): Map[String, Long] =
-    scala.util.Try(
-      org.apache.hadoop.fs.FileSystem.get(
-        java.net.URI.create("graft:///"), s.sessionState.newHadoopConf())
-        .asInstanceOf[graft.cache.GraftFileSystem]
-        .cacheManager.metrics.snapshot.toMap)
+    scala.util.Try(sessionMetrics(s).snapshot.toMap)
       .getOrElse(
         CacheManager.current.map(_.metrics.snapshot.toMap).getOrElse(Map.empty))
+
+  /** The session-keyed FS's live metrics instance (same resolution as
+    * [[metricsSnapshot]]). */
+  private def sessionMetrics(s: SparkSession): graft.cache.CacheMetrics =
+    org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create("graft:///"), s.sessionState.newHadoopConf())
+      .asInstanceOf[graft.cache.GraftFileSystem]
+      .cacheManager.metrics
+
+  /** Per-execution tagged counters off the session FS metrics (c08/c12's
+    * contract source; zeros when the tag never recorded). */
+  def taggedMetrics(s: SparkSession, tag: String): Map[String, Long] =
+    scala.util.Try(sessionMetrics(s).taggedSnapshot(tag))
+      .getOrElse(Map.empty[String, Long].withDefaultValue(0L))
+
+  private def dropTag(s: SparkSession, tag: String): Unit =
+    scala.util.Try(sessionMetrics(s).dropTag(tag))
 }

@@ -450,36 +450,46 @@ object DedupQueries {
         |  CAST(inter * 1000 // (a.n + b.n - inter) AS BIGINT) AS jac_permille
         |FROM i JOIN n a ON a.doc_id = doc_a JOIN n b ON b.doc_id = doc_b
         |WHERE 3 * inter >= a.n + b.n""".stripMargin) { (s, dir) =>
-      val toks = Tables.load(s, dir, "documents")
-        .filter(col("doc_id") < 1000)
-        .select(col("doc_id"), explode(
-          expr("array_distinct(regexp_extract_all(text, '\\\\S+', 0))")).as("t"))
-        .persist() // df agg, prefix ranking, and both intersection sides
-      val df = toks.groupBy("t").agg(count(lit(1)).as("df"))
-      val n = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // rank tokens per doc by global rarity; prefix = floor(n/2)+1 rarest
-      val byRarity = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("df"), col("t"))
-      val prefix = toks.join(df, Seq("t"))
-        .withColumn("rn", row_number().over(byRarity))
-        .join(n, Seq("doc_id"))
-        .filter(col("rn") <= expr("n div 2") + 1)
-        .select(col("doc_id"), col("t"))
-      val cands = prefix.as("pa").join(prefix.as("pb"),
-          col("pa.t") === col("pb.t") && col("pa.doc_id") < col("pb.doc_id"))
-        .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      val inter = cands
-        .join(toks.select(col("doc_id").as("doc_a"), col("t")), Seq("doc_a"))
-        .join(toks.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-        .filter(col("inter") * 3 >= col("na") + col("nb"))
-        .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
-          (col("na") + col("nb") - col("inter")).cast("long").as("un"),
-          expr("inter * 1000L div (na + nb - inter)").cast("long").as("jac_permille"))
+      setSimJoin(s, dir, cap = Some(1000L))
     }
   )
+
+  /** The d42 PPJoin body. `cap` bounds the corpus to doc_id < cap — the
+    * GATE uses 1000 so the oracle's naive all-token self-join stays
+    * tractable in DuckDB; the scale probe (SCALE.md) runs uncapped,
+    * because a capped input measures a constant workload at every SF. */
+  def setSimJoin(s: org.apache.spark.sql.SparkSession, dir: String,
+      cap: Option[Long]): org.apache.spark.sql.DataFrame = {
+    val docs0 = Tables.load(s, dir, "documents")
+    val docs = cap.fold(docs0)(c => docs0.filter(col("doc_id") < c))
+    val toks = docs
+      .select(col("doc_id"), explode(
+        expr("array_distinct(regexp_extract_all(text, '\\\\S+', 0))")).as("t"))
+      .persist() // df agg, prefix ranking, and both intersection sides
+    val df = toks.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // rank tokens per doc by global rarity; prefix = floor(n/2)+1 rarest
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("t"))
+    val prefix = toks.join(df, Seq("t"))
+      .withColumn("rn", row_number().over(byRarity))
+      .join(n, Seq("doc_id"))
+      .filter(col("rn") <= expr("n div 2") + 1)
+      .select(col("doc_id"), col("t"))
+    val cands = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.t") === col("pb.t") && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = cands
+      .join(toks.select(col("doc_id").as("doc_a"), col("t")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("inter") * 3 >= col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+        (col("na") + col("nb") - col("inter")).cast("long").as("un"),
+        expr("inter * 1000L div (na + nb - inter)").cast("long").as("jac_permille"))
+  }
 }

@@ -629,6 +629,80 @@ object MultimodalQueries {
           Row(id, detected, container.length.toLong, ok)
         }
       }(enc)
+    },
+
+    // ---- REAL entropy-coded codec (m11): each document's bytes are
+    // framed as a zlib/DEFLATE stream (stored block + fixed-Huffman
+    // block with one LZ77 match — DeflateCodec.deflateFrame, a pure
+    // function of the content bytes) and decoded back through the real
+    // inflater (bit-level Huffman decode, match copy, Adler-32 verify).
+    // The emitted features are byte math over the DECODED output
+    // (content ++ match copy), which DuckDB replays from the same
+    // content bytes — the m02 recipe at an entropy-coded boundary. Two
+    // in-band proofs ride along: roundtrip_ok (the inflater reproduces
+    // the framing contract exactly) and interop_ok (java.util.zip's
+    // Inflater agrees byte-for-byte on the same stream — the codec is
+    // interoperable, not self-consistent). Per-row mapPartitions batch
+    // decode, zero shuffle — the Pandas-batch-UDF shape. ----
+    QueryDef("m11_inflate", MultimodalQueries.decodeOracle(
+      """,
+        |ext AS (
+        |  SELECT doc_id, n, bs,
+        |    CASE WHEN n = 0 THEN 0 ELSE 3 + bs[1] % 8 END AS l,
+        |    CASE WHEN n > 32768 THEN 32768 ELSE n END AS d
+        |  FROM decoded),
+        |raw AS (
+        |  SELECT doc_id, n + l AS nr,
+        |    CASE WHEN n = 0 THEN CAST([] AS BIGINT[]) ELSE
+        |      list_concat(bs, list_transform(range(0, l),
+        |        j -> bs[CAST(n - d + 1 + (j % d) AS INT)])) END AS rs
+        |  FROM ext),
+        |feat AS (
+        |  SELECT doc_id, CAST(nr AS BIGINT) AS n_raw,
+        |    CAST(COALESCE(list_sum(rs), 0) AS BIGINT) AS raw_sum,
+        |    CAST(((nr + COALESCE(list_sum(list_transform(range(1, nr + 1),
+        |        i -> (nr - i + 1) * rs[CAST(i AS INT)])), 0)) % 65521) * 65536
+        |      + (1 + COALESCE(list_sum(rs), 0)) % 65521 AS BIGINT) AS adler
+        |  FROM raw)
+        |SELECT doc_id, n_raw, raw_sum, adler,
+        |  true AS roundtrip_ok, true AS interop_ok
+        |FROM feat""".stripMargin)) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_raw", LongType),
+        StructField("raw_sum", LongType),
+        StructField("adler", LongType),
+        StructField("roundtrip_ok", BooleanType),
+        StructField("interop_ok", BooleanType)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      docs.mapPartitions { it: Iterator[Row] =>
+        val buf = new Array[Byte](4096)
+        it.map { r =>
+          val content = r.getAs[Array[Byte]](1)
+          val frame = DeflateCodec.deflateFrame(content)
+          val decoded = DeflateCodec.inflate(frame) // the REAL decode
+          var sum = 0L
+          var i = 0
+          while (i < decoded.length) { sum += decoded(i) & 0xff; i += 1 }
+          val roundtrip = java.util.Arrays.equals(
+            decoded, DeflateCodec.decodedOf(content))
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(frame)
+          val jout = new java.io.ByteArrayOutputStream()
+          while (!inf.finished()) {
+            val k = inf.inflate(buf)
+            if (k == 0 && !inf.finished())
+              throw new IllegalStateException("java inflater stalled")
+            jout.write(buf, 0, k)
+          }
+          inf.end()
+          val interop = java.util.Arrays.equals(jout.toByteArray, decoded)
+          Row(r.getLong(0), decoded.length.toLong, sum,
+            DeflateCodec.adler32(decoded, decoded.length), roundtrip, interop)
+        }
+      }(enc)
     }
   )
 }

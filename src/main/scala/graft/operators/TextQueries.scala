@@ -117,23 +117,37 @@ object TextQueries {
   def componentsOf(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val und = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+    // EVERY round eagerly localCheckpoints: the `union(labels,
+    // prop(labels))` shape embeds the previous labels plan TWICE, so
+    // without per-round lineage truncation the logical plan doubles each
+    // round and the driver OOMs building plan strings long before the
+    // data is the problem (the r10 sf0.3 scale probe hit exactly this at
+    // a larger component diameter — 8 GiB heap gone at ~15 rounds).
+    // After truncation the plan is depth-1 per round and the label table
+    // itself (|V| rows) is the only thing checkpointed. The previous
+    // round's checkpoint blocks are freed immediately below; PinScope
+    // sweeps whatever the final round leaves.
     var labels = nodes
-      .select(col("doc_id"), col("doc_id").as("comp")).persist()
+      .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint()
+    def freeCheckpoint(df: DataFrame): Unit = scala.util.Try {
+      df.queryExecution.analyzed match {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
     // convergence: the label sum is monotonically decreasing until the
     // fixpoint; carry the previous round's sum instead of re-aggregating
     var prevSum = labels.agg(sum("comp")).first().getLong(0)
     var converged = false
-    var round = 0
     while (!converged) {
       val prop = und.join(labels, und("doc_a") === labels("doc_id"))
         .select(und("doc_b").as("doc_id"), col("comp"))
-      var next = labels.union(prop)
+      val next = labels.union(prop)
         .groupBy("doc_id").agg(min("comp").as("comp"))
-      round += 1
-      if (round % 10 == 0) next = next.localCheckpoint(eager = false)
-      next = next.persist()
+        .localCheckpoint()
       val newSum = next.agg(sum("comp")).first().getLong(0)
-      labels.unpersist()
+      freeCheckpoint(labels)
       labels = next
       converged = prevSum == newSum
       prevSum = newSum

@@ -39,7 +39,10 @@ class ConcurrentGateSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // one query per family + the stateful shapes most likely to misbehave
   // under interleaving (fixpoint loops, persisted arms, UDAFs, cache
-  // metric deltas, streaming state) — c*/s* ride the serial lane
+  // metric contracts, streaming state). Since r10 only s* rides the
+  // serial lane: the c* pool members — including all three tagged-metric
+  // contracts c08/c11/c12 — race each other and every cache-heavy
+  // neighbor on the shared workers.
   private val pool = Seq(
     "q01_pricing_summary", "q05_region_revenue", "q14_window_rank",
     "q31_approx_distinct", "q34_salted_agg", "q46_lateral_join",
@@ -47,19 +50,22 @@ class ConcurrentGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d21_window_dedup", "d22_token_bpe",
     "e01_knn_brute", "e05_centroid_udaf", "e09_vector_quantize",
     "e10_quantized_knn", "m03_decoded_stats", "d08_fingerprint64",
-    "c01_cached_scan_agg", "c08_warm_hitrate", "s03_stream_dedup")
+    "c01_cached_scan_agg", "c06_compaction", "c08_warm_hitrate",
+    "c11_admission_gate", "c12_vectored_scan", "s03_stream_dedup")
 
-  test("c*/s* are the only serial-lane families") {
+  test("s* is the only serial-lane family; c* races on the shared lane") {
     val lane = graft.SparkEntry.allDefs.map(_.name)
       .filter(graft.ConcurrentHarness.serialLane)
-    // every classified name must carry a numbered cache/stream prefix
-    // (c01..., s10...) — a hypothetical future family starting with a
-    // bare c/s would silently serialize, so pin the digit too
+    // every classified name must carry a numbered stream prefix
+    // (s01...) — a hypothetical future family starting with a bare s
+    // would silently serialize, so pin the digit too
     assert(lane.nonEmpty && lane.forall(n =>
-      n.matches("[cs]\\d\\d_.*")),
+      n.matches("s\\d\\d_.*")),
       s"unexpected names classified serial-lane: $lane")
-    assert(pool.count(graft.ConcurrentHarness.serialLane) == 3,
-      "spec pool must exercise the serial lane (c01, c08, s03)")
+    assert(pool.count(graft.ConcurrentHarness.serialLane) == 1,
+      "spec pool must exercise the serial lane (s03)")
+    assert(pool.count(_.startsWith("c")) == 5,
+      "spec pool must race the cache family on the shared lane")
   }
 
   test("8 threads x 2 rounds: every result fingerprint equals its sequential run") {
