@@ -27,7 +27,18 @@ object ScaleProbe {
     val scaleArms: Map[String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
       "d42_uncapped" -> ((s, d) =>
-        operators.DedupQueries.setSimJoin(s, d, cap = None)))
+        operators.DedupQueries.setSimJoin(s, d, cap = None)),
+      // d26's PRODUCTION arm with the documented 100 TB discipline: the
+      // IVF cell count grows with the corpus (k ∝ n, cells stay ~125
+      // vectors) so cell-blocked candidate volume stays linear — the
+      // gate query's k=16 toy constant is for the sf-pinned recall
+      // contract, not the scale path
+      "d26_quant_scaledk" -> { (s, d) =>
+        val e = operators.Tables.load(s, d, "embeddings")
+        val n = e.count()
+        val k = math.max(16, (n / 125).toInt)
+        operators.DedupQueries.quantSemanticPairs(s, e, 0.35, k = k, nprobe = 8)
+      })
 
     def once(n: String): Double = PinScope.run(spark) {
       val t0 = System.nanoTime()

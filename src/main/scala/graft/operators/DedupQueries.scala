@@ -451,6 +451,78 @@ object DedupQueries {
         |FROM i JOIN n a ON a.doc_id = doc_a JOIN n b ON b.doc_id = doc_b
         |WHERE 3 * inter >= a.n + b.n""".stripMargin) { (s, dir) =>
       setSimJoin(s, dir, cap = Some(1000L))
+    },
+
+    // ---- EXACT substring dedup (d45): the exact tier of the substring
+    // ladder (Lee et al. 2022) — d21/d27 are windowed-hash
+    // approximations; this measures the true longest verbatim span per
+    // candidate pair with a suffix-automaton expression (lcs_len,
+    // O(|a|+|b|) per pair vs the naive O(|a|·|b|) DP, codegen-friendly
+    // static call). Candidates are Lee et al.'s own definition: pairs
+    // sharing at least one EXACT 8-token window — an equi-join on the
+    // window hash with string confirmation, never all-pairs. LCS runs
+    // over the first 512 chars of each doc (both engines apply the same
+    // cap) so the oracle's diagonal-run SQL stays bounded at any SF.
+    // Scale shape: windows explode ≤ tokens/doc rows; the pair join is
+    // hash-keyed (at open-web scale the standard df-cap on boilerplate
+    // windows bounds hot keys — same discipline as d42's rarest-prefix
+    // keys); the LCS pass is one codegen projection over the bounded
+    // pair set. ----
+    QueryDef("d45_substring_dedup",
+      """WITH t AS (SELECT doc_id, substring(text, 1, 512) AS s,
+        |            regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |w AS (SELECT doc_id, list_aggregate(tk[i:i+7], 'string_agg', ' ') AS win
+        |      FROM t, unnest(range(1, greatest(len(tk)-7, 0)+1)) AS r(i)),
+        |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id),
+        |c AS (SELECT doc_a, doc_b, ta.s AS sa, tb.s AS sb
+        |      FROM p JOIN t ta ON ta.doc_id = doc_a
+        |             JOIN t tb ON tb.doc_id = doc_b),
+        |m AS (SELECT doc_a, doc_b, i.i AS i, j.j AS j
+        |      FROM c, unnest(range(1, length(sa)+1)) AS i(i),
+        |           unnest(range(1, length(sb)+1)) AS j(j)
+        |      WHERE substring(sa, CAST(i.i AS INT), 1)
+        |          = substring(sb, CAST(j.j AS INT), 1)),
+        |runs AS (SELECT doc_a, doc_b, count(*) AS run FROM (
+        |         SELECT doc_a, doc_b, i - j AS diag,
+        |           i - row_number() OVER (PARTITION BY doc_a, doc_b, i - j
+        |                                  ORDER BY i) AS grp
+        |         FROM m) GROUP BY doc_a, doc_b, diag, grp),
+        |l AS (SELECT doc_a, doc_b, CAST(max(run) AS BIGINT) AS lcs_chars
+        |      FROM runs GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |  COALESCE(l.lcs_chars, 0) AS lcs_chars,
+        |  CAST(COALESCE(l.lcs_chars, 0) * 1000
+        |    // greatest(least(length(c.sa), length(c.sb)), 1) AS BIGINT)
+        |    AS lcs_permille,
+        |  COALESCE(l.lcs_chars, 0) >= 50 AS dup_span_50
+        |FROM c LEFT JOIN l USING (doc_a, doc_b)""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 512).as("s0"),
+          expr("regexp_extract_all(text, '\\\\S+', 0)").as("tk"))
+        .persist() // window explode + both text joins read it
+      val w = t.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) < 8 THEN array()
+            |ELSE transform(sequence(1, size(tk)-7),
+            |  i -> array_join(slice(tk, i, 8), ' ')) END""".stripMargin))
+          .as("win"))
+        .withColumn("wh", xxhash64(col("win")))
+      // hash prunes the shuffle key; the string equality CONFIRMS, so a
+      // 64-bit collision can never fabricate a pair
+      val pairs = w.as("a").join(w.as("b"),
+          col("a.wh") === col("b.wh") && col("a.win") === col("b.win") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      pairs
+        .join(t.select(col("doc_id").as("doc_a"), col("s0").as("sa")), Seq("doc_a"))
+        .join(t.select(col("doc_id").as("doc_b"), col("s0").as("sb")), Seq("doc_b"))
+        .withColumn("lcs_chars",
+          graft.functions.StringAlgos.lcsLenCol(col("sa"), col("sb")))
+        .select(col("doc_a"), col("doc_b"), col("lcs_chars"),
+          expr("lcs_chars * 1000L div greatest(least(length(sa), length(sb)), 1L)")
+            .as("lcs_permille"),
+          (col("lcs_chars") >= 50).as("dup_span_50"))
     }
   )
 

@@ -117,4 +117,85 @@ class StressGateSpec extends AnyFunSuite with BeforeAndAfterAll {
       "phantom peer has no endpoint: NonLocal reads must fall back")
     mgr.ownership = None
   }
+
+  // r9 tested the three stressors pairwise; this drives all THREE at
+  // once: 8 threads of readVectored traffic over four sf0.01 files
+  // (well past the 2 MB budget, so eviction cycles under the reads)
+  // while the locality ring churns. Every returned buffer is compared
+  // byte-for-byte against a direct filesystem read — eviction or
+  // ownership flips mid-readVectored must degrade to slower paths,
+  // never to wrong bytes.
+  test("readVectored × ring churn × eviction pressure: byte parity from 8 threads") {
+    import org.apache.hadoop.fs.FileRange
+    import scala.jdk.CollectionConverters._
+    val files = Seq("lineitem", "orders", "documents", "part")
+      .map(t => s"/root/testdata/sf0.01/$t.parquet")
+    val sizes = files.map(f => f -> new java.io.File(f).length()).toMap
+    def direct(path: String, at: Long, len: Int): Array[Byte] = {
+      val ch = java.nio.file.Files.newByteChannel(java.nio.file.Paths.get(path))
+      try {
+        ch.position(at)
+        val bb = java.nio.ByteBuffer.allocate(len)
+        while (bb.hasRemaining) assert(ch.read(bb) >= 0)
+        bb.array()
+      } finally ch.close()
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create("graft:///"), spark.sessionState.newHadoopConf())
+    val mgr = CacheManager.current.get
+    ClusterState.setHosts(Seq("self"))
+    mgr.ownership = Some(SplitOwnership.fromClusterState("self",
+      splitSize = 64 * 1024))
+    val stop = new AtomicBoolean(false)
+    val churn = new Thread(() => {
+      while (!stop.get()) {
+        ClusterState.addHost("phantom-peer"); Thread.sleep(2)
+        ClusterState.removeHost("phantom-peer"); Thread.sleep(2)
+      }
+    }, "vread-churn")
+    churn.setDaemon(true); churn.start()
+
+    val evict0 = mgr.metrics.evictions.get
+    val vect0 = mgr.metrics.vectoredRanges.get
+    val errs = new ConcurrentLinkedQueue[String]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(100 + t)
+        try {
+          (0 until 40).foreach { i =>
+            val path = files(rnd.nextInt(files.size))
+            val size = sizes(path)
+            val in = fs.open(new org.apache.hadoop.fs.Path(s"graft://$path"))
+            try {
+              val ranges = (0 until 1 + rnd.nextInt(4)).map { _ =>
+                val len = 256 + rnd.nextInt(8192)
+                val at = math.max(0L, rnd.nextLong(math.max(1L, size - len)))
+                FileRange.createFileRange(at, len)
+              }.asJava
+              in.readVectored(ranges,
+                (n: Int) => java.nio.ByteBuffer.allocate(n))
+              ranges.asScala.foreach { r =>
+                val bb = r.getData.get(60, java.util.concurrent.TimeUnit.SECONDS)
+                val out = new Array[Byte](bb.remaining()); bb.get(out)
+                if (!out.sameElements(direct(path, r.getOffset, r.getLength)))
+                  errs.add(s"thread $t iter $i: byte mismatch " +
+                    s"$path@${r.getOffset}+${r.getLength}")
+              }
+            } finally in.close()
+          }
+        } catch { case e: Throwable => errs.add(s"thread $t: $e") }
+      }, s"vread-stress-$t")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    stop.set(true); churn.join(2000)
+    assert(errs.isEmpty, s"vectored stress failures: ${errs.toArray.mkString("; ")}")
+    assert(mgr.metrics.vectoredRanges.get > vect0,
+      "the stressor must actually drive the vectored path")
+    mgr.registry.cleanUp()
+    assert(mgr.metrics.evictions.get > evict0,
+      "four sf0.01 files over a 2 MB budget must evict during the run")
+    assert(mgr.totalWeightKB <= mgr.budgetKB,
+      s"budget overshoot: ${mgr.totalWeightKB} KB > ${mgr.budgetKB} KB")
+    mgr.ownership = None
+  }
 }

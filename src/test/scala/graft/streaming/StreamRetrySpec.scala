@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactly-once under TASK RETRY, not just clean restart: a planted
+  * exception fails partition 0 of every stage on its FIRST attempt
+  * mid-microbatch (TaskContext.attemptNumber == 0), the session allows
+  * one retry (master local[4,2]), and the bombed run's sink must equal a
+  * clean run's sink byte-for-byte — state-store commits and file-sink
+  * manifests must absorb the partial first attempt. Covers the two
+  * stateful stream-stream shapes: the s04 inner join and the s11 left
+  * outer join. StreamRecoverySpec covers restart-across-incarnations;
+  * this covers failure WITHIN a microbatch. */
+object StreamRetrySpec {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val detonations = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+class StreamRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    // local[4, 2]: 4 threads, maxFailures=2 — first attempts may die
+    spark = SparkSession.builder().master("local[4, 2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = {
+    StreamRetrySpec.armed.set(false)
+    if (spark != null) spark.stop()
+  }
+
+  /** Pass-through that throws on the first attempt of partition 0 of
+    * every stage while armed. */
+  private def bombed(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { it: Iterator[Row] =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0 &&
+        StreamRetrySpec.armed.get()) {
+        StreamRetrySpec.detonations.incrementAndGet()
+        throw new RuntimeException("planted first-attempt task failure")
+      }
+      it
+    }(enc)
+  }
+
+  /** Builds the join pipeline over a file stream and runs it to a
+    * parquet sink; returns the sink rows as sorted strings. */
+  private def runShape(joinType: String, arm: Boolean): Seq[String] = {
+    val base = java.nio.file.Files
+      .createTempDirectory(s"graft-retry-$joinType-$arm").toString
+    val events = graft.operators.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    events.coalesce(2).write.parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+
+    def sideStream = {
+      val raw = spark.readStream.schema(schema).parquet(s"$base/in")
+      if (arm) bombed(raw) else raw
+    }
+    val purchases = sideStream
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = sideStream
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      joinType)
+      .select(col("p_user"), col("p_id"), col("c_id"))
+
+    StreamRetrySpec.armed.set(arm)
+    try {
+      val q = joined.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(180000), s"$joinType stream timed out")
+      if (q.isActive) q.stop()
+    } finally StreamRetrySpec.armed.set(false)
+    spark.read.parquet(s"$base/out").collect().map(_.toString).sorted.toSeq
+  }
+
+  for (joinType <- Seq("inner", "left_outer")) {
+    test(s"$joinType stream-stream join: planted mid-batch task failure leaves the sink exactly-once") {
+      val clean = runShape(joinType, arm = false)
+      val before = StreamRetrySpec.detonations.get()
+      val retried = runShape(joinType, arm = true)
+      assert(StreamRetrySpec.detonations.get() > before,
+        "the bomb never fired — the run proved nothing")
+      assert(clean.nonEmpty, "shape produced no rows; vacuous comparison")
+      assert(retried == clean,
+        s"retry changed the sink: clean=${clean.size} rows, " +
+          s"retried=${retried.size} rows")
+    }
+  }
+}
