@@ -33,6 +33,11 @@ object QBench {
       case "mrl" => mrl(spark, sfDir)
       case "ham" => ham(spark, sfDir)
       case "ivfpq" => ivfpq(spark, sfDir)
+      case "qkrecall" => qkRecall(spark, sfDir,
+        nprobe = args.drop(1).headOption.map(_.toInt).getOrElse(8),
+        tau = args.drop(2).headOption.map(_.toDouble).getOrElse(0.35),
+        tileStride = args.drop(3).headOption.map(_.toLong),
+        quantTau = args.drop(4).headOption.map(_.toDouble))
       case name if SparkEntry.queries.contains(name) =>
         // generic: any gate query by name, 1 warmup + 3 timed reps
         time(name, 4)(SparkEntry.queries(name)(spark, sfDir))
@@ -201,6 +206,50 @@ object QBench {
       }
     }
   }
+
+  /** SCALE.md's recall check for the scaled-k production arm: at any
+    * corpus size, quantSemanticPairs with k ∝ n (cells ~125 vectors,
+    * nprobe=8) must still recover the d26 recall contract against the
+    * exact arm — the linear-time claim is hollow if growing k starves
+    * recall. Run with SPARK_GRAFT_SF_DIR at each scale point. */
+  private def qkRecall(spark: SparkSession, dir: String,
+      nprobe: Int, tau: Double, tileStride: Option[Long],
+      quantTau: Option[Double] = None): Unit =
+    PinScope.run(spark) {
+      val e = operators.Tables.load(spark, dir, "embeddings")
+      val n = e.count()
+      val k = math.max(16, (n / 125).toInt)
+      val t0 = System.nanoTime()
+      val exact = operators.DedupQueries.exactSemanticPairs(e, tau).persist()
+      val total = exact.count()
+      val t1 = System.nanoTime()
+      val quant = operators.DedupQueries
+        .quantSemanticPairs(spark, e, quantTau.getOrElse(tau), k = k,
+          nprobe = nprobe).persist()
+      val hits = exact.join(quant, Seq("id_a", "id_b"), "left_semi").count()
+      val t2 = System.nanoTime()
+      println(f"n=$n k=$k nprobe=$nprobe tau=$tau%.2f " +
+        f"recall=${hits.toDouble / total}%.3f ($hits/$total) " +
+        f"exact=${(t1 - t0) / 1e9}%.1fs quant=${(t2 - t1) / 1e9}%.1fs")
+      // decomposition for a ScaleGen-tiled corpus: intra-tile pairs are
+      // the planted duplicate structure (rotation-invariant, identical
+      // per tile); cross-tile pairs are the random-cosine tail
+      tileStride.foreach { ts =>
+        def split(df: org.apache.spark.sql.DataFrame, same: Boolean) = {
+          val cond = (col("id_a") / ts).cast("long") ===
+            (col("id_b") / ts).cast("long")
+          df.filter(if (same) cond else !cond)
+        }
+        for (same <- Seq(true, false)) {
+          val tot = split(exact, same).count()
+          val hit = split(exact, same)
+            .join(quant, Seq("id_a", "id_b"), "left_semi").count()
+          val label = if (same) "intra-tile" else "cross-tile"
+          println(f"  $label: recall=${if (tot == 0) Double.NaN
+            else hit.toDouble / tot}%.3f ($hit/$tot)")
+        }
+      }
+    }
 
   /** e16 recall grid over the IVF probing width (shortlist fixed at the
     * committed 64): how much of PQ's recall the cell restriction keeps. */

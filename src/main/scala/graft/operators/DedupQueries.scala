@@ -49,9 +49,14 @@ object DedupQueries {
     // (PinScope sweeps the pin after the caller materializes)
     val coded = e.select(col("vec_id"), col("embedding"),
       VectorQueries.int8Codes(col("embedding")).as("qv")).persist()
+    // the training sample must scale WITH k (≥64 points per centroid):
+    // the r10 sf1 probe measured recall 0.92 → 0.42 when k grew 10× over
+    // a fixed 1000-row sample — ~6 points per centroid yields collapsed/
+    // empty cells that neither wider probing (nprobe 8→64 flat) nor a
+    // slack verify threshold recovers. Sample cost stays linear in k.
     val cents = VectorQueries.kmeansCentroids(
       coded.select(col("vec_id"), col("embedding")),
-      k, iters = 2, trainTargetRows = 1000L)
+      k, iters = 2, trainTargetRows = math.max(1000L, 64L * k))
     val bc = V.broadcastCentroids(s, cents)
     val home = coded.select(col("vec_id").as("id_h"), col("qv").as("qh"),
       V.nearestCentroidCol(col("embedding"), bc).as("cell"))
