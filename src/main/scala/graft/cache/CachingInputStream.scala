@@ -320,9 +320,26 @@ final class CachingInputStream(
       buf: Array[Byte], bufOff: Int): Unit = {
     val m = manager.metadataFor(path).orNull
     val file = if (m != null) m.dataFile else null
+    // TOCTOU guard (r10 triple-stressor finding): between the planner's
+    // getCacheStatus and this read, eviction can delete the entry and a
+    // concurrent miss re-create it as a fresh SPARSE file at the same
+    // generation path — and reading a hole "succeeds" with zeros, the
+    // one failure mode the truncation/missing-file checks can't see.
+    // deleteFiles() sets the deleted flag under the instance lock BEFORE
+    // unlinking, so the optimistic read-validate below is race-free:
+    // validate the CURRENT instance's bitmap covers every block (pre —
+    // avoids wasted IO; a re-created sparse instance fails here), read,
+    // then re-validate (post — if no deletion started during the reads,
+    // the bytes came from a consistent file; otherwise re-serve direct).
+    def covers: Boolean = rs.forall { r =>
+      m.allCached(BlockMath.startBlock(r.actualStart, conf.blockSize),
+        BlockMath.endBlock(r.actualStart, r.actualLen, conf.blockSize))
+    }
     try {
       if (m == null || m.isDeleted || !file.exists())
         throw new IOException(s"cache entry missing for $path")
+      if (!covers)
+        throw new IOException(s"cache entry no longer covers read for $path")
       val ch = FileChannel.open(file.toPath, StandardOpenOption.READ)
       try {
         rs.foreach { r =>
@@ -334,9 +351,12 @@ final class CachingInputStream(
               s"cached file truncated at $p (${file.getPath})")
             p += n
           }
-          manager.metrics.bytesFromCache.addAndGet(r.actualLen.toLong)
         }
       } finally ch.close()
+      if (!covers)
+        throw new IOException(s"cache entry deleted during read of $path")
+      rs.foreach(r =>
+        manager.metrics.bytesFromCache.addAndGet(r.actualLen.toLong))
     } catch {
       case e: Exception =>
         // corruption fallback: invalidate and serve direct
