@@ -149,7 +149,13 @@ object QBench {
       // streaming CMS (serial lane)
       "d41_triangles", "d42_setsim_join", "d43_leakfree_split",
       "e20_rrf_fusion", "e21_knn_classify", "d44_dup_sentences",
-      "q60_string_agg", "s12_stream_sketch")
+      "q60_string_agg", "s12_stream_sketch",
+      // round-10 additions: the DEFLATE codec, the suffix-automaton
+      // substring tiers, and the remaining tagged-metric cache
+      // contracts — c* now races on the shared lane, so the soak
+      // exercises the per-query attribution under maximal interleaving
+      "m11_inflate", "d45_substring_dedup", "d46_substring_decontam",
+      "c05_partition_roundtrip", "c09_bucketed_join", "c12_vectored_scan")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(

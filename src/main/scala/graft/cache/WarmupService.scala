@@ -21,8 +21,14 @@ final class WarmupService(
     manager: CacheManager,
     openRemote: String => java.io.InputStream with org.apache.hadoop.fs.PositionedReadable) {
 
+  /** `tag`: the enqueuer's [[MetricsTag]], captured at enqueue time so
+    * the pool worker can bill the download to the query that caused it
+    * (per-file merges of same-mtime requests bill to the newest
+    * enqueuer's tag — attribution under merging is approximate by
+    * design; the counters are diagnostics, not a ledger). */
   final case class FetchRequest(path: String, start: Long, end: Long,
-      fileLen: Long, mtime: Long, enqueuedAt: Long)
+      fileLen: Long, mtime: Long, enqueuedAt: Long,
+      tag: Option[String] = None)
 
   private val conf = manager.conf
   private val queue = new ConcurrentLinkedQueue[FetchRequest]()
@@ -63,7 +69,7 @@ final class WarmupService(
     if (stopped) return // nothing will ever drain it
     if (start < 0 || end <= start) return // degenerate range: nothing to warm
     queue.add(FetchRequest(path, start, end, fileLen, mtime,
-      System.currentTimeMillis()))
+      System.currentTimeMillis(), MetricsTag.current))
     manager.metrics.warmupRequests.incrementAndGet()
   }
 
@@ -90,17 +96,19 @@ final class WarmupService(
       val ranges: RangeSet[java.lang.Long] = TreeRangeSet.create()
       reqs.filter(_.mtime == newest.mtime)
         .foreach(q => ranges.add(GRange.closedOpen(Long.box(q.start), Long.box(q.end))))
-      (path, newest.fileLen, newest.mtime, ranges)
+      (path, newest.fileLen, newest.mtime, ranges, newest.tag)
     }
 
     var scheduled = 0
-    perFile.foreach { case (path, fileLen, mtime, ranges) =>
+    perFile.foreach { case (path, fileLen, mtime, ranges, tag) =>
       ranges.asRanges().forEach { g =>
         scheduled += 1
         workers.submit(new Runnable {
-          override def run(): Unit =
+          // bill the download's warmup_bytes to the enqueuing query
+          override def run(): Unit = MetricsTag.withInherited(tag) {
             download(path, g.lowerEndpoint(), math.min(g.upperEndpoint(), fileLen),
               fileLen, mtime)
+          }
         })
       }
     }

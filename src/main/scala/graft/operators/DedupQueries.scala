@@ -528,6 +528,79 @@ object DedupQueries {
           expr("lcs_chars * 1000L div greatest(least(length(sa), length(sb)), 1L)")
             .as("lcs_permille"),
           (col("lcs_chars") >= 50).as("dup_span_50"))
+    },
+
+    // ---- verbatim-span benchmark decontamination (d46): the GPT-3/
+    // Lee-et-al. practice d14's SET-overlap check approximates — flag
+    // every TRAIN doc sharing a long verbatim character span with any
+    // BENCHMARK doc (eval split = doc_id % 50 == 0 here; a real
+    // pipeline joins against the eval suite's docs). Asymmetric d45
+    // composition: candidates are train×bench pairs sharing an exact
+    // 8-token window (hash-keyed equi-join, string-confirmed), exact
+    // longest-span via the suffix-automaton lcs_len over the same
+    // 512-char cap, rolled up per train doc. Scale shape: the window
+    // join's probe side is the (tiny) benchmark windows — broadcast at
+    // any corpus size; the LCS pass touches only candidate pairs. ----
+    QueryDef("d46_substring_decontam",
+      """WITH t AS (SELECT doc_id, substring(text, 1, 512) AS s,
+        |            regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |w AS (SELECT doc_id, list_aggregate(tk[i:i+7], 'string_agg', ' ') AS win
+        |      FROM t, unnest(range(1, greatest(len(tk)-7, 0)+1)) AS r(i)),
+        |p AS (SELECT DISTINCT tr.doc_id AS train_id, be.doc_id AS bench_id
+        |      FROM w tr JOIN w be ON tr.win = be.win
+        |      WHERE tr.doc_id % 50 <> 0 AND be.doc_id % 50 = 0),
+        |c AS (SELECT train_id, bench_id, a.s AS sa, b.s AS sb
+        |      FROM p JOIN t a ON a.doc_id = train_id
+        |             JOIN t b ON b.doc_id = bench_id),
+        |m AS (SELECT train_id, bench_id, i.i AS i, j.j AS j
+        |      FROM c, unnest(range(1, length(sa)+1)) AS i(i),
+        |           unnest(range(1, length(sb)+1)) AS j(j)
+        |      WHERE substring(sa, CAST(i.i AS INT), 1)
+        |          = substring(sb, CAST(j.j AS INT), 1)),
+        |runs AS (SELECT train_id, bench_id, count(*) AS run FROM (
+        |         SELECT train_id, bench_id, i - j AS diag,
+        |           i - row_number() OVER (PARTITION BY train_id, bench_id,
+        |                                  i - j ORDER BY i) AS grp
+        |         FROM m) GROUP BY train_id, bench_id, diag, grp),
+        |l AS (SELECT train_id, bench_id, CAST(max(run) AS BIGINT) AS lcs
+        |      FROM runs GROUP BY 1, 2)
+        |SELECT c.train_id AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bench_hits,
+        |  CAST(max(COALESCE(l.lcs, 0)) AS BIGINT) AS max_lcs_chars,
+        |  max(COALESCE(l.lcs, 0)) >= 50 AS contaminated
+        |FROM c LEFT JOIN l USING (train_id, bench_id)
+        |GROUP BY c.train_id""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 512).as("s0"),
+          expr("regexp_extract_all(text, '\\\\S+', 0)").as("tk"))
+        .persist() // window explode + both text joins read it
+      val w = t.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) < 8 THEN array()
+            |ELSE transform(sequence(1, size(tk)-7),
+            |  i -> array_join(slice(tk, i, 8), ' ')) END""".stripMargin))
+          .as("win"))
+        .withColumn("wh", xxhash64(col("win")))
+      val trainW = w.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      // the benchmark side is small by construction: broadcast it so
+      // the train windows never shuffle
+      val benchW = broadcast(w.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("bench_id"), col("wh").as("bwh"),
+          col("win").as("bwin")))
+      val pairs = trainW.join(benchW,
+          col("wh") === col("bwh") && col("win") === col("bwin"))
+        .select(col("doc_id").as("train_id"), col("bench_id"))
+        .distinct()
+      pairs
+        .join(t.select(col("doc_id").as("train_id"), col("s0").as("sa")),
+          Seq("train_id"))
+        .join(t.select(col("doc_id").as("bench_id"), col("s0").as("sb")),
+          Seq("bench_id"))
+        .withColumn("lcs",
+          graft.functions.StringAlgos.lcsLenCol(col("sa"), col("sb")))
+        .groupBy(col("train_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_bench_hits"),
+          max(col("lcs")).as("max_lcs_chars"),
+          (max(col("lcs")) >= 50).as("contaminated"))
     }
   )
 

@@ -105,6 +105,27 @@ class WarmupServiceSpec extends AnyFunSuite with CacheFixture {
     assert(got.sameElements(content.slice(0, 700)))
   }
 
+  test("warmup downloads bill the enqueuer's MetricsTag (pool inheritance)") {
+    val f = TestFiles.write(tmp, "w/t.bin", content)
+    val p = "file:" + f
+    val svc = newService(manager)
+    // the enqueue happens on a query thread carrying a tag; the download
+    // runs later on an untagged pool worker — withInherited must carry
+    // the attribution across
+    MetricsTag.withInherited(Some("warm-attrib-test")) {
+      svc.enqueue(p, 0, 500, content.length.toLong, 1L)
+    }
+    assert(svc.drainOnce(System.currentTimeMillis() + 10000) == 1)
+    val deadline = System.currentTimeMillis() + 5000
+    while (System.currentTimeMillis() < deadline &&
+      manager.metrics.taggedSnapshot("warm-attrib-test")("warmup_bytes") == 0L)
+      Thread.sleep(50)
+    val tagged = manager.metrics.taggedSnapshot("warm-attrib-test")
+    assert(tagged("warmup_bytes") > 0L,
+      s"download must bill the enqueuer's tag, got $tagged")
+    manager.metrics.dropTag("warm-attrib-test")
+  }
+
   test("conflicting mtimes: newest wins, stale request dropped") {
     val f = TestFiles.write(tmp, "w/c.bin", content)
     val p = "file:" + f
