@@ -332,4 +332,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("windowspecdefinition\\(vid#\\d+L".r.findFirstIn(p).isDefined,
       s"expected the per-vector rank window:\n$p")
   }
+
+  test("d45 substring dedup: window-hash equi-join, lcs_len in codegen, no cartesian") {
+    val p = plan("d45_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the window equi-join, never all-pairs:\n$p")
+    assert(p.toLowerCase.contains("lcs_len"),
+      s"expected the native lcs_len expression in the plan:\n$p")
+    // the pair join keys on the 64-bit window hash (plus the confirming
+    // string equality), not on the raw window string alone
+    assert(p.contains("xxhash64"), s"expected hash-keyed join:\n$p")
+  }
+
+  test("d46 decontamination: benchmark windows broadcast, train side streams") {
+    val p = plan("d46_substring_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark window side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs anywhere:\n$p")
+  }
+
+  test("m11 inflate: pure per-row batch decode, zero exchanges") {
+    val p = plan("m11_inflate")
+    assert(!p.contains("Exchange"),
+      s"a per-row codec projection must not shuffle:\n$p")
+  }
 }
