@@ -33,6 +33,8 @@ object QBench {
       case "mrl" => mrl(spark, sfDir)
       case "ham" => ham(spark, sfDir)
       case "ivfpq" => ivfpq(spark, sfDir)
+      case "knnscale" => knnScale(spark, sfDir,
+        nprobe = args.drop(1).headOption.map(_.toInt).getOrElse(8))
       case "qkrecall" => qkRecall(spark, sfDir,
         nprobe = args.drop(1).headOption.map(_.toInt).getOrElse(8),
         tau = args.drop(2).headOption.map(_.toDouble).getOrElse(0.35),
@@ -212,6 +214,55 @@ object QBench {
       }
     }
   }
+
+  /** SCALE.md's e15 production regime: whole-corpus kNN join with a
+    * trained IVF blocking at k ∝ n and FIXED nprobe. kNN is a TIGHT
+    * query — a vector's top-3 live in its nearest cells — so unlike the
+    * τ=0.35 wide-radius range search (qkRecall), fixed nprobe should
+    * hold recall while candidates stay linear (n · nprobe · cellsize).
+    * Prints approx time, exact-arm time, and recall@3. */
+  private def knnScale(spark: SparkSession, dir: String, nprobe: Int): Unit =
+    PinScope.run(spark) {
+      val V = graft.functions.VectorOps
+      val e = operators.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).persist()
+      val n = e.count()
+      val k = math.max(16, (n / 125).toInt)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      def top3(scored: DataFrame): DataFrame = scored
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("cid"))
+      val t0 = System.nanoTime()
+      val cents = operators.VectorQueries.kmeansCentroids(e, k, iters = 2,
+        trainTargetRows = math.max(1000L, 64L * k))
+      val bc = V.broadcastCentroids(spark, cents)
+      val home = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .withColumn("cell", V.nearestCentroidCol(col("ce"), bc))
+      val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .withColumn("cell", explode(V.nearestCentroidsCol(col("qe"), bc, nprobe)))
+      val approx = top3(home.join(probes, Seq("cell"))
+        .withColumn("cos", V.cosineSim(col("qe"), col("ce")))
+        .select(col("qid"), col("cid"), col("cos"))).persist()
+      val na = approx.count()
+      val t1 = System.nanoTime()
+      // exact truth: corpus × corpus with the query side broadcast (the
+      // probe's one-off measurement arm, not a gate plan)
+      val exact = top3(
+        e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+          .join(broadcast(e.select(col("vec_id").as("qid"),
+            col("embedding").as("qe"))))
+          .withColumn("cos", V.cosineSim(col("qe"), col("ce")))
+          .select(col("qid"), col("cid"), col("cos"))).persist()
+      val ne = exact.count()
+      val t2 = System.nanoTime()
+      val hits = exact.join(approx, Seq("qid", "cid"), "left_semi").count()
+      println(f"n=$n k=$k nprobe=$nprobe recall@3=${hits.toDouble / ne}%.3f " +
+        f"($hits/$ne, approx_rows=$na) " +
+        f"approx=${(t1 - t0) / 1e9}%.1fs exact=${(t2 - t1) / 1e9}%.1fs")
+    }
 
   /** SCALE.md's recall check for the scaled-k production arm: at any
     * corpus size, quantSemanticPairs with k ∝ n (cells ~125 vectors,
