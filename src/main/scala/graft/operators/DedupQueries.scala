@@ -38,8 +38,15 @@ object DedupQueries {
     * volume of the symmetric nprobe=4 formulation while measuring the
     * same recall band (0.92-1.0, SemDedupRecallSpec; asymmetric
     * nprobe=4 sat at 0.79 — under the spec floor). Never corpus-wide
-    * all-pairs — the SemDeDup cost model, where k grows with the corpus
-    * so cells stay bounded and nprobe stays a small constant. */
+    * all-pairs — the SemDeDup cost model: k grows with the corpus so
+    * cells stay bounded (the training sample grows WITH k — see below),
+    * and nprobe stays a small constant WHEN the corpus has concentrated
+    * neighbor structure (real embedding corpora: dups many σ above the
+    * random-cosine tail). On a diffuse corpus — this testdata's median
+    * top-1 cosine is only 3.2σ — recall tracks the probed FRACTION
+    * nprobe/k instead, and the qualifying output is itself quadratic,
+    * so constant-fraction probing is optimal there. Both regimes and
+    * the boundary statistic are measured in SCALE.md (r10). */
   def quantSemanticPairs(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame, tau: Double, k: Int,
       nprobe: Int): org.apache.spark.sql.DataFrame = {

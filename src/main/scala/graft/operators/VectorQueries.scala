@@ -668,7 +668,11 @@ object VectorQueries {
     // cluster assignment. Candidates are label-blocked (the corpus'
     // coarse-cluster stand-in: at 100 TB the blocking key is a trained
     // IVF cell exactly as in e08/d26, so pair count stays
-    // sum-of-cell-squares, never corpus²); within a block the join
+    // sum-of-cell-squares, never corpus² — sufficient for kNN recall
+    // when neighbors concentrate, i.e. top-1 cosine many σ above the
+    // random tail; this corpus is diffuse (3.2σ) and SCALE.md r10
+    // measures what that does to cell-blocked recall at 10×, via
+    // QBench knnscale); within a block the join
     // shuffles BOTH sides on the block key once, scores with the native
     // cosine kernel, and ranks per vector — the window repartitions on
     // vec_id, the second and last exchange. ----
