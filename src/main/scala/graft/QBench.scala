@@ -338,8 +338,12 @@ object QBench {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     def ev = {
-      val raw = spark.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // dir/file layout handling as in EventStreams.eventsStream
+      val reader = spark.readStream.schema(batchSchema)
+      val raw =
+        if (new java.io.File(s"$dir/events.parquet").isDirectory)
+          reader.parquet(s"$dir/events.parquet")
+        else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw

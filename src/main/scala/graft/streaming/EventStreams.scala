@@ -61,10 +61,16 @@ object EventStreams {
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // events.parquet is a single FILE in the driver corpus but a
+    // DIRECTORY of part files in any Spark-written corpus (ScaleGen's
+    // first cut, real deployments). A glob on the literal file name
+    // reads the directory layout as an EMPTY stream — silently. Stream
+    // from inside the directory when it is one.
+    val isDir = new java.io.File(s"$dir/events.parquet").isDirectory
+    val reader = spark.readStream.schema(batchSchema)
+    val raw =
+      if (isDir) reader.parquet(s"$dir/events.parquet")
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else if (raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
