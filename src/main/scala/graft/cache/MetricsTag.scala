@@ -23,9 +23,16 @@ import org.apache.spark.sql.SparkSession
   *  1. inside a Spark task: `TaskContext.getLocalProperty` (the property
   *     captured at job submission);
   *  2. an explicitly inherited thread tag (async pools that want to bill
-  *     work to their enqueuer wrap runnables in [[withInherited]]);
-  *  3. the calling thread's session local property (driver-side reads:
-  *     footer/schema inference happen on the query's own thread).
+  *     work to their enqueuer wrap runnables in [[withInherited]]; the
+  *     tagging thread itself carries the same thread tag for driver-side
+  *     reads — footer/schema inference on the query's own thread).
+  *
+  * Deliberately NOT consulted: the thread's Spark local properties.
+  * Those are an InheritableThreadLocal, so a pool thread lazily created
+  * inside a withTag window would inherit the tag permanently and bill
+  * unrelated untagged traffic to a finished query's UUID forever. The
+  * thread tag here is a plain ThreadLocal — child threads see nothing
+  * unless wrapped in [[withInherited]].
   *
   * The `anyTags` fast path keeps the untagged hot read path at one
   * volatile load per counter bump.
@@ -40,20 +47,25 @@ object MetricsTag {
     if (!anyTags) return None
     val tc = TaskContext.get()
     if (tc != null) return Option(tc.getLocalProperty(Key))
-    val t = threadTag.get
-    if (t != null) return Some(t)
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .flatMap(s => Option(s.sparkContext.getLocalProperty(Key)))
+    Option(threadTag.get)
   }
 
   /** Runs `body` with `tag` set as the calling thread's Spark local
-    * property (restored afterwards); all jobs the body submits carry it. */
+    * property (restored afterwards); all jobs the body submits carry it.
+    * The calling thread also gets the plain thread tag so its own
+    * driver-side reads are billed — without the inheritance leak a
+    * local-property lookup would reintroduce. */
   def withTag[T](s: SparkSession, tag: String)(body: => T): T = {
     anyTags = true
     val sc = s.sparkContext
     val prev = sc.getLocalProperty(Key)
+    val prevThread = threadTag.get
     sc.setLocalProperty(Key, tag)
-    try body finally sc.setLocalProperty(Key, prev)
+    threadTag.set(tag)
+    try body finally {
+      sc.setLocalProperty(Key, prev)
+      if (prevThread != null) threadTag.set(prevThread) else threadTag.remove()
+    }
   }
 
   /** For async pool workers: runs `body` billing metric bumps to `tag`

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `lcs_len(a, b)` — EXACT longest-common-substring length (characters)
+/** `lcs_len(a, b)` — EXACT longest-common-substring length (code points)
   * via a suffix automaton of `a` streamed over `b`: O(|a| + |b|) per
   * pair, against the O(|a|·|b|) dynamic program a naive formulation
   * needs. This is the exact tier of the substring-dedup ladder (Lee et
@@ -49,24 +49,30 @@ object StringAlgos {
       org.apache.spark.sql.graft.ColumnBridge.expression(a),
       org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
-  /** Longest common substring length in CHARACTERS. Suffix automaton of
+  /** Longest common substring length in CODE POINTS. Suffix automaton of
     * `a` (≤ 2|a| states, linear construction), then one left-to-right
-    * pass of `b` tracking the longest current match. */
+    * pass of `b` tracking the longest current match. Runs over Unicode
+    * code points, not UTF-16 units — a supplementary-plane char (emoji,
+    * CJK-ext) counts as 1 and half-surrogates can never match across
+    * different astral chars, matching the per-codepoint substring
+    * semantics the d45/d46 DuckDB oracles use. */
   def lcsLen(a: String, b: String): Long = {
     if (a.isEmpty || b.isEmpty) return 0L
-    val maxStates = 2 * a.length + 2
+    val as = a.codePoints().toArray
+    val bs = b.codePoints().toArray
+    val maxStates = 2 * as.length + 2
     val link = new Array[Int](maxStates)
     val len = new Array[Int](maxStates)
-    val trans = new Array[java.util.HashMap[Character, Integer]](maxStates)
-    trans(0) = new java.util.HashMap[Character, Integer]()
+    val trans = new Array[java.util.HashMap[Integer, Integer]](maxStates)
+    trans(0) = new java.util.HashMap[Integer, Integer]()
     link(0) = -1
     var size = 1
     var last = 0
     var ai = 0
-    while (ai < a.length) {
-      val c = a.charAt(ai)
+    while (ai < as.length) {
+      val c = Integer.valueOf(as(ai))
       val cur = size; size += 1
-      trans(cur) = new java.util.HashMap[Character, Integer]()
+      trans(cur) = new java.util.HashMap[Integer, Integer]()
       len(cur) = len(last) + 1
       var p = last
       while (p != -1 && !trans(p).containsKey(c)) {
@@ -81,7 +87,7 @@ object StringAlgos {
           val clone = size; size += 1
           len(clone) = len(p) + 1
           trans(clone) =
-            new java.util.HashMap[Character, Integer](trans(q))
+            new java.util.HashMap[Integer, Integer](trans(q))
           link(clone) = link(q)
           while (p != -1 && {
             val t = trans(p).get(c); t != null && t.intValue() == q
@@ -101,8 +107,8 @@ object StringAlgos {
     var l = 0
     var best = 0
     var bi = 0
-    while (bi < b.length) {
-      val c = b.charAt(bi)
+    while (bi < bs.length) {
+      val c = Integer.valueOf(bs(bi))
       while (v != 0 && !trans(v).containsKey(c)) {
         v = link(v)
         l = len(v)

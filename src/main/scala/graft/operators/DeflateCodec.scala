@@ -130,6 +130,12 @@ object DeflateCodec {
         }
         code = (code + count(l)) << 1
       }
+      // Over-subscribed code (Kraft sum > 1) — zlib rejects these too;
+      // without the guard decode() could resolve a code to a phantom row.
+      var kraft = 0L
+      for (l <- 1 to maxLen) kraft += count(l).toLong << (maxLen - l)
+      require(kraft <= (1L << maxLen),
+        "deflate: over-subscribed huffman code")
     }
     def decode(br: BitReader): Int = {
       var code = 0
@@ -199,12 +205,20 @@ object DeflateCodec {
                   case 16 =>
                     require(n > 0, "deflate: repeat with no previous length")
                     val rep = 3 + br.readBits(2)
+                    require(n + rep <= lens.length,
+                      "deflate: code-length repeat overflow")
                     var j = 0
                     while (j < rep) { lens(n) = lens(n - 1); n += 1; j += 1 }
                   case 17 =>
-                    val rep = 3 + br.readBits(3); n += rep
+                    val rep = 3 + br.readBits(3)
+                    require(n + rep <= lens.length,
+                      "deflate: code-length repeat overflow")
+                    n += rep
                   case 18 =>
-                    val rep = 11 + br.readBits(7); n += rep
+                    val rep = 11 + br.readBits(7)
+                    require(n + rep <= lens.length,
+                      "deflate: code-length repeat overflow")
+                    n += rep
                   case v =>
                     lens(n) = v; n += 1
                 }

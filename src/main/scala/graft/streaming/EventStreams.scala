@@ -574,6 +574,9 @@ object EventStreams {
       // never delete each other's partials log or checkpoint mid-run.
       val base = java.nio.file.Files
         .createTempDirectory("graft-scms-").toString
+      // Scratch cleanup rides a finally: a failed run (empty input, stream
+      // exception, timeout) must not leak the checkpoint/partials dir.
+      try {
       val q = eventsStream(spark, dir)
         .select(col("user_id").cast("string").as("uid"))
         .writeStream
@@ -601,18 +604,16 @@ object EventStreams {
       val bos = new java.io.ByteArrayOutputStream()
       merged.writeTo(bos)
       val skBytes = bos.toByteArray
-      // scratch dir is per-run; reclaim it now that the sketch is in memory
-      org.apache.hadoop.fs.FileSystem
-        .getLocal(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(base), true)
-      // truth arm + in-band estimate contract over the merged sketch
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("user_id"))
+      // truth arm + in-band estimate contract over the merged sketch.
+      // TakeOrdered top-k (d31's shape): orderBy.limit(10) keeps the
+      // user-cardinality rows distributed; the rank window runs over only
+      // the 10 surviving rows — never a single-partition global window.
       val top = graft.operators.Tables.load(spark, dir, "events")
         .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(10)
         .withColumn("rnk", org.apache.spark.sql.functions.row_number()
-          .over(w).cast("long"))
-        .filter(col("rnk") <= 10)
+          .over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("user_id"))).cast("long"))
         .persist()
       val ok = top
         .withColumn("est", graft.functions.CmsEstimate.cmsEstimateCol(
@@ -622,6 +623,13 @@ object EventStreams {
           .as("cms_ok"))
       top.select(col("user_id"), col("cnt"), col("rnk"))
         .crossJoin(broadcast(ok))
+      } finally {
+        // The returned plan reads only the events table and the in-memory
+        // sketch bytes, so the scratch dir is reclaimable on every path.
+        org.apache.hadoop.fs.FileSystem
+          .getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(base), true)
+      }
     }
 
   /** Per-user lifetime stats via Spark 4's `transformWithState` — the

@@ -126,6 +126,24 @@ class WarmupServiceSpec extends AnyFunSuite with CacheFixture {
     manager.metrics.dropTag("warm-attrib-test")
   }
 
+  test("threads spawned inside a withTag window do NOT inherit the tag") {
+    // A lazily-created pool thread must not permanently bill a finished
+    // query's tag (the InheritableThreadLocal leak the local-property
+    // fallback had): only withInherited carries attribution across.
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("metricstag-leak").getOrCreate()
+    val seen = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+    MetricsTag.withTag(spark, "leak-test-tag") {
+      assert(MetricsTag.current.contains("leak-test-tag"),
+        "the tagging thread itself must carry the tag")
+      val t = new Thread(() => seen.set(MetricsTag.current))
+      t.start(); t.join()
+    }
+    assert(seen.get().isEmpty,
+      s"child thread inherited the tag: ${seen.get()}")
+    assert(MetricsTag.current.isEmpty, "tag must clear after the window")
+  }
+
   test("conflicting mtimes: newest wins, stale request dropped") {
     val f = TestFiles.write(tmp, "w/c.bin", content)
     val p = "file:" + f

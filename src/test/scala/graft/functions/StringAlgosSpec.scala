@@ -46,6 +46,53 @@ class StringAlgosSpec extends AnyFunSuite {
     }
   }
 
+  /** Per-CODEPOINT reference DP (what the DuckDB oracle computes). */
+  private def lcsDpCp(a: String, b: String): Int = {
+    val as = a.codePoints().toArray
+    val bs = b.codePoints().toArray
+    if (as.isEmpty || bs.isEmpty) return 0
+    val prev = new Array[Int](bs.length + 1)
+    val cur = new Array[Int](bs.length + 1)
+    var best = 0
+    for (i <- 1 to as.length) {
+      for (j <- 1 to bs.length) {
+        cur(j) = if (as(i - 1) == bs(j - 1)) prev(j - 1) + 1 else 0
+        if (cur(j) > best) best = cur(j)
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+    }
+    best
+  }
+
+  test("counts code points, not UTF-16 units (supplementary plane)") {
+    // 😀 = U+1F600 (2 chars as a surrogate pair, 1 code point)
+    assert(StringAlgos.lcsLen("😀", "😀") == 1)
+    assert(StringAlgos.lcsLen("a😀b", "x😀y") == 1)
+    assert(StringAlgos.lcsLen("a😀b", "a😀b") == 3)
+    // different astral chars sharing a HIGH surrogate must NOT match:
+    // U+1F600 😀 and U+1F601 😁 share the high surrogate 0xD83D — a
+    // UTF-16-unit automaton reports a length-1 half-surrogate match.
+    assert(StringAlgos.lcsLen("😀", "😁") == 0)
+    // CJK-ext B: U+20000, also a surrogate pair
+    assert(StringAlgos.lcsLen("x𠀀y", "z𠀀w") == 1)
+  }
+
+  test("matches the per-codepoint DP on random astral-mixed strings") {
+    val rnd = new scala.util.Random(99)
+    val cps = Array(0x61, 0x62, 0x1F600, 0x1F601, 0x20000, 0x20001)
+    def mk(n: Int) = {
+      val sb = new java.lang.StringBuilder
+      (1 to n).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      sb.toString
+    }
+    for (trial <- 1 to 200) {
+      val a = mk(rnd.nextInt(40))
+      val b = mk(rnd.nextInt(40))
+      assert(StringAlgos.lcsLen(a, b) == lcsDpCp(a, b).toLong,
+        s"trial $trial")
+    }
+  }
+
   test("matches the DP on realistic token text with planted duplicate spans") {
     val rnd = new scala.util.Random(7)
     val words = Seq("the", "cache", "block", "reads", "data", "spark", "node")

@@ -85,4 +85,65 @@ class DeflateCodecSpec extends AnyFunSuite {
     stored(4) = (stored(4) ^ 0x01).toByte // flip a LEN byte vs its ~NLEN
     assertThrows[IllegalArgumentException](DeflateCodec.inflate(stored))
   }
+
+  /** LSB-first bit writer mirroring RFC 1951 framing, for hand-crafting
+    * malformed dynamic-Huffman blocks (the codec's own BitWriter is
+    * private, and deflateFrame only emits well-formed streams). */
+  private final class Bits {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var buf = 0; private var cnt = 0
+    def bit(b: Int): Unit = {
+      buf |= (b & 1) << cnt; cnt += 1
+      if (cnt == 8) { out.write(buf); buf = 0; cnt = 0 }
+    }
+    def bits(v: Int, n: Int): Unit = (0 until n).foreach(i => bit((v >> i) & 1))
+    def byte(v: Int): Unit = { while (cnt != 0) bit(0); out.write(v) }
+    def toBytes: Array[Byte] = { while (cnt != 0) bit(0); out.toByteArray }
+  }
+
+  /** Preamble shared by the crafted blocks: zlib header, BFINAL=1,
+    * BTYPE=2 (dynamic), HLIT=257, HDIST=1, HCLEN=4 — so the code-length
+    * table covers ClOrder(0..3) = 16,17,18,0. */
+  private def dynPreamble(clLen16: Int, clLen17: Int, clLen18: Int,
+      clLen0: Int): Bits = {
+    val w = new Bits
+    w.byte(0x78); w.byte(0x01)
+    w.bit(1); w.bits(2, 2)       // BFINAL, BTYPE=2
+    w.bits(0, 5); w.bits(0, 5); w.bits(0, 4) // HLIT=257 HDIST=1 HCLEN=4
+    w.bits(clLen16, 3); w.bits(clLen17, 3)
+    w.bits(clLen18, 3); w.bits(clLen0, 3)
+    w
+  }
+
+  test("code-length repeat past the table end raises IllegalArgumentException, not AIOOBE") {
+    // CL table: {0 -> code 0, 16 -> code 1}, both length 1.
+    val w = dynPreamble(clLen16 = 1, clLen17 = 0, clLen18 = 0, clLen0 = 1)
+    w.bit(0)                      // sym 0: lens(0)=0, n=1
+    // 45 repeats of sym 16 with rep=6 each write past lens.length=258
+    (1 to 45).foreach { _ => w.bit(1); w.bits(3, 2) }
+    val frame = w.toBytes ++ Array[Byte](0, 0, 0, 0) // adler never reached
+    assertThrows[IllegalArgumentException](DeflateCodec.inflate(frame))
+  }
+
+  test("over-subscribed huffman table raises IllegalArgumentException") {
+    // four length-1 code-length codes: Kraft sum 4 > 2
+    val w = dynPreamble(clLen16 = 1, clLen17 = 1, clLen18 = 1, clLen0 = 1)
+    val frame = w.toBytes ++ Array[Byte](0, 0, 0, 0)
+    assertThrows[IllegalArgumentException](DeflateCodec.inflate(frame))
+  }
+
+  test("random garbage after a valid header never escapes as a non-IllegalArgument error") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 2000) {
+      val body = new Array[Byte](6 + rnd.nextInt(64))
+      rnd.nextBytes(body)
+      val frame = Array[Byte](0x78, 0x01) ++ body
+      try { DeflateCodec.inflate(frame); () }
+      catch {
+        case _: IllegalArgumentException => () // the documented rejection
+        case e: Throwable =>
+          fail(s"trial $trial: escaped ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
 }
