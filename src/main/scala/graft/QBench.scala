@@ -157,7 +157,11 @@ object QBench {
       // contracts — c* now races on the shared lane, so the soak
       // exercises the per-query attribution under maximal interleaving
       "m11_inflate", "d45_substring_dedup", "d46_substring_decontam",
-      "c05_partition_roundtrip", "c09_bucketed_join", "c12_vectored_scan")
+      "c05_partition_roundtrip", "c09_bucketed_join", "c12_vectored_scan",
+      // round-11 additions: the composed pipeline + its attrition
+      // accounting — the composition is where shared-state bugs
+      // (persisted temp frames, tag attribution) would surface
+      "d47_pipeline_pack", "d48_pipeline_attrition")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(

@@ -14,7 +14,8 @@ object SparkEntry {
   /** All operator definitions, in gate order. */
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ EventQueries.defs ++ CacheQueries.defs ++
-      TextQueries.defs ++ DedupQueries.defs ++ VectorQueries.defs ++
+      TextQueries.defs ++ DedupQueries.defs ++ PipelineQueries.defs ++
+      VectorQueries.defs ++
       MultimodalQueries.defs ++ StreamingQueries.defs ++
       FingerprintQueries.defs ++ GraphQueries.defs
 

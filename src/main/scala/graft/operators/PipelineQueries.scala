@@ -1,0 +1,404 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The composed end-to-end training-data pipeline (d47/d48) — every stage
+  * is an operator the per-op gates already prove, chained as ONE job whose
+  * final packed output (and per-stage attrition) the DuckDB oracle replays
+  * as a single CTE chain:
+  *
+  *   quality filter (d19 rules) → near-dup dedup with content-policy
+  *   survivorship (d05 candidate mechanism + d10 components + d25
+  *   survivor) → cross-doc chunk dedup with document REWRITE (d18) →
+  *   verbatim-span benchmark decontamination (d46) → component-keyed
+  *   leak-free split (d43) → contiguous sequence packing (d36).
+  *
+  * Per-op gates cannot see survivorship/split/ordering interaction bugs
+  * (column contracts, filter-before-dedup ordering, a survivor whose
+  * component id drives the split) — this gate hash-pins the whole
+  * composition: every surviving train doc's packed offsets AND the md5 of
+  * its rewritten text. The reference's own stress suite is exactly
+  * composition-under-load (`rubix-stress/src/main/python/rubix_stressor.py`
+  * replays 18 queries against one warmed cache).
+  *
+  * Near-dup twins are PLANTED (the d07 device): docs with doc_id % 7 == 3
+  * get a copy at doc_id + 1,000,000 with a 2-token deterministic tail
+  * (" is " || doc_id % 97), so survivorship has real flow at every SF —
+  * the twin is strictly longer, so the d25 content policy must pick it,
+  * which is visible in the output ids (comp = original id, doc = twin id).
+  * The tail keeps intra-pair Jaccard ≥ ~0.8 (measured 0.80-0.85 floor
+  * across SFs) and shares no 3-gram between different twins (every tail
+  * gram spans a doc-specific final token).
+  *
+  * Stage order is load-bearing and itself measured: chunk-level dedup
+  * must run AFTER near-dup survivorship — measured the other way round,
+  * first-occurrence chunk rewriting strips the twins' shared 20-token
+  * chunks and the near-dup edge set collapses to zero (the whole
+  * survivorship stage silently no-ops). This is precisely the class of
+  * composition bug the per-op gates cannot see.
+  *
+  * MinHash-LSH (d06) rides in-band: the 16×4 banded candidate join runs
+  * over the same post-quality corpus and `lsh_recall_ok` asserts it
+  * captures ≥ 95% of the true jaccard ≥ 0.3 edge set (the production
+  * candidate path, measured against the exact edges the oracle replays;
+  * planted pairs sit at J ≥ 0.8 where 16×4 capture probability is
+  * 1 - (1-J⁴)¹⁶ ≥ 0.9998 per pair).
+  *
+  * 100 TB shape, stage by stage: quality is a zero-shuffle codegen
+  * projection; near-dup candidates are the d05 blocked gram-hash
+  * equi-join (never all-pairs) + the d10 fixpoint (per-round
+  * localCheckpoint, depth-1 plans); chunk dedup is ONE shuffle on the
+  * chunk string (min-over-window finds first occurrences without a
+  * self-join); decontamination broadcasts the benchmark windows so train
+  * windows never shuffle; packing uses d36's bucketed prefix sum —
+  * nothing row-scale crosses a single partition anywhere in the chain.
+  */
+object PipelineQueries {
+
+  private val tokens = "regexp_extract_all(text, '\\\\S+', 0)"
+
+  /** 20-token chunk strings of a token array column (d18's axis). */
+  private def chunksExpr(tk: String): Column = expr(
+    s"""CASE WHEN size($tk) = 0 THEN array()
+       |ELSE transform(sequence(0, cast(ceil(size($tk)/20.0) AS INT) - 1),
+       |               i -> array_join(slice($tk, i*20+1, 20), ' ')) END"""
+      .stripMargin)
+
+  /** 8-token sliding windows of a token array column (d45/d46's axis). */
+  private def winsExpr(tk: String): Column = expr(
+    s"""CASE WHEN size($tk) < 8 THEN array()
+       |ELSE transform(sequence(1, size($tk)-7),
+       |  i -> array_join(slice($tk, i, 8), ' ')) END""".stripMargin)
+
+  /** Pipeline input: the corpus (non-benchmark docs) plus planted twins. */
+  private def augmented(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "source", "text")
+      .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val twins = corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        col("source"),
+        concat(col("text"), lit(" is "),
+          pmod(col("doc_id"), lit(97)).cast("string")).as("text"))
+    corpus.unionByName(twins)
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** Stage 1 — d19's quality chain (all four integer rules), keeping the
+    * token array for the downstream stages. */
+  private def qualityDocs(aug: DataFrame): DataFrame = {
+    val base = aug
+      .withColumn("tk", expr(tokens))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("tok_chars",
+        expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("n_stop",
+        size(expr(s"filter(tk, t -> t IN ${TextQueries.inList(TextQueries.enStop)})"))
+          .cast("long"))
+      .withColumn("n_tri", greatest(col("n_tok") - 2, lit(0L)))
+      .withColumn("n_tri_distinct", size(array_distinct(expr(
+        """CASE WHEN size(tk) < 3 THEN array()
+          |ELSE transform(sequence(0, size(tk) - 3),
+          |  i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])) END"""
+          .stripMargin))).cast("long"))
+    base.filter(col("n_tok").between(10, 1000) &&
+        lit(2) * col("n_tok") <= col("tok_chars") &&
+        col("tok_chars") <= lit(12) * col("n_tok") &&
+        col("n_stop") >= 2 &&
+        (col("n_tri") === 0 ||
+          lit(10) * col("n_tri_distinct") >= lit(4) * col("n_tri")))
+      .select("doc_id", "lang", "source", "text", "tk")
+  }
+
+  /** All intermediate stage frames, so d47 (pack) and d48 (attrition)
+    * share one construction. Frames are lazily composed; `q` and the
+    * edge set are persisted (multiple consumers each). */
+  private final case class Stages(
+      aug: DataFrame, q: DataFrame, edges: DataFrame, surv: DataFrame,
+      rw2: DataFrame, clean: DataFrame, sp: DataFrame, lshOk: DataFrame)
+
+  private def build(s: SparkSession, dir: String): Stages = {
+    val aug = augmented(s, dir)
+    val q = qualityDocs(aug).persist() // 4 consumers: pairs, LSH, length, chunks
+
+    // Stage 2a — exact near-dup edges via the d05 blocked candidate join
+    val edges = TextQueries.jaccardPairsOf(q)
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b")
+      .persist() // consumers: components + LSH recall
+
+    // Stage 2b — d06's banded LSH over the same corpus, asserted in-band:
+    // the production candidate path must capture >= 95% of the true edges
+    val lshHits = Dedup.lshCandidates(Dedup.signatures(q))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("lsh_hit"))
+    val lshOk = edges.join(lshHits, Seq("doc_a", "doc_b"), "left")
+      .agg(coalesce(sum(coalesce(col("lsh_hit"), lit(0L))), lit(0L)).as("cap"),
+        count(lit(1)).as("n"))
+      .select((expr("cap * 1000L div greatest(n, 1L)") >= 950 || col("n") === 0)
+        .as("lsh_recall_ok"))
+
+    // Stage 2c — d10 components + d25 content-policy survivor (longest
+    // text wins, tie -> lowest id; the planted twin is always longer)
+    val labels = TextQueries.componentsOf(edges, q.select("doc_id"))
+    val sized = labels.join(
+      q.select(col("doc_id"), length(col("text")).cast("long").as("len")),
+      "doc_id")
+    val byComp = Window.partitionBy("comp")
+      .orderBy(col("len").desc, col("doc_id"))
+    val surv = sized
+      .withColumn("sid", first("doc_id").over(byComp))
+      .filter(col("doc_id") === col("sid"))
+      .select("doc_id", "comp")
+
+    // Stage 3 — d18 chunk dedup ACROSS survivors with document rewrite:
+    // first occurrence (min doc_id*100000+idx over the chunk) keeps; the
+    // doc is rebuilt from its kept chunks in order. Zero kept chunks =
+    // the doc is dropped (fully boilerplate).
+    val occ = surv.join(q.select("doc_id", "tk"), "doc_id")
+      .select(col("doc_id"), col("comp"),
+        posexplode(chunksExpr("tk")).as(Seq("idx", "chunk")))
+    val keyed = occ.withColumn("first_key",
+      min(col("doc_id") * lit(100000L) + col("idx"))
+        .over(Window.partitionBy("chunk")))
+    val rw2 = keyed
+      .filter(col("doc_id") * lit(100000L) + col("idx") === col("first_key"))
+      .groupBy("doc_id", "comp")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), ' ')")
+        .as("rtext"))
+      .withColumn("rtk", expr("regexp_extract_all(rtext, '\\\\S+', 0)"))
+      .persist() // consumers: decontam windows, decontam text, split/pack
+
+    // Stage 4 — d46 decontamination of the REWRITTEN stream against the
+    // raw benchmark split (doc_id % 50 == 0): candidates share an exact
+    // 8-token window (benchmark side broadcast — eval suites are small at
+    // any corpus size), exact span via the suffix-automaton lcs_len over
+    // the same 512-char cap, drop at >= 50 shared chars.
+    val bench = Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("bench_id"),
+        substring(col("text"), 1, 512).as("sb"), expr(tokens).as("btk"))
+    val bw = broadcast(bench
+      .select(col("bench_id"), explode(winsExpr("btk")).as("bwin"))
+      .withColumn("bwh", xxhash64(col("bwin"))))
+    val tw = rw2.select(col("doc_id"), explode(winsExpr("rtk")).as("win"))
+      .withColumn("wh", xxhash64(col("win")))
+    val contam = tw.join(bw,
+        col("wh") === col("bwh") && col("win") === col("bwin"))
+      .select("doc_id", "bench_id").distinct()
+      .join(rw2.select(col("doc_id"),
+        substring(col("rtext"), 1, 512).as("sa")), "doc_id")
+      .join(bench.select("bench_id", "sb"), "bench_id")
+      .withColumn("lcs",
+        graft.functions.StringAlgos.lcsLenCol(col("sa"), col("sb")))
+      .groupBy("doc_id").agg(max("lcs").as("max_lcs"))
+      .filter(col("max_lcs") >= 50).select("doc_id")
+    val clean = rw2.join(contam, Seq("doc_id"), "left_anti")
+
+    // Stage 5 — d43's component-keyed split: near-dup twins can never
+    // straddle a boundary because the unit of assignment is the comp id
+    val sp = clean.withColumn("split",
+      when(pmod(col("comp"), lit(10)) < 8, "train")
+        .when(pmod(col("comp"), lit(10)) === 8, "val")
+        .otherwise("test"))
+
+    Stages(aug, q, edges, surv, rw2, clean, sp, lshOk)
+  }
+
+  // ------------------------------------------------------------- oracle
+  /** The shared DuckDB CTE chain replaying stages 0-5; d47/d48 append
+    * their final SELECT. Every CTE is the proven oracle formulation of
+    * its per-op gate (d19/d05/d10/d25/d18/d46/d43), re-rooted on the
+    * previous stage's CTE instead of `documents`. */
+  private val chainSql: String =
+    """WITH RECURSIVE
+      |corpus AS (SELECT doc_id, lang, source, text FROM documents
+      |           WHERE doc_id % 50 <> 0),
+      |twins AS (SELECT doc_id + 1000000 AS doc_id, lang, source,
+      |           text || ' is ' || (doc_id % 97) AS text
+      |          FROM corpus WHERE doc_id % 7 = 3),
+      |aug AS (SELECT * FROM corpus UNION ALL SELECT * FROM twins),
+      |f AS (SELECT doc_id, lang, source, text,
+      |       regexp_extract_all(text,'\S+') AS tk,
+      |       length(regexp_extract_all(text,'\S+')) AS n_tok,
+      |       list_sum(list_transform(regexp_extract_all(text,'\S+'),
+      |         t->length(t))) AS tok_chars,
+      |       length(list_filter(regexp_extract_all(text,'\S+'),
+      |         t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop
+      |      FROM aug),
+      |g AS (SELECT *, greatest(n_tok-2,0) AS n_tri,
+      |       length(list_distinct(list_transform(
+      |         range(1, greatest(n_tok-2,0)+1),
+      |         i -> concat(tk[i],' ',tk[i+1],' ',tk[i+2])))) AS n_tri_distinct
+      |      FROM f),
+      |q AS (SELECT doc_id, lang, source, text, tk FROM g
+      |      WHERE n_tok BETWEEN 10 AND 1000
+      |        AND 2*n_tok <= tok_chars AND tok_chars <= 12*n_tok
+      |        AND n_stop >= 2
+      |        AND (n_tri = 0 OR 10*n_tri_distinct >= 4*n_tri)),
+      |sh AS (SELECT doc_id, lang, source,
+      |        list_distinct(list_transform(range(1, greatest(len(tk)-2,0)+1),
+      |          i->concat(tk[i],' ',tk[i+1],' ',tk[i+2]))) AS grams FROM q),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |           round(CAST(length(list_intersect(a.grams,b.grams)) AS DOUBLE) /
+      |             (length(a.grams)+length(b.grams)
+      |              -length(list_intersect(a.grams,b.grams))),3) AS jac
+      |          FROM sh a JOIN sh b ON a.lang=b.lang AND a.source=b.source
+      |            AND a.doc_id<b.doc_id
+      |          WHERE length(list_intersect(a.grams,b.grams)) > 0),
+      |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jac >= 0.3
+      |        UNION ALL SELECT doc_b, doc_a FROM pairs WHERE jac >= 0.3),
+      |walk(node, comp) AS (SELECT doc_id, doc_id FROM q
+      |        UNION SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node),
+      |lab AS (SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS comp
+      |        FROM walk GROUP BY node),
+      |surv AS (SELECT doc_id, comp FROM (
+      |          SELECT l.doc_id, l.comp,
+      |            first_value(l.doc_id) OVER (PARTITION BY l.comp
+      |              ORDER BY length(qq.text) DESC, l.doc_id) AS sid
+      |          FROM lab l JOIN q qq USING (doc_id)) t WHERE doc_id = sid),
+      |chunks AS (SELECT s.doc_id, s.comp,
+      |            list_transform(range(0, CAST(ceil(len(q.tk)/20.0) AS INT)),
+      |              i -> list_aggregate(q.tk[i*20+1:i*20+20], 'string_agg',' ')) AS cs
+      |           FROM surv s JOIN q USING (doc_id)),
+      |occ AS (SELECT doc_id, comp, unnest(cs) AS chunk,
+      |         unnest(range(0,len(cs))) AS idx FROM chunks),
+      |keyed AS (SELECT *, min(doc_id*100000+idx) OVER (PARTITION BY chunk)
+      |           AS first_key FROM occ),
+      |rw AS (SELECT doc_id, comp,
+      |        string_agg(chunk, ' ' ORDER BY idx)
+      |          FILTER (WHERE doc_id*100000+idx = first_key) AS rtext
+      |       FROM keyed GROUP BY doc_id, comp),
+      |rw2 AS (SELECT doc_id, comp, rtext,
+      |         regexp_extract_all(rtext,'\S+') AS rtk
+      |        FROM rw WHERE rtext IS NOT NULL),
+      |bench AS (SELECT doc_id, substring(text,1,512) AS s,
+      |           regexp_extract_all(text,'\S+') AS tk
+      |          FROM documents WHERE doc_id % 50 = 0),
+      |tw AS (SELECT doc_id, rtk, substring(rtext,1,512) AS s FROM rw2),
+      |trw AS (SELECT doc_id, list_aggregate(rtk[i:i+7],'string_agg',' ') AS win
+      |        FROM tw, unnest(range(1, greatest(len(rtk)-7,0)+1)) AS r(i)),
+      |bw AS (SELECT doc_id, list_aggregate(tk[i:i+7],'string_agg',' ') AS win
+      |       FROM bench, unnest(range(1, greatest(len(tk)-7,0)+1)) AS r(i)),
+      |p2 AS (SELECT DISTINCT tr.doc_id AS train_id, be.doc_id AS bench_id
+      |       FROM trw tr JOIN bw be ON tr.win = be.win),
+      |c2 AS (SELECT train_id, bench_id, a.s AS sa, b.s AS sb
+      |       FROM p2 JOIN tw a ON a.doc_id = train_id
+      |              JOIN bench b ON b.doc_id = bench_id),
+      |m2 AS (SELECT train_id, bench_id, i.i AS i, j.j AS j
+      |       FROM c2, unnest(range(1, length(sa)+1)) AS i(i),
+      |            unnest(range(1, length(sb)+1)) AS j(j)
+      |       WHERE substring(sa, CAST(i.i AS INT), 1)
+      |           = substring(sb, CAST(j.j AS INT), 1)),
+      |runs AS (SELECT train_id, bench_id, count(*) AS run FROM (
+      |         SELECT train_id, bench_id, i - j AS diag,
+      |           i - row_number() OVER (PARTITION BY train_id, bench_id, i - j
+      |                                  ORDER BY i) AS grp
+      |         FROM m2) GROUP BY train_id, bench_id, diag, grp),
+      |contam AS (SELECT train_id AS doc_id FROM runs
+      |           GROUP BY train_id HAVING max(run) >= 50),
+      |clean AS (SELECT r.doc_id, r.comp, r.rtext, r.rtk FROM rw2 r
+      |          WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)),
+      |sp AS (SELECT doc_id, comp, rtext, rtk,
+      |        CASE WHEN comp % 10 < 8 THEN 'train'
+      |             WHEN comp % 10 = 8 THEN 'val' ELSE 'test' END AS split
+      |       FROM clean)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("d47_pipeline_pack", chainSql +
+      """,
+        |tr AS (SELECT doc_id, comp, rtext, len(rtk) AS n_tok
+        |       FROM sp WHERE split = 'train'),
+        |pk AS (SELECT doc_id, comp, rtext, n_tok,
+        |        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0)
+        |          AS tok_start
+        |       FROM tr)
+        |SELECT doc_id, comp, CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CAST(tok_start AS BIGINT) AS token_start,
+        |  CAST(tok_start // 128 AS BIGINT) AS seq_id,
+        |  CAST(tok_start % 128 AS BIGINT) AS seq_offset,
+        |  CAST((tok_start + n_tok - 1) // 128 - tok_start // 128 + 1
+        |    AS BIGINT) AS n_seqs,
+        |  md5(rtext) AS text_md5, true AS lsh_recall_ok
+        |FROM pk""".stripMargin) { (s, dir) =>
+      val st = build(s, dir)
+      // Stage 6 — d36's packing over the train stream in doc_id order:
+      // bucketed exclusive prefix sum (per-bucket totals roll up to an
+      // aggregate-sized broadcast offset table; the within-bucket running
+      // sum is bucket-partitioned — nothing row-scale in one partition).
+      val w = Window
+      val toks = st.sp.filter(col("split") === "train")
+        .select(col("doc_id"), col("comp"), col("rtext"),
+          size(col("rtk")).cast("long").as("n_tok"))
+        .withColumn("bucket", expr("doc_id div 100L"))
+        .persist()
+      val offsets = toks.groupBy("bucket").agg(sum("n_tok").as("btotal"))
+        .withColumn("off", coalesce(
+          sum("btotal").over(w.orderBy(col("bucket").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val byBucket = w.partitionBy("bucket").orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .join(broadcast(offsets.select(col("bucket"), col("off"))), Seq("bucket"))
+        .withColumn("tok_start",
+          (col("off") + coalesce(sum("n_tok").over(byBucket), lit(0L)))
+            .cast("long"))
+        .select(col("doc_id"), col("comp"), col("n_tok").as("n_tokens"),
+          col("tok_start").as("token_start"),
+          expr("tok_start div 128L").as("seq_id"),
+          pmod(col("tok_start"), lit(128L)).as("seq_offset"),
+          expr("(tok_start + n_tok - 1) div 128L - tok_start div 128L + 1")
+            .cast("long").as("n_seqs"),
+          md5(col("rtext")).as("text_md5"))
+        .crossJoin(broadcast(st.lshOk))
+    },
+
+    // ---- per-stage attrition with a drop_reason bitmask (d48): every
+    // input doc (corpus + planted twin) carries the FIRST stage that
+    // dropped it — 1 quality, 2 near-dup loser, 4 fully-boilerplate
+    // (zero kept chunks), 8 contaminated, 0 survived (with its split) —
+    // and the gate hash-pins the (reason, split) histogram. This is the
+    // "why was this doc dropped" accounting a 100 TB pipeline must
+    // emit; reasons are disjoint by stage order, so the counts ARE the
+    // per-stage attrition table. Aggregate-sized output; the lineage
+    // frame itself is one pass of left anti-joins over stage frames. ----
+    QueryDef("d48_pipeline_attrition", chainSql +
+      """,
+        |lin AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN q.doc_id IS NULL THEN 1
+        |         WHEN s.doc_id IS NULL THEN 2
+        |         WHEN r.doc_id IS NULL THEN 4
+        |         WHEN c.doc_id IS NULL THEN 8 ELSE 0 END AS drop_reason,
+        |    COALESCE(p.split, 'dropped') AS split
+        |  FROM aug a
+        |    LEFT JOIN q ON q.doc_id = a.doc_id
+        |    LEFT JOIN surv s ON s.doc_id = a.doc_id
+        |    LEFT JOIN rw2 r ON r.doc_id = a.doc_id
+        |    LEFT JOIN clean c ON c.doc_id = a.doc_id
+        |    LEFT JOIN sp p ON p.doc_id = a.doc_id)
+        |SELECT CAST(drop_reason AS BIGINT) AS drop_reason, split,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM lin GROUP BY drop_reason, split""".stripMargin) { (s, dir) =>
+      val st = build(s, dir)
+      st.aug.select("doc_id")
+        .join(st.q.select(col("doc_id"), lit(1L).as("in_q")), Seq("doc_id"), "left")
+        .join(st.surv.select(col("doc_id"), lit(1L).as("in_surv")), Seq("doc_id"), "left")
+        .join(st.rw2.select(col("doc_id"), lit(1L).as("in_rw")), Seq("doc_id"), "left")
+        .join(st.clean.select(col("doc_id"), lit(1L).as("in_clean")), Seq("doc_id"), "left")
+        .join(st.sp.select(col("doc_id"), col("split")), Seq("doc_id"), "left")
+        .withColumn("drop_reason",
+          when(col("in_q").isNull, 1L)
+            .when(col("in_surv").isNull, 2L)
+            .when(col("in_rw").isNull, 4L)
+            .when(col("in_clean").isNull, 8L)
+            .otherwise(0L))
+        .groupBy(col("drop_reason"), coalesce(col("split"), lit("dropped")).as("split"))
+        .agg(count(lit(1)).as("n_docs"))
+    }
+  )
+}

@@ -35,8 +35,8 @@ object TextQueries {
       |      x -> length(trim(x)) > 0) AS sents
       |  FROM documents)""".stripMargin
 
-  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
-  private def inList(xs: Seq[String]): String =
+  private[operators] val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
+  private[operators] def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
   /** Exact n-gram Jaccard pairs over hashed 3-gram shingles (the d05
@@ -44,9 +44,15 @@ object TextQueries {
     * restricted to same (lang, source), intersection counted via an
     * equi-join on the 8-byte gram hash, never a pairwise
     * array_intersect. Returns (doc_a, doc_b, jaccard[round 3]). */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsOf(Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** [[jaccardPairs]] over an arbitrary (doc_id, lang, source, text)
+    * frame — the composed pipeline (d47) runs the SAME candidate
+    * mechanism over its post-quality corpus instead of the raw table. */
+  def jaccardPairsOf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .withColumn("toks", tokensCol)
       .select(col("doc_id"), col("lang"), col("source"),
         graft.functions.TextHashes.shingleHash64Col(

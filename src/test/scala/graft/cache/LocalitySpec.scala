@@ -130,18 +130,27 @@ class WarmupServiceSpec extends AnyFunSuite with CacheFixture {
     // A lazily-created pool thread must not permanently bill a finished
     // query's tag (the InheritableThreadLocal leak the local-property
     // fallback had): only withInherited carries attribution across.
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]").appName("metricstag-leak").getOrCreate()
-    val seen = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
-    MetricsTag.withTag(spark, "leak-test-tag") {
-      assert(MetricsTag.current.contains("leak-test-tag"),
-        "the tagging thread itself must carry the tag")
-      val t = new Thread(() => seen.set(MetricsTag.current))
-      t.start(); t.join()
-    }
-    assert(seen.get().isEmpty,
-      s"child thread inherited the tag: ${seen.get()}")
-    assert(MetricsTag.current.isEmpty, "tag must clear after the window")
+    // reuse an already-active session if one exists; otherwise create a
+    // private one AND stop it — leaving a stray session active makes
+    // later suites' getOrCreate silently inherit the wrong master conf
+    // (e.g. StreamRetrySpec's local[4, 2] task-retry setting)
+    import org.apache.spark.sql.SparkSession
+    val existing = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .filter(!_.sparkContext.isStopped)
+    val spark = existing.getOrElse(SparkSession.builder()
+      .master("local[2]").appName("metricstag-leak").getOrCreate())
+    try {
+      val seen = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+      MetricsTag.withTag(spark, "leak-test-tag") {
+        assert(MetricsTag.current.contains("leak-test-tag"),
+          "the tagging thread itself must carry the tag")
+        val t = new Thread(() => seen.set(MetricsTag.current))
+        t.start(); t.join()
+      }
+      assert(seen.get().isEmpty,
+        s"child thread inherited the tag: ${seen.get()}")
+      assert(MetricsTag.current.isEmpty, "tag must clear after the window")
+    } finally if (existing.isEmpty) spark.stop()
   }
 
   test("conflicting mtimes: newest wins, stale request dropped") {

@@ -154,6 +154,52 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exact, s"rerank truth target diverges from e01: ${got.diff(exact)}")
   }
 
+  test("d47 composed pipeline: twins lose to survivorship, packing is contiguous, every stage moves") {
+    val rows = SparkEntryQueries("d47_pipeline_pack")
+      .orderBy(col("doc_id")).collect()
+    assert(rows.nonEmpty)
+    // planted-twin survivorship is VISIBLE: the d25 content policy must
+    // pick the (strictly longer) twin, so packed output contains twin ids
+    // carrying their original's component id
+    val twinSurvivors = rows.filter(r =>
+      r.getAs[Long]("doc_id") >= 1000000L && r.getAs[Long]("comp") < 1000000L)
+    assert(twinSurvivors.nonEmpty,
+      "no twin survived with its original's comp — survivorship stage is vacuous")
+    // packing contiguity: token_start is the exclusive running sum in
+    // doc_id order — any gap/overlap means the bucketed prefix sum broke
+    var expect = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("token_start") == expect,
+        s"doc ${r.getAs[Long]("doc_id")}: token_start ${r.getAs[Long]("token_start")} != $expect")
+      expect += r.getAs[Long]("n_tokens")
+    }
+    // the in-band LSH recall contract must hold on the real corpus
+    assert(rows.forall(_.getAs[Boolean]("lsh_recall_ok")))
+
+    // attrition: every stage must move at least one doc (the non-vacuity
+    // dial — a reordered chain that silently no-ops a stage fails here,
+    // e.g. chunk-dedup BEFORE near-dedup zeroes the near-dup edge set)
+    val att = SparkEntryQueries("d48_pipeline_attrition").collect()
+      .map(r => (r.getAs[Long]("drop_reason"), r.getAs[String]("split")) ->
+        r.getAs[Long]("n_docs")).toMap
+    val byReason = att.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    assert(byReason.getOrElse(1L, 0L) > 0, "quality stage dropped nothing")
+    assert(byReason.getOrElse(2L, 0L) > 0, "near-dup stage dropped nothing")
+    assert(byReason.keySet.subsetOf(Set(0L, 1L, 2L, 4L, 8L)))
+    // survivors carry a split, dropped docs carry 'dropped', exclusively
+    assert(att.keys.forall { case (reason, split) =>
+      if (reason == 0L) Set("train", "val", "test").contains(split)
+      else split == "dropped"
+    })
+    // lineage is total: reason counts add up to the augmented input size
+    val docs = Tables.load(spark, dir, "documents")
+    val nCorpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0).count()
+    val nTwins = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0 &&
+      pmod(col("doc_id"), lit(7)) === 3).count()
+    assert(att.values.sum == nCorpus + nTwins,
+      s"lineage not total: ${att.values.sum} != ${nCorpus + nTwins}")
+  }
+
   test("d20 domains: per-domain doc counts re-derive from the id arithmetic") {
     val rows = graft.SparkEntry.queries("d20_url_domains")(spark, dir).collect()
       .map(r => r.getAs[String]("domain") ->

@@ -62,7 +62,10 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     //      corpus — the e01/e14 shape with MaxSim / dual-ranker /
     //      neighbor-vote scoring
     "d43_leakfree_split", "e19_maxsim", "e20_rrf_fusion",
-    "e21_knn_classify")
+    "e21_knn_classify",
+    // d47: the 1-row lsh_recall_ok contract-flag broadcast (the d43/q31
+    // pattern); the pipeline stages themselves are equi-joins + windows
+    "d47_pipeline_pack")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
