@@ -16,13 +16,22 @@ import org.apache.spark.sql.functions.col
   * 1. COLD pass: one run per query; dominated by Janino codegen + JIT
   *    warmup (0.5-2 s per novel plan shape at sf0.1). Reported as
   *    `cold_total_sec` only.
-  * 2. WARM passes: THREE runs per query, back to back; the per-query
-  *    number is the MEDIAN of the three. Rationale: the r6-vs-r7 A/A
-  *    re-run of a byte-identical tree swung single-shot times 8x down
-  *    (d09, e01) and 1.6x up (d07) — single shots cannot resolve
-  *    regressions below ~2x on the heavy queries. The max over queries
-  *    of (max-min)/median across the reps is reported as `rep_spread_max`
-  *    so the artifact carries its own noise floor.
+  * 2. WARM passes: THREE full passes over the suite, each in a SEEDED
+  *    SHUFFLED order (seed = pass index, recorded in the artifact as
+  *    `order_seeds`); the per-query number is the MEDIAN of its three
+  *    pass times. Rationale for the median: the r6-vs-r7 A/A re-run of a
+  *    byte-identical tree swung single-shot times 8x down (d09, e01) and
+  *    1.6x up (d07). Rationale for the shuffle (r10 verdict "What's
+  *    wrong" #2): the driver's r10 run put 5 phantom >2x entries on the
+  *    FIRST four queries of the fixed order — a cold-window signature.
+  *    Shuffling decorrelates suite position from query identity, so an
+  *    environmental noise window taxes three different neighborhoods
+  *    instead of the same queries three times. The max over queries of
+  *    (max-min)/median across the passes is reported as `rep_spread_max`.
+  *    A fixed CANARY query (lineitem scan + groupBy agg, never part of
+  *    the suite) runs every 20 queries; its times ride the artifact
+  *    (`canary`), so a noise window is visible post-hoc —
+  *    tools/regression.py flags runs whose canary drift exceeds 2x.
   * 3. RAW-OPERATOR timings (`ops` dict): the d06/d07 gate bodies conflate
   *    operator cost with their oracle-verification arm (exact-Jaccard
   *    recomputation / planted-twin doubling). `d06_op` times ONLY
@@ -87,6 +96,24 @@ object Bench {
     require(shortIds.distinct.size == names.size,
       s"short-id collision in ${names.size} query names")
 
+    // Fixed canary (never a suite member): full lineitem scan + groupBy
+    // agg — one stable plan whose time depends only on the environment.
+    // Interleaved through the warm phase, its sequence exposes noise
+    // windows (CPU steal, page-cache eviction) that would otherwise be
+    // indistinguishable from query regressions.
+    val canaryTimes = scala.collection.mutable.ListBuffer[Double]()
+    def runCanary(record: Boolean): Unit = {
+      val t = timeOnce("canary") {
+        operators.Tables.load(spark, sfDir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(org.apache.spark.sql.functions.sum("l_quantity").as("qty"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      if (record && t >= 0) canaryTimes += t
+    }
+
     // ---- cold pass (1 rep) ----
     val coldTotal = names.map { n =>
       val t = materialize(n)
@@ -94,11 +121,23 @@ object Bench {
         s"$n leaked ${PinScope.pinnedCount(spark)} pinned RDDs past its scope")
       t
     }.filter(_ >= 0).sum
+    runCanary(record = false) // pay the canary's codegen outside the data
 
-    // ---- warm passes (3 reps, median) ----
+    // ---- warm passes: 3 seeded-shuffled passes over the suite ----
+    val orderSeeds = Seq(1, 2, 3)
+    val warmReps = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    orderSeeds.foreach { seed =>
+      val order = new scala.util.Random(seed).shuffle(names)
+      runCanary(record = true)
+      order.zipWithIndex.foreach { case (n, i) =>
+        warmReps(n) = warmReps(n) :+ materialize(n)
+        if ((i + 1) % 20 == 0) runCanary(record = true)
+      }
+    }
     val warm: Seq[(String, Double, Double, Double)] = names.map { n =>
-      val reps = Seq.fill(3)(materialize(n))
-      if (reps.exists(_ < 0)) (n, -1.0, -1.0, -1.0)
+      val reps = warmReps(n)
+      if (reps.exists(_ < 0) || reps.size < 3) (n, -1.0, -1.0, -1.0)
       else (n, reps.min, median3(reps(0), reps(1), reps(2)), reps.max)
     }
     val ok = warm.filter(_._3 >= 0)
@@ -217,8 +256,18 @@ object Bench {
     val concSerial = concPool.count(ConcurrentHarness.serialLane)
     val concJson =
       f"""{"threads":8,"rounds":3,"pool":${concPool.size},"serial_lane":$concSerial,"executed":${conc.executed},"total_sec":${conc.totalSec}%.3f,"mismatches":${conc.mismatches.size},"errors":${conc.errors.size}}"""
+    // canary summary + the full interleaved sequence (pass boundaries are
+    // every ceil(n/20)+1 entries); med/max alone suffice for the drift
+    // flag, the sequence localizes WHICH window was noisy
+    val (canMed, canMax) =
+      if (canaryTimes.isEmpty) (0.0, 0.0)
+      else (canaryTimes.sorted.apply(canaryTimes.size / 2), canaryTimes.max)
+    val canarySeq = canaryTimes.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val canaryJson =
+      f"""{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size},"times":$canarySeq}"""
+    val seedsJson = orderSeeds.mkString("[", ",", "]")
     val artifact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"conc":$concJson,"failed":$failedJson,"ops":$opsJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"ops":$opsJson,"queries":$qs,"sf":"$sfDir"}"""
     println(artifact)
     // Totals-only compact line, printed AFTER the full artifact: the
     // driver keeps only the last ~2000 chars of output, and the 157-entry
@@ -228,7 +277,7 @@ object Bench {
     // self-sufficient; tools/regression.py recovers per-query values from
     // the big line's surviving "queries" fragment.
     val totalsOnly =
-      f"""{"metric":"totals_only","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"conc":$concJson,"failed":$failedJson,"n_queries":${names.size},"sf":"$sfDir"}"""
+      f"""{"metric":"totals_only","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"canary":{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size}},"conc":$concJson,"failed":$failedJson,"n_queries":${names.size},"sf":"$sfDir"}"""
     println(totalsOnly)
     // The r8 driver artifact carried `parsed: null` — its parser sees
     // sbt's "[info] " prefix on stdout lines. Emit the same lines on

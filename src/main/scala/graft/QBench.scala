@@ -160,8 +160,10 @@ object QBench {
       "c05_partition_roundtrip", "c09_bucketed_join", "c12_vectored_scan",
       // round-11 additions: the composed pipeline + its attrition
       // accounting — the composition is where shared-state bugs
-      // (persisted temp frames, tag attribution) would surface
-      "d47_pipeline_pack", "d48_pipeline_attrition")
+      // (persisted temp frames, tag attribution) would surface — and the
+      // peer-read gate (ownership resolver + registry entries are
+      // per-execution keyed, so concurrent c13s must stay disjoint)
+      "d47_pipeline_pack", "d48_pipeline_attrition", "c13_peer_read")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(

@@ -33,7 +33,17 @@ import org.apache.spark.sql.functions._
   *    source workload) while cross-tile cosines drop to ~N(0, 1/√64)
   *    (|cos| ≲ 0.3) — below the d09/d26 0.35 dup threshold.
   *
-  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <tiles>
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <tiles> [parts]
+  *
+  * `parts` (default 16) is the number of part files per table: the
+  * r10 corpora were single files, which STARVES scan parallelism (one
+  * input split per table until maxPartitionBytes kicks in) and made
+  * absolute sf1 numbers conservative. Tables are now written as
+  * `<table>.parquet/` DIRECTORIES of `parts` files — the layout a real
+  * warehouse has — which both the batch readers (spark.read.parquet
+  * handles directories natively) and the streaming sources (directory
+  * layout support, d0612e0) accept. The tiny fixed dims region/nation
+  * stay single-part.
   */
 object ScaleGen {
 
@@ -56,8 +66,11 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(src, out, tilesStr) = args
-    val tiles = tilesStr.toInt
+    val (src, out, tiles, parts) = args match {
+      case Array(s, o, t) => (s, o, t.toInt, 16)
+      case Array(s, o, t, p) => (s, o, t.toInt, p.toInt)
+      case _ => sys.error("usage: ScaleGen <srcSfDir> <outDir> <tiles> [parts]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
@@ -65,22 +78,13 @@ object ScaleGen {
     import spark.implicits._
 
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    // Mirror the driver corpus layout EXACTLY: one bare <table>.parquet
-    // FILE per table (the streaming sources glob on the literal file
-    // name — a directory named events.parquet reads as an empty stream).
-    def save(df: DataFrame, t: String): Unit = {
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-        spark.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(s"$out/_tmp_$t")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.listStatus(tmp)
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(sys.error(s"no part file written for $t"))
-      val dest = new org.apache.hadoop.fs.Path(s"$out/$t.parquet")
-      fs.delete(dest, true)
-      fs.rename(part, dest)
-      fs.delete(tmp, true)
-      println(s"[scalegen] $t -> $dest")
+    // <table>.parquet as a DIRECTORY of `parts` files (real-warehouse
+    // layout; scans get `parts` input splits). nParts = 1 keeps the tiny
+    // fixed dims compact.
+    def save(df: DataFrame, t: String, nParts: Int = parts): Unit = {
+      val dest = s"$out/$t.parquet"
+      df.repartition(nParts).write.mode("overwrite").parquet(dest)
+      println(s"[scalegen] $t -> $dest ($nParts part files)")
     }
 
     // key strides = max(key)+1 of the SOURCE, so tiles never collide
@@ -100,8 +104,8 @@ object ScaleGen {
       (0 until tiles).map(i => tf(load(t), i)).reduce(_ unionAll _)
 
     // fixed dims: TPC-H keeps region/nation constant across SFs
-    save(load("region"), "region")
-    save(load("nation"), "nation")
+    save(load("region"), "region", nParts = 1)
+    save(load("nation"), "nation", nParts = 1)
 
     save(tiled("customer") { (df, t) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(t * cStride))

@@ -80,7 +80,7 @@ object CacheValidator {
     val oversized = md.filter { f =>
       val d = new File(genKey(f))
       d.exists() &&
-        f.length() != BlockBitmap.byteLength(
+        f.length() != FileMetadata.HeaderLen + BlockBitmap.byteLength(
           BlockMath.blockCount(d.length(), conf.blockSize))
     }.map(_.getPath).toSeq
     FileReport(data.size, md.size, orphanData, orphanMd, oversized)

@@ -22,9 +22,27 @@ final class FileMetadata(
   private val md = CacheFileLayout.mdFile(conf.cacheDir, remotePath, generation)
   private var deleted = false
 
+  /** Restore the persisted bitmap ONLY when its 16-byte header proves it
+    * describes THIS file version. Without the header (r10 format), a
+    * fresh JVM adopted any same-generation bitmap by length alone — so a
+    * remote file overwritten with equal length but different content
+    * between JVMs was served from the stale data file: the in-memory
+    * mtime-mismatch invalidation in CacheManager.metadata only fires for
+    * entries already in the registry, which a restart empties. (Found by
+    * c13: a repeated scratch path made the previous JVM's cache poison
+    * the next run's peer-read contract.) Headerless/mismatched md files
+    * restore empty — the cache re-warms, which is always safe. */
   private val bitmap: BlockBitmap = {
-    if (md.exists() && md.length() == BlockBitmap.byteLength(blockCount)) {
-      BlockBitmap.fromBytes(blockCount, Files.readAllBytes(md.toPath))
+    val expected = FileMetadata.HeaderLen + BlockBitmap.byteLength(blockCount)
+    if (md.exists() && md.length() == expected) {
+      val bytes = Files.readAllBytes(md.toPath)
+      val bb = java.nio.ByteBuffer.wrap(bytes, 0, FileMetadata.HeaderLen)
+      val hLen = bb.getLong
+      val hMtime = bb.getLong
+      if (hLen == fileLen && (!conf.stalenessCheck || hMtime == lastModified))
+        BlockBitmap.fromBytes(blockCount, java.util.Arrays.copyOfRange(
+          bytes, FileMetadata.HeaderLen, bytes.length))
+      else BlockBitmap.empty(blockCount)
     } else BlockBitmap.empty(blockCount)
   }
 
@@ -58,7 +76,10 @@ final class FileMetadata(
   private def persist(): Unit = {
     CacheFileLayout.ensureParent(md)
     val tmp = new File(md.getPath + ".tmp")
-    Files.write(tmp.toPath, bitmap.toBytes)
+    val body = bitmap.toBytes
+    val out = java.nio.ByteBuffer.allocate(FileMetadata.HeaderLen + body.length)
+    out.putLong(fileLen).putLong(lastModified).put(body)
+    Files.write(tmp.toPath, out.array())
     Files.move(tmp.toPath, md.toPath, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }
@@ -83,4 +104,10 @@ final class FileMetadata(
   }
 
   def isDeleted: Boolean = synchronized(deleted)
+}
+
+object FileMetadata {
+  /** mdfile header: [fileLen: Long][lastModified: Long] before the
+    * bitmap bytes — the file-version pin the restore path validates. */
+  val HeaderLen: Int = 16
 }

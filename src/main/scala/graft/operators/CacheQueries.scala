@@ -443,8 +443,114 @@ object CacheQueries {
       val warmOk = hits + misses > 0 && hits.toDouble / (hits + misses) >= floor
       agg.withColumn("vectored_ok", lit(vectoredOk))
         .withColumn("warm_ok", lit(warmOk))
+    },
+
+    // Peer-cache read path under the FULL oracle (c13): a second
+    // CacheManager (its own cache dir) plays the split OWNER — warmed
+    // with a private copy of the orders file and serving it through a
+    // live PeerTransferServer socket — while the session FS's ownership
+    // resolver classifies that file's blocks NON_LOCAL. The tagged scan
+    // must then move its bytes over the peer socket: nonlocal_requests >
+    // 0, bytes_from_peers > 0, zero remote_requests (the window's server
+    // hit rate is 1.0 — nonlocal counts as a hit, reference
+    // BookKeeper.java:213-229) and zero peer_fallbacks, all in-band.
+    // PeerTransferSpec proves byte-exactness in-process; this gate closes
+    // the loop by serving ORACLE-CHECKED query results through the
+    // NonLocal chain. At scale this is the locality-miss path: the
+    // scheduler put the task off the split's owner, and the owner's disk
+    // — not the object store — supplies the bytes.
+    QueryDef("c13_peer_read",
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice),3) AS price, true AS peer_ok
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      enableCacheFs(s)
+      val base = tmpBase("graft-peer", dir)
+      new java.io.File(base).mkdirs()
+      val dst = java.nio.file.Paths.get(s"$base/orders.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/orders.parquet"), dst)
+      // the exact metadata key the session FS will put on the wire
+      val key = new org.apache.hadoop.fs.Path("file", null, dst.toString).toString
+
+      // the peer: private manager + cache dir, warmed by reading the file
+      // through its own CachingInputStream (executeRemote caches blocks)
+      val pc = new org.apache.hadoop.conf.Configuration(false)
+      pc.set(graft.cache.CacheConfig.CacheDirKey, s"$base/peer-cache")
+      new java.io.File(s"$base/peer-cache").mkdirs()
+      val peer = new graft.cache.CacheManager(graft.cache.CacheConfig.from(pc))
+      val localFs = org.apache.hadoop.fs.FileSystem
+        .getLocal(s.sparkContext.hadoopConfiguration)
+      val ip = new org.apache.hadoop.fs.Path(key)
+      val st = localFs.getFileStatus(ip)
+      val cis = new graft.cache.CachingInputStream(
+        () => localFs.open(ip), key, st.getLen, st.getModificationTime,
+        peer, true)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var pos = 0L
+        while (pos < st.getLen) {
+          val r = cis.read(buf, 0,
+            math.min(buf.length.toLong, st.getLen - pos).toInt)
+          require(r > 0, s"peer warm read stalled at $pos")
+          pos += r
+        }
+      } finally cis.close()
+
+      val execTag = base.substring(base.lastIndexOf("-e") + 1)
+      val owner = s"c13-peer-$execTag"
+      val server = new graft.cache.PeerTransferServer(peer)
+      graft.cache.PeerRegistry.register(owner, server.address)
+      nonLocalOwners.put(key, owner)
+      sessionManager(s).ownership = Some(nonLocalResolver)
+      try {
+        def agg = s.read.parquet(s"graft://$base/orders.parquet")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 3).as("price"))
+        val tag = "c13-" + java.util.UUID.randomUUID()
+        graft.cache.MetricsTag.withTag(s, tag) {
+          agg.count() // every block NON_LOCAL -> served over the peer socket
+        }
+        val tm = taggedMetrics(s, tag)
+        dropTag(s, tag)
+        val ok = tm("nonlocal_requests") > 0 && tm("bytes_from_peers") > 0 &&
+          tm("remote_requests") == 0L && tm("peer_fallbacks") == 0L
+        agg.withColumn("peer_ok", lit(ok))
+      } finally {
+        // the returned plan re-executes AFTER this scope: with the
+        // mapping removed its blocks classify Local again and the scan
+        // serves directly — the contract was measured inside the window
+        nonLocalOwners.remove(key)
+        graft.cache.PeerRegistry.unregister(owner)
+        server.close()
+      }
     }
   )
+
+  /** Path-prefix -> owner entries consulted by [[nonLocalResolver]]:
+    * per-execution disjoint keys, so concurrent c13 runs never see each
+    * other's ownership (the scratch base is unique per execution). */
+  private val nonLocalOwners =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Shared ownership resolver installed on the session manager (the
+    * install is idempotent — same object every time): paths outside
+    * [[nonLocalOwners]] resolve to None and classify Local exactly as
+    * with no resolver, so other c* queries are unaffected. */
+  private val nonLocalResolver: graft.cache.SplitOwnership =
+    graft.cache.SplitOwnership("c13-self", (path, _) => {
+      import scala.jdk.CollectionConverters._
+      nonLocalOwners.asScala.collectFirst {
+        case (pfx, owner) if path.startsWith(pfx) => owner
+      }
+    })
+
+  /** The session-keyed FS's live CacheManager (same resolution as
+    * [[metricsSnapshot]]). */
+  private def sessionManager(s: SparkSession): graft.cache.CacheManager =
+    org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create("graft:///"), s.sessionState.newHadoopConf())
+      .asInstanceOf[graft.cache.GraftFileSystem].cacheManager
 
   /** Cache metrics snapshot, resolved through the JVM-cached session FS
     * (fallback: CacheManager.current when graft:// was never wired).

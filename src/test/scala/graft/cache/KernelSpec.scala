@@ -138,3 +138,48 @@ class MultiDiskLayoutSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(CacheFileLayout.findLatestGeneration(disks, p0) == 4)
   }
 }
+
+/** The mdfile header must pin WHICH file version a persisted bitmap
+  * describes: a restart must never adopt a bitmap for a changed file
+  * (same length, different mtime/content) — the staleness hole c13's
+  * repeated scratch path exposed. */
+class MetadataRestoreSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def conf(dir: String) = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    c.set(CacheConfig.CacheDirKey, dir)
+    CacheConfig.from(c)
+  }
+
+  test("bitmap restores across JVMs only for the same (fileLen, mtime)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mdr-").toString
+    val cc = conf(dir)
+    val path = "file:/data/t.bin"
+    val m1 = new FileMetadata(path, 4L * cc.blockSize, 1111L, 1, cc)
+    m1.setBlocksCached(0, 3)
+    // same version "after a restart": bitmap restored
+    val m2 = new FileMetadata(path, 4L * cc.blockSize, 1111L, 1, cc)
+    assert(m2.allCached(0, 3) && !m2.isBlockCached(3),
+      "same-version restore must recover the persisted bitmap")
+    // changed mtime (same length!): bitmap must NOT restore
+    val m3 = new FileMetadata(path, 4L * cc.blockSize, 2222L, 1, cc)
+    assert(!m3.isBlockCached(0),
+      "a changed file version must restore an EMPTY bitmap")
+    // changed length: also empty (and a different bitmap size anyway)
+    val m4 = new FileMetadata(path, 5L * cc.blockSize, 1111L, 1, cc)
+    assert(!m4.isBlockCached(0))
+  }
+
+  test("headerless legacy mdfile restores empty, not garbage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mdr2-").toString
+    val cc = conf(dir)
+    val path = "file:/data/legacy.bin"
+    val md = CacheFileLayout.mdFile(cc.cacheDir, path, 1)
+    CacheFileLayout.ensureParent(md)
+    // r10-format file: bare bitmap bytes, no header
+    val blocks = BlockMath.blockCount(4L * cc.blockSize, cc.blockSize)
+    java.nio.file.Files.write(md.toPath,
+      Array.fill(BlockBitmap.byteLength(blocks))(0xFF.toByte))
+    val m = new FileMetadata(path, 4L * cc.blockSize, 1111L, 1, cc)
+    assert(!m.isBlockCached(0), "legacy headerless mdfile must not restore")
+  }
+}
