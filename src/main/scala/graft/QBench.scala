@@ -163,7 +163,8 @@ object QBench {
       // (persisted temp frames, tag attribution) would surface — and the
       // peer-read gate (ownership resolver + registry entries are
       // per-execution keyed, so concurrent c13s must stay disjoint)
-      "d47_pipeline_pack", "d48_pipeline_attrition", "c13_peer_read")
+      "d47_pipeline_pack", "d48_pipeline_attrition", "c13_peer_read",
+      "d49_incremental_dedup")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(

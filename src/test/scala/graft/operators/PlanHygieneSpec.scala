@@ -63,9 +63,9 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     //      neighbor-vote scoring
     "d43_leakfree_split", "e19_maxsim", "e20_rrf_fusion",
     "e21_knn_classify",
-    // d47: the 1-row lsh_recall_ok contract-flag broadcast (the d43/q31
-    // pattern); the pipeline stages themselves are equi-joins + windows
-    "d47_pipeline_pack")
+    // d47/d49: the 1-row lsh_recall_ok contract-flag broadcast (the
+    // d43/q31 pattern); the stages themselves are equi-joins + windows
+    "d47_pipeline_pack", "d49_incremental_dedup")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
