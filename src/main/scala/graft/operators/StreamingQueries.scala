@@ -175,6 +175,46 @@ object StreamingQueries {
         |  FROM events GROUP BY user_id) t
         |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
       EventStreams.streamingSketch(s, dir)
+    },
+
+    // Streaming ingest dedup (s13): documents arrive as id-ordered
+    // micro-batches, each deduped against the accumulated signature
+    // store + its own lower-id members (greedy first-occurrence — the
+    // d49 discipline run continuously). n_dups_prior counts ALL
+    // lower-id jaccard >= 0.3 matches, so the output is independent of
+    // batch boundaries and the oracle is the global lower-id rule;
+    // batches_ok pins in-band that the run really crossed 4 distinct
+    // micro-batches (the store path is vacuous in a one-batch
+    // collapse). Planted re-crawl twins (id + 3,000,000) arrive in the
+    // final batch and must be flagged against the store.
+    QueryDef("s13_stream_ingest_dedup",
+      """WITH input AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, lang, source,
+        |         text || ' is ' || (doc_id % 97) AS text
+        |  FROM documents WHERE doc_id % 6 = 2),
+        |sh AS (SELECT doc_id, lang, source,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(regexp_extract_all(text,'\S+'))-2,0)+1),
+        |    i->concat(regexp_extract_all(text,'\S+')[i],' ',
+        |              regexp_extract_all(text,'\S+')[i+1],' ',
+        |              regexp_extract_all(text,'\S+')[i+2]))) AS grams
+        |  FROM input),
+        |p AS (SELECT b.doc_id AS id, count(*) AS c
+        |      FROM sh a JOIN sh b
+        |        ON a.lang = b.lang AND a.source = b.source
+        |          AND a.doc_id < b.doc_id
+        |      WHERE length(list_intersect(a.grams,b.grams)) > 0
+        |        AND round(CAST(length(list_intersect(a.grams,b.grams)) AS DOUBLE) /
+        |          (length(a.grams)+length(b.grams)
+        |           -length(list_intersect(a.grams,b.grams))),3) >= 0.3
+        |      GROUP BY b.doc_id)
+        |SELECT i.doc_id,
+        |  CAST(COALESCE(p.c,0) AS BIGINT) AS n_dups_prior,
+        |  COALESCE(p.c,0) = 0 AS kept, true AS batches_ok
+        |FROM input i LEFT JOIN p ON p.id = i.doc_id""".stripMargin) { (s, dir) =>
+      EventStreams.streamIngestDedup(s, dir)
     }
   )
 }

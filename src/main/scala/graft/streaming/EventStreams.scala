@@ -632,6 +632,151 @@ object EventStreams {
       }
     }
 
+  /** Streaming ingest near-dup dedup (s13) — d49's streaming sibling:
+    * documents arrive as id-ordered micro-batches (four slice files,
+    * `maxFilesPerTrigger=1`, strictly increasing mtimes) and each batch
+    * is deduped at shingle-jaccard >= 0.3 against the ACCUMULATED
+    * SIGNATURE STORE of everything ingested before it plus its own
+    * lower-id members — greedy first-occurrence, the continuous-ingest
+    * discipline (Dolma-style) where yesterday's corpus is never
+    * rescanned. The store is a parquet-append gram table (the s12
+    * partials pattern); per batch: one equi-join of batch grams against
+    * store grams (cost ∝ batch, the d49 property) plus the in-batch
+    * lower-id join. `n_dups_prior` counts ALL lower-id matches, so the
+    * output is independent of batch boundaries — the batch oracle is the
+    * global lower-id rule — while `batches_ok` pins in-band that the
+    * run REALLY went through 4 distinct micro-batches (a collapse into
+    * one batch would silently make the store path vacuous). Planted
+    * re-crawl twins (id + 3,000,000, the d47/d49 device) land in the
+    * final batch and must be flagged against the store at every SF.
+    *
+    * At 100 TB the slices are arrival days, the store is the signature
+    * index the bootstrap persisted, and the per-batch join is the only
+    * work — no state grows in the streaming engine itself (the store is
+    * external, append-only, and id-pruned upstream). */
+  def streamIngestDedup(spark: SparkSession, dir: String): DataFrame =
+    withStreamConf(spark) {
+      val docs = graft.operators.Tables.load(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      val twins = docs.filter(pmod(col("doc_id"), lit(6)) === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"),
+          col("source"),
+          concat(col("text"), lit(" is "),
+            pmod(col("doc_id"), lit(97)).cast("string")).as("text"))
+      val input = docs.unionByName(twins)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sidedup-").toString
+      try {
+        // four id-ordered arrival slices (pure doc_id arithmetic: the
+        // twin block is its own final slice); one file each, mtimes
+        // strictly increasing so FileStreamSource's (mtime, path) order
+        // replays arrival order deterministically
+        val maxId = docs.agg(max("doc_id")).head.getLong(0)
+        val bounds = Seq(0L, maxId / 3 + 1, 2 * maxId / 3 + 1, 3000000L,
+          Long.MaxValue)
+        val fs = org.apache.hadoop.fs.FileSystem
+          .getLocal(spark.sparkContext.hadoopConfiguration)
+        bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+          val tmp = new org.apache.hadoop.fs.Path(s"$base/_slice_$i")
+          input.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = fs.listStatus(tmp).map(_.getPath)
+            .find(_.getName.startsWith("part-"))
+            .getOrElse(sys.error(s"slice $i wrote no part file"))
+          val dest = new org.apache.hadoop.fs.Path(s"$base/in/slice-$i.parquet")
+          fs.mkdirs(dest.getParent)
+          fs.rename(part, dest)
+          fs.delete(tmp, true)
+          new java.io.File(dest.toUri.getPath).setLastModified(1000L * (i + 1))
+        }
+        val schema = input.schema
+        val grams = (df: DataFrame) => df
+          .withColumn("__tok", graft.operators.Dedup.tokenCol)
+          .select(col("doc_id"), col("lang"), col("source"),
+            graft.functions.TextHashes.shingleHash64Col(
+              col("text"), col("__tok"), 3, emptyIfShort = true).as("ghs"))
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$base/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val s = batch.sparkSession
+            val b = grams(batch).persist()
+            val bg = b.select(col("doc_id"), col("lang"), col("source"),
+              explode(col("ghs")).as("gh"))
+            val bn = b.select(col("doc_id"), size(col("ghs")).as("ng"))
+            def jacCount(pairs: DataFrame, otherN: DataFrame) = pairs
+              .join(bn, "doc_id")
+              .join(otherN, "prior_id")
+              .filter(round(col("inter").cast("double") /
+                (col("ng") + col("np") - col("inter")), 3) >= 0.3)
+              .groupBy("doc_id").agg(count(lit(1)).as("c"))
+            val storeDir = new java.io.File(s"$base/store")
+            val fromStore =
+              if (storeDir.exists() && storeDir.listFiles() != null &&
+                storeDir.listFiles().exists(_.getName.endsWith(".parquet"))) {
+                val st = s.read.parquet(s"$base/store")
+                val sg = st.select(col("doc_id").as("prior_id"),
+                  col("lang").as("lang_p"), col("source").as("source_p"),
+                  explode(col("ghs")).as("gh_p"))
+                val sn = st.select(col("doc_id").as("prior_id"),
+                  size(col("ghs")).as("np"))
+                Some(jacCount(
+                  bg.join(sg, col("gh") === col("gh_p") &&
+                    col("lang") === col("lang_p") &&
+                    col("source") === col("source_p"))
+                    .groupBy("doc_id", "prior_id")
+                    .agg(count(lit(1)).as("inter")), sn))
+              } else None
+            val inBatch = jacCount(
+              bg.join(
+                bg.select(col("doc_id").as("prior_id"),
+                  col("lang").as("lang_p"), col("source").as("source_p"),
+                  col("gh").as("gh_p")),
+                col("gh") === col("gh_p") && col("lang") === col("lang_p") &&
+                  col("source") === col("source_p") &&
+                  col("prior_id") < col("doc_id"))
+                .groupBy("doc_id", "prior_id")
+                .agg(count(lit(1)).as("inter")),
+              bn.select(col("doc_id").as("prior_id"), col("ng").as("np")))
+            val counts = fromStore.fold(inBatch.withColumnRenamed("c", "ct"))(
+              st => inBatch.withColumnRenamed("c", "cb")
+                .join(st.withColumnRenamed("c", "cs"),
+                  Seq("doc_id"), "full_outer")
+                .select(col("doc_id"),
+                  (coalesce(col("cb"), lit(0L)) +
+                    coalesce(col("cs"), lit(0L))).as("ct")))
+            b.select("doc_id")
+              .join(counts, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("ct"), lit(0L)).as("n_dups_prior"),
+                lit(batchId).as("batch_id"))
+              .write.mode("append").parquet(s"$base/out")
+            b.write.mode("append").parquet(s"$base/store")
+            b.unpersist()
+            ()
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(180000),
+          s"streaming query ${q.name} timed out at 180s")
+        finally if (q.isActive) q.stop()
+        // eager localCheckpoint severs lineage from the scratch files —
+        // the finally below deletes them before the caller materializes
+        val out = spark.read.parquet(s"$base/out").localCheckpoint(true)
+        val nBatches = out.agg(countDistinct("batch_id").as("nb"))
+          .select((col("nb") === 4).as("batches_ok"))
+        out.select(col("doc_id"), col("n_dups_prior"),
+            (col("n_dups_prior") === 0).as("kept"))
+          .crossJoin(broadcast(nBatches))
+      } finally {
+        org.apache.hadoop.fs.FileSystem
+          .getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(base), true)
+      }
+    }
+
   /** Per-user lifetime stats via Spark 4's `transformWithState` — the
     * arbitrary-state API that supersedes [[sessionize]]'s
     * flatMapGroupsWithState (typed ValueState/ListState/MapState handles,
