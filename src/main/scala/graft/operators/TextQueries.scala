@@ -1561,6 +1561,69 @@ object TextQueries {
           coalesce(col("n_langs"), lit(0L)).cast("long").as("n_langs"),
           coalesce(col("n_sents"), lit(0L)).cast("long").as("n_sents"),
           (coalesce(col("n_langs"), lit(0L)) > 1).as("mixed"))
+    },
+
+    // ---- quota-mix EXECUTOR (d50): the selection step that turns d32's
+    // temperature weights into an actual per-language document pick —
+    // the DoReMi/Pile mixing execution. Per-lang quota = B·w_l / Σw
+    // with B = 40% of the corpus and w_l = floor(sqrt(n_l · 10^6))
+    // (α = 1/2 resampling; sqrt of an exact integer is correctly-
+    // rounded IEEE and the floor makes the weight a BIGINT, so the
+    // normalizer is an exact integer sum — no float Σ to disagree on,
+    // the d32 lesson). Within each language keep the quota docs by
+    // (n_chars DESC, doc_id ASC).
+    //
+    // Scale shape: the oracle's per-lang row_number runs every doc of a
+    // language through one partition — the d29/d36 trap. The engine
+    // instead selects via the d39 histogram discipline: a (lang,
+    // n_chars) class-count table (one row-scale aggregate with map-side
+    // combine), an exclusive running sum over that AGGREGATE-SIZED
+    // table giving each class's start rank, a broadcast join back, and
+    // a within-class doc_id rank whose window partitions on (lang,
+    // n_chars) — bounded by the tie-class size, never a language. The
+    // emitted rnk (class start + in-class rank) equals the oracle's
+    // row_number exactly because in-class order is doc_id. ----
+    QueryDef("d50_quota_mix",
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |        CAST(floor(sqrt(n * 1000000)) AS BIGINT) AS w FROM n),
+        |tot AS (SELECT sum(w) AS sw,
+        |          (SELECT count(*) * 2 // 5 FROM documents) AS b FROM w),
+        |q AS (SELECT lang, n, w, CAST(b * w // sw AS BIGINT) AS quota
+        |      FROM w, tot),
+        |r AS (SELECT d.doc_id, d.lang, d.n_chars,
+        |        row_number() OVER (PARTITION BY d.lang
+        |          ORDER BY d.n_chars DESC, d.doc_id) AS rnk
+        |      FROM documents d)
+        |SELECT r.doc_id, r.lang, CAST(r.rnk AS BIGINT) AS rnk,
+        |  q.quota, r.rnk <= q.quota AS kept
+        |FROM r JOIN q USING (lang)""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      val perLang = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt(col("n") * lit(1000000L))).cast("long"))
+      val tot = perLang.agg(sum("w").as("sw"))
+        .crossJoin(broadcast(docs.agg(
+          expr("count(1) * 2L div 5L").as("b"))))
+      val quotas = perLang.crossJoin(broadcast(tot))
+        .select(col("lang"), expr("b * w div sw").as("quota"))
+      // aggregate-sized (lang, n_chars) class table + exclusive prefix
+      val hist = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+      val byLangDesc = Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val classStart = hist.withColumn("above",
+        coalesce(sum("cnt").over(byLangDesc), lit(0L)))
+      // within-class rank: the window partitions on the TIE CLASS
+      val inClass = Window.partitionBy("lang", "n_chars").orderBy("doc_id")
+      docs
+        .join(broadcast(classStart.select(col("lang"), col("n_chars"),
+          col("above"))), Seq("lang", "n_chars"))
+        .withColumn("rnk",
+          (col("above") + row_number().over(inClass)).cast("long"))
+        .join(broadcast(quotas), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("rnk"), col("quota"),
+          (col("rnk") <= col("quota")).as("kept"))
     }
   )
 }

@@ -65,7 +65,10 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     "e21_knn_classify",
     // d47/d49: the 1-row lsh_recall_ok contract-flag broadcast (the
     // d43/q31 pattern); the stages themselves are equi-joins + windows
-    "d47_pipeline_pack", "d49_incremental_dedup")
+    "d47_pipeline_pack", "d49_incremental_dedup",
+    // d50: the aggregate-sized quota build (5-lang weight table × 1-row
+    // normalizer/budget) — per-doc joins are broadcast equi-joins
+    "d50_quota_mix")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")

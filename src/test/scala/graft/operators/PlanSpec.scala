@@ -192,6 +192,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d50 quota mix: doc-table window partitions on the tie class, never a language") {
+    val p = plan("d50_quota_mix")
+    // the per-doc rank window must partition on (lang, n_chars) — the
+    // bounded tie class (both partition keys precede the doc_id ORDER
+    // col in windowspecdefinition) — never on lang alone with n_chars
+    // in the ORDER clause, which is the oracle's whole-language
+    // row_number (row-scale single partitions per language)
+    assert("windowspecdefinition\\(lang#\\d+, n_chars#\\d+L?, doc_id#"
+      .r.findFirstIn(p).isDefined,
+      s"doc-table window must partition by the (lang, n_chars) tie class:\n$p")
+    assert("windowspecdefinition\\(lang#\\d+, n_chars#\\d+L? DESC NULLS LAST, doc_id#"
+      .r.findFirstIn(p).isEmpty,
+      s"found a lang-only partitioned rank window (row-scale partition trap):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e04 ann: corpus never shuffled, probe side broadcast") {
     // pure-LSH op is library surface (no gate entry since r8) — plan
     // audited directly
