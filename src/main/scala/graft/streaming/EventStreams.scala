@@ -690,71 +690,12 @@ object EventStreams {
           new java.io.File(dest.toUri.getPath).setLastModified(1000L * (i + 1))
         }
         val schema = input.schema
-        val grams = (df: DataFrame) => df
-          .withColumn("__tok", graft.operators.Dedup.tokenCol)
-          .select(col("doc_id"), col("lang"), col("source"),
-            graft.functions.TextHashes.shingleHash64Col(
-              col("text"), col("__tok"), 3, emptyIfShort = true).as("ghs"))
         val q = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$base/in")
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val s = batch.sparkSession
-            val b = grams(batch).persist()
-            val bg = b.select(col("doc_id"), col("lang"), col("source"),
-              explode(col("ghs")).as("gh"))
-            val bn = b.select(col("doc_id"), size(col("ghs")).as("ng"))
-            def jacCount(pairs: DataFrame, otherN: DataFrame) = pairs
-              .join(bn, "doc_id")
-              .join(otherN, "prior_id")
-              .filter(round(col("inter").cast("double") /
-                (col("ng") + col("np") - col("inter")), 3) >= 0.3)
-              .groupBy("doc_id").agg(count(lit(1)).as("c"))
-            val storeDir = new java.io.File(s"$base/store")
-            val fromStore =
-              if (storeDir.exists() && storeDir.listFiles() != null &&
-                storeDir.listFiles().exists(_.getName.endsWith(".parquet"))) {
-                val st = s.read.parquet(s"$base/store")
-                val sg = st.select(col("doc_id").as("prior_id"),
-                  col("lang").as("lang_p"), col("source").as("source_p"),
-                  explode(col("ghs")).as("gh_p"))
-                val sn = st.select(col("doc_id").as("prior_id"),
-                  size(col("ghs")).as("np"))
-                Some(jacCount(
-                  bg.join(sg, col("gh") === col("gh_p") &&
-                    col("lang") === col("lang_p") &&
-                    col("source") === col("source_p"))
-                    .groupBy("doc_id", "prior_id")
-                    .agg(count(lit(1)).as("inter")), sn))
-              } else None
-            val inBatch = jacCount(
-              bg.join(
-                bg.select(col("doc_id").as("prior_id"),
-                  col("lang").as("lang_p"), col("source").as("source_p"),
-                  col("gh").as("gh_p")),
-                col("gh") === col("gh_p") && col("lang") === col("lang_p") &&
-                  col("source") === col("source_p") &&
-                  col("prior_id") < col("doc_id"))
-                .groupBy("doc_id", "prior_id")
-                .agg(count(lit(1)).as("inter")),
-              bn.select(col("doc_id").as("prior_id"), col("ng").as("np")))
-            val counts = fromStore.fold(inBatch.withColumnRenamed("c", "ct"))(
-              st => inBatch.withColumnRenamed("c", "cb")
-                .join(st.withColumnRenamed("c", "cs"),
-                  Seq("doc_id"), "full_outer")
-                .select(col("doc_id"),
-                  (coalesce(col("cb"), lit(0L)) +
-                    coalesce(col("cs"), lit(0L))).as("ct")))
-            b.select("doc_id")
-              .join(counts, Seq("doc_id"), "left")
-              .select(col("doc_id"),
-                coalesce(col("ct"), lit(0L)).as("n_dups_prior"),
-                lit(batchId).as("batch_id"))
-              .write.mode("append").parquet(s"$base/out")
-            b.write.mode("append").parquet(s"$base/store")
-            b.unpersist()
-            ()
+            ingestDedupBatch(base, batch, batchId)
           }
           .option("checkpointLocation", s"$base/ckpt")
           .trigger(Trigger.AvailableNow())
@@ -776,6 +717,76 @@ object EventStreams {
           .delete(new org.apache.hadoop.fs.Path(base), true)
       }
     }
+
+  /** One s13 micro-batch — IDEMPOTENT under Spark's at-least-once batch
+    * retry (foreachBatch can re-deliver a batch after a mid-write
+    * failure): both outputs land in batch_id-keyed partition dirs with
+    * OVERWRITE, so a retry replaces its own partial files instead of
+    * appending duplicates, and the store read excludes the current
+    * batch id, so a retry never counts its own earlier partial store
+    * write as prior data. StreamRetrySpec drives this contract. */
+  def ingestDedupBatch(base: String, batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val b = batch
+      .withColumn("__tok", graft.operators.Dedup.tokenCol)
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.TextHashes.shingleHash64Col(
+          col("text"), col("__tok"), 3, emptyIfShort = true).as("ghs"))
+      .persist()
+    val bg = b.select(col("doc_id"), col("lang"), col("source"),
+      explode(col("ghs")).as("gh"))
+    val bn = b.select(col("doc_id"), size(col("ghs")).as("ng"))
+    def jacCount(pairs: DataFrame, otherN: DataFrame) = pairs
+      .join(bn, "doc_id")
+      .join(otherN, "prior_id")
+      .filter(round(col("inter").cast("double") /
+        (col("ng") + col("np") - col("inter")), 3) >= 0.3)
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val storeRoot = new java.io.File(s"$base/store")
+    val fromStore =
+      if (storeRoot.exists() && storeRoot.listFiles() != null &&
+        storeRoot.listFiles().exists(_.getName.startsWith("batch_id="))) {
+        val st = s.read.parquet(s"$base/store")
+          .filter(col("batch_id") < batchId)
+        val sg = st.select(col("doc_id").as("prior_id"),
+          col("lang").as("lang_p"), col("source").as("source_p"),
+          explode(col("ghs")).as("gh_p"))
+        val sn = st.select(col("doc_id").as("prior_id"),
+          size(col("ghs")).as("np"))
+        Some(jacCount(
+          bg.join(sg, col("gh") === col("gh_p") &&
+            col("lang") === col("lang_p") &&
+            col("source") === col("source_p"))
+            .groupBy("doc_id", "prior_id")
+            .agg(count(lit(1)).as("inter")), sn))
+      } else None
+    val inBatch = jacCount(
+      bg.join(
+        bg.select(col("doc_id").as("prior_id"),
+          col("lang").as("lang_p"), col("source").as("source_p"),
+          col("gh").as("gh_p")),
+        col("gh") === col("gh_p") && col("lang") === col("lang_p") &&
+          col("source") === col("source_p") &&
+          col("prior_id") < col("doc_id"))
+        .groupBy("doc_id", "prior_id")
+        .agg(count(lit(1)).as("inter")),
+      bn.select(col("doc_id").as("prior_id"), col("ng").as("np")))
+    val counts = fromStore.fold(inBatch.withColumnRenamed("c", "ct"))(
+      st => inBatch.withColumnRenamed("c", "cb")
+        .join(st.withColumnRenamed("c", "cs"),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(col("cb"), lit(0L)) +
+            coalesce(col("cs"), lit(0L))).as("ct")))
+    b.select("doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ct"), lit(0L)).as("n_dups_prior"))
+      .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId")
+    b.write.mode("overwrite").parquet(s"$base/store/batch_id=$batchId")
+    b.unpersist()
+    ()
+  }
 
   /** Per-user lifetime stats via Spark 4's `transformWithState` — the
     * arbitrary-state API that supersedes [[sessionize]]'s

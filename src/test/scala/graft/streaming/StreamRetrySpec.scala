@@ -111,4 +111,48 @@ class StreamRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
           s"retried=${retried.size} rows")
     }
   }
+
+  test("s13 ingest batch is idempotent under foreachBatch re-delivery") {
+    // foreachBatch is at-least-once: a batch can be RE-DELIVERED after a
+    // mid-write failure. Re-running a batch (same id) must replace its
+    // own outputs, not append duplicates, and must not count its own
+    // earlier partial store write as prior data.
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-s13-retry-").toString
+    try {
+      val b0 = Seq(
+        (1L, "en", "web", "alpha beta gamma delta epsilon zeta"),
+        (2L, "en", "web", "one two three four five six"))
+        .toDF("doc_id", "lang", "source", "text")
+      val b1 = Seq(
+        // near-dup of doc 1 (same text + tail): must count it as prior
+        (10L, "en", "web", "alpha beta gamma delta epsilon zeta is 7"),
+        (11L, "en", "web", "totally unrelated words here now"))
+        .toDF("doc_id", "lang", "source", "text")
+      EventStreams.ingestDedupBatch(base, b0, 0L)
+      EventStreams.ingestDedupBatch(base, b1, 1L)
+      val first = spark.read.parquet(s"$base/out")
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_dups_prior"))).sorted.toSeq
+      assert(first.contains((10L, 1L)),
+        s"doc 10 must see its batch-0 near-dup as prior: $first")
+      // re-deliver batch 1 (the retry): outputs must be UNCHANGED
+      EventStreams.ingestDedupBatch(base, b1, 1L)
+      val retried = spark.read.parquet(s"$base/out")
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_dups_prior"))).sorted.toSeq
+      assert(retried == first,
+        s"re-delivered batch changed the sink: $first -> $retried")
+      // store must hold each doc exactly once (no duplicate signatures)
+      val storeIds = spark.read.parquet(s"$base/store")
+        .groupBy("doc_id").count().filter(col("count") > 1).count()
+      assert(storeIds == 0, "retry duplicated signature-store rows")
+    } finally {
+      org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+    }
+  }
 }
