@@ -1375,6 +1375,73 @@ object TextQueries {
             .cast("long").as("n_seqs"))
     },
 
+    // ---- pack MANIFEST (d51): d36's consumer — the per-(sequence, doc)
+    // span table a dataloader's attention masking actually reads. For
+    // every 128-token sequence a doc touches: its start offset and span
+    // length inside that sequence, plus doc_head/doc_tail flags (the
+    // cross-doc attention boundary markers). Row count = Σ n_seqs ≈
+    // tokens/128 + docs. All-integer arithmetic off the same bucketed
+    // exclusive prefix sum as d36 (aggregate-sized offset table
+    // broadcast, bucket-partitioned running sum — PlanSpec pins d36's
+    // shape; this is one more projection + a bounded sequence explode
+    // of ≤ n_seqs elements per doc). A packing bug that d36's per-doc
+    // offsets could hide (off-by-one at a cut point, a span that
+    // over/underfills a sequence) shows here as a hash mismatch, and
+    // PipelineSpec asserts every interior sequence fills to exactly
+    // 128 tokens. ----
+    QueryDef("d51_pack_manifest",
+      """WITH t AS (SELECT doc_id,
+        |             len(regexp_extract_all(text, '\S+')) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS tok_start
+        |      FROM t),
+        |e AS (SELECT doc_id, n_tok, tok_start,
+        |        unnest(range(CAST(tok_start // 128 AS BIGINT),
+        |                     CAST((tok_start + n_tok - 1) // 128 + 1 AS BIGINT)))
+        |          AS seq_id
+        |      FROM c WHERE n_tok > 0)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(greatest(tok_start - seq_id*128, 0) AS BIGINT) AS start_in_seq,
+        |  CAST(least(tok_start + n_tok - seq_id*128, 128)
+        |    - greatest(tok_start - seq_id*128, 0) AS BIGINT) AS len_in_seq,
+        |  seq_id = tok_start // 128 AS doc_head,
+        |  seq_id = (tok_start + n_tok - 1) // 128 AS doc_tail
+        |FROM e""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(tokensCol).cast("long").as("n_tok"))
+        .withColumn("bucket", expr("doc_id div 100L"))
+        .persist()
+      val totals = toks.groupBy("bucket").agg(sum("n_tok").as("btotal"))
+      val offsets = totals.withColumn("off",
+        coalesce(
+          sum("btotal").over(w.orderBy(col("bucket").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val byBucket = w.partitionBy("bucket").orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .join(broadcast(offsets.select(col("bucket"), col("off"))), Seq("bucket"))
+        .withColumn("tok_start",
+          (col("off") + coalesce(sum("n_tok").over(byBucket), lit(0L))).cast("long"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_tok"), col("tok_start"),
+          explode(expr(
+            "sequence(tok_start div 128L, (tok_start + n_tok - 1) div 128L)"))
+            .as("seq_id"))
+        .select(col("seq_id"), col("doc_id"),
+          greatest(col("tok_start") - col("seq_id") * 128, lit(0L))
+            .as("start_in_seq"),
+          (least(col("tok_start") + col("n_tok") - col("seq_id") * 128, lit(128L)) -
+            greatest(col("tok_start") - col("seq_id") * 128, lit(0L)))
+            .as("len_in_seq"),
+          (col("seq_id") === expr("tok_start div 128L")).as("doc_head"),
+          (col("seq_id") === expr("(tok_start + n_tok - 1) div 128L")).as("doc_tail"))
+    },
+
     // ---- sentence segmentation (d38): split on terminator+whitespace
     // boundaries, per-doc sentence stats in exact integers plus the
     // md5-pinned first sentence (d23's rewrite-evidence convention).

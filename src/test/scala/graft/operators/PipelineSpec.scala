@@ -200,6 +200,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lineage not total: ${att.values.sum} != ${nCorpus + nTwins}")
   }
 
+  test("d51 manifest: every interior sequence fills to exactly 128 tokens, spans partition docs") {
+    val rows = SparkEntryQueries("d51_pack_manifest").collect()
+    assert(rows.nonEmpty)
+    val bySeq = rows.groupBy(_.getAs[Long]("seq_id"))
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, spans) =>
+      val fill = spans.map(_.getAs[Long]("len_in_seq")).sum
+      if (seq < lastSeq)
+        assert(fill == 128L, s"seq $seq fills to $fill tokens, not 128")
+      else assert(fill <= 128L, s"final seq overfilled: $fill")
+      // spans within a sequence must tile without gaps or overlaps
+      val sorted = spans.sortBy(_.getAs[Long]("start_in_seq"))
+      var cursor = 0L
+      sorted.foreach { sp =>
+        assert(sp.getAs[Long]("start_in_seq") == cursor,
+          s"seq $seq: span starts at ${sp.getAs[Long]("start_in_seq")}, expected $cursor")
+        cursor += sp.getAs[Long]("len_in_seq")
+      }
+    }
+    // per doc: spans across sequences must sum to its token count, with
+    // exactly one head and one tail
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (doc, spans) =>
+      assert(spans.count(_.getAs[Boolean]("doc_head")) == 1, s"doc $doc heads")
+      assert(spans.count(_.getAs[Boolean]("doc_tail")) == 1, s"doc $doc tails")
+    }
+  }
+
   test("d20 domains: per-domain doc counts re-derive from the id arithmetic") {
     val rows = graft.SparkEntry.queries("d20_url_domains")(spark, dir).collect()
       .map(r => r.getAs[String]("domain") ->
