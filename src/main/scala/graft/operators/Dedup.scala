@@ -64,17 +64,24 @@ object Dedup {
     * dedup carry only 8-byte ids — the 512-byte signature arrays are
     * re-attached AFTER dedup, so candidate-join shuffle volume is
     * ~Bands×24 B/doc instead of ~Bands×550 B/doc. */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
-    val s = sigs.persist()
+  /** (doc_id, band, bh) band-key table — the LSH blocking axis, shared
+    * by the symmetric candidate join and d49's asymmetric incremental
+    * probe (new-side keys against a stored band index). */
+  def bandedKeys(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { bIdx =>
       struct(lit(bIdx).as("band"),
         xxhash64(concat_ws(",",
           (0 until RowsPerBand).map(r =>
             col("sig").getItem(bIdx * RowsPerBand + r)): _*)).as("bh"))
     }
-    val banded = s
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val s = sigs.persist()
+    val banded = bandedKeys(s)
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bh"))

@@ -735,13 +735,23 @@ object DedupQueries {
           .groupBy("earlier_id", "new_id").agg(count(lit(1)).as("inter")),
         "earlier_id", "new_id", nsh, nsh).persist()
 
-      // banded-LSH arm in the same incremental shape: new-side bands
-      // probe the full band table; recall measured against po ∪ pn
+      // banded-LSH arm in the same incremental shape — genuinely
+      // ASYMMETRIC: only the NEW side's bands probe the full band table
+      // (old signatures come from the stored index at scale), so the
+      // banded join never forms an old×old candidate, mirroring the
+      // exact arm's discipline. Recall measured against po ∪ pn.
+      val bandedAll = Dedup.bandedKeys(
+        Dedup.signatures(old.unionByName(newb))).persist()
       val isNew = (c: org.apache.spark.sql.Column) =>
         pmod(c, lit(4)) === 0 || c >= 2000000L
-      val sigs = Dedup.signatures(old.unionByName(newb))
-      val cands = Dedup.lshCandidates(sigs)
-        .filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+      val cands = bandedAll.filter(isNew(col("doc_id")))
+        .select(col("band"), col("bh"), col("doc_id").as("probe_id"))
+        .join(bandedAll.select(col("band"), col("bh"),
+          col("doc_id").as("cand_id")), Seq("band", "bh"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(least(col("probe_id"), col("cand_id")).as("doc_a"),
+          greatest(col("probe_id"), col("cand_id")).as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
         .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
       val exactEdges = po.select(least(col("new_id"), col("old_id")).as("doc_a"),
           greatest(col("new_id"), col("old_id")).as("doc_b"))
