@@ -164,7 +164,8 @@ object QBench {
       // peer-read gate (ownership resolver + registry entries are
       // per-execution keyed, so concurrent c13s must stay disjoint)
       "d47_pipeline_pack", "d48_pipeline_attrition", "c13_peer_read",
-      "d49_incremental_dedup", "s13_stream_ingest_dedup", "d50_quota_mix")
+      "d49_incremental_dedup", "s13_stream_ingest_dedup", "d50_quota_mix",
+      "d51_pack_manifest")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(
