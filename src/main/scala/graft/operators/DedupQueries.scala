@@ -776,6 +776,78 @@ object DedupQueries {
           (coalesce(col("n_dups_old"), lit(0L)) === 0 &&
             coalesce(col("n_dups_batch"), lit(0L)) === 0).as("kept"))
         .crossJoin(broadcast(lshOk))
+    },
+
+    // ---- d52: cross-document line dedup (C4/RefinedWeb boilerplate
+    // removal): drop every LINE that appears in >= 3 distinct documents
+    // corpus-wide, keep per-doc line order, and emit the cleaned text
+    // md5-pinned. The raw corpus has terminator-free single-line docs,
+    // so the gate plants deterministic boilerplate on BOTH engines
+    // (d17's augmentation pattern): a 3-variant subscribe header on
+    // doc_id % 7 == 0 and a 2-variant rights footer on doc_id % 5 == 0
+    // — each variant lands in ~n/21 (resp. n/10) docs, so the >= 3
+    // threshold fires at every SF while unique body lines never do.
+    // Scale shape: one exploded-line pass; the distinct-doc counts
+    // aggregate with map-side combine, are FILTERED to the >= 3
+    // boilerplate set BEFORE joining back (boilerplate vocabularies are
+    // tiny relative to any corpus — broadcast-sized here; a shuffle
+    // equi-join on the line key at worst), and reassembly is one
+    // doc-keyed aggregation. Never joins the full distinct-line table,
+    // never shuffles more than the exploded lines once. ----
+    QueryDef("d52_line_dedup",
+      """WITH a AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'subscribe to the newsletter edition ' ||
+        |           CAST(doc_id % 3 AS VARCHAR) || '. '
+        |      ELSE '' END
+        |    || text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '. all rights reserved form ' || CAST(doc_id % 2 AS VARCHAR)
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |l0 AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(t, '[.!?]+\s+'),
+        |      x -> length(trim(x)) > 0) AS ls
+        |  FROM a),
+        |l AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ls[i] AS line
+        |  FROM l0, unnest(range(1, len(ls)+1)) r(i)),
+        |c AS (SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line),
+        |j AS (SELECT l.doc_id, l.pos, l.line, c.nd FROM l JOIN c USING (line))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(string_agg(CASE WHEN nd < 3 THEN line END, ' '
+        |    ORDER BY pos), '')) AS clean_md5
+        |FROM j GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("subscribe to the newsletter edition "),
+              pmod(col("doc_id"), lit(3)).cast("string"), lit(". ")))
+            .otherwise(lit("")),
+          col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(". all rights reserved form "),
+              pmod(col("doc_id"), lit(2)).cast("string")))
+            .otherwise(lit(""))).as("t"))
+      val lines = aug.select(col("doc_id"),
+          posexplode(expr(
+            "filter(split(t, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("line"))
+      // the >= 3 boilerplate set, aggregated BEFORE the join-back
+      val hot = lines.groupBy("line")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 3)
+      lines.join(hot, Seq("line"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sum(when(col("nd").isNotNull, 1L).otherwise(0L)).cast("long")
+            .as("n_removed"),
+          expr("""md5(array_join(transform(
+            |  array_sort(collect_list(CASE WHEN nd IS NULL
+            |    THEN struct(pos, line) END)),
+            |  x -> x.line), ' '))""".stripMargin).as("clean_md5"))
     }
   )
 

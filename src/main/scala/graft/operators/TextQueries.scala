@@ -1691,6 +1691,59 @@ object TextQueries {
         .join(broadcast(quotas), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("rnk"), col("quota"),
           (col("rnk") <= col("quota")).as("kept"))
+    },
+
+    // ---- d53: Gopher-style within-document repetition signals — the
+    // two repetition filters of Rae et al.'s quality suite re-expressed
+    // on the word-bigram axis: top2_permille (the share of bigram
+    // instances claimed by the single most frequent bigram) and
+    // dup2_permille (the share of bigram instances whose bigram occurs
+    // more than once in the doc). keep = both under corpus-calibrated
+    // ceilings (50 / 120 permille — each independently fails ~20%/12%
+    // of this corpus at every SF, so the gate has two-sided flow). The
+    // threshold compare is exact integer cross-multiplication, not the
+    // floored permille, so no div-rounding ambiguity rides the flag.
+    // Scale shape: two doc-keyed row-scale aggregations with map-side
+    // combine; zero cross-document interaction, zero joins beyond the
+    // final doc-keyed stitch. ----
+    QueryDef("d53_gopher_repetition",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+        |  FROM t, unnest(range(1, greatest(len(tk)-1, 0)+1)) r(i)),
+        |c AS (SELECT doc_id, g, count(*) AS k FROM g GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(max(k) AS BIGINT) AS top_k,
+        |    CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS dup_k,
+        |    CAST(sum(k) AS BIGINT) AS n_grams
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_grams, 0) AS n_grams,
+        |  CAST(COALESCE(a.top_k, 0) * 1000
+        |    // greatest(COALESCE(a.n_grams, 0), 1) AS BIGINT) AS top2_permille,
+        |  CAST(COALESCE(a.dup_k, 0) * 1000
+        |    // greatest(COALESCE(a.n_grams, 0), 1) AS BIGINT) AS dup2_permille,
+        |  COALESCE(a.top_k * 1000 <= 50 * a.n_grams
+        |       AND a.dup_k * 1000 <= 120 * a.n_grams, true) AS keep
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val grams = docs.select(col("doc_id"), tokensCol.as("tk"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) < 2 THEN array()
+            |ELSE transform(sequence(1, size(tk) - 1),
+            |  i -> concat(tk[i-1], ' ', tk[i])) END""".stripMargin)).as("g"))
+      val per = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
+        .groupBy("doc_id").agg(max("k").as("top_k"),
+          sum(when(col("k") > 1, col("k")).otherwise(0L)).as("dup_k"),
+          sum("k").as("n_grams"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).cast("long").as("n_grams"),
+          expr("coalesce(top_k, 0L) * 1000L div greatest(coalesce(n_grams, 0L), 1L)")
+            .cast("long").as("top2_permille"),
+          expr("coalesce(dup_k, 0L) * 1000L div greatest(coalesce(n_grams, 0L), 1L)")
+            .cast("long").as("dup2_permille"),
+          coalesce(col("top_k") * 1000 <= col("n_grams") * 50 &&
+            col("dup_k") * 1000 <= col("n_grams") * 120, lit(true)).as("keep"))
     }
   )
 }

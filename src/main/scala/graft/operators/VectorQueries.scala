@@ -975,6 +975,66 @@ object VectorQueries {
           col("clab").cast("long").as("pred_label"),
           col("v").cast("long").as("votes"),
           (col("clab") === col("qlab")).as("correct"))
+    },
+
+    // ---- e22: semantic decontamination — the embedding-space
+    // complement of d46's verbatim-span arm: a train example is
+    // contaminated when its embedding has cosine >= 0.92 against ANY
+    // benchmark embedding (the eval-similarity filter of Phi/Tulu-style
+    // data curation). Benchmark = vec_id % 50 == 0. The corpus has no
+    // organic near-benchmark vectors (max organic cos ~0.43), so the
+    // gate plants graded leaks on BOTH engines: one perturbed copy per
+    // benchmark vector at noise level (bid div 50) % 5 × 0.01 —
+    // measured cosines land at 1.0 / ~0.96 / <=0.89 / lower, so the
+    // 0.92 threshold crossing is genuinely computed (levels 0-1 in,
+    // 2-4 out, margin >= 0.03 at every SF), not a membership bit.
+    // Scale shape: benchmark suites are aggregate-sized at any corpus
+    // scale — broadcast; ONE native-codegen cosine pass over train ×
+    // broadcast bench with map-side partial max/count, so the shuffle
+    // is |train| rows. Never pairs train with train. ----
+    QueryDef("e22_semantic_decontam",
+      """WITH b AS (SELECT vec_id AS bid, embedding AS be
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |t0 AS (SELECT vec_id AS tid, embedding AS te
+        |       FROM embeddings WHERE vec_id % 50 <> 0),
+        |p AS (SELECT bid + 10000000 AS tid,
+        |    list_transform(range(1, len(be)+1), i ->
+        |      CAST(CAST(be[i] AS DOUBLE) +
+        |        (CAST((bid // 50) % 5 AS DOUBLE) * 0.01) *
+        |        CAST((bid * 31 + i * 17) % 13 - 6 AS DOUBLE) AS FLOAT)) AS te
+        |  FROM b),
+        |tr AS (SELECT * FROM t0 UNION ALL SELECT * FROM p),
+        |s AS (SELECT tid, bid,
+        |    list_sum(list_transform(range(1, len(te)+1),
+        |      i -> CAST(te[i] AS DOUBLE) * CAST(be[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(te, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(be, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM tr, b)
+        |SELECT tid AS vec_id,
+        |  CAST(sum(CASE WHEN cos >= 0.92 THEN 1 ELSE 0 END) AS BIGINT) AS n_bench_hits,
+        |  round(max(cos), 4) AS max_cos,
+        |  max(cos) >= 0.92 AS contaminated
+        |FROM s GROUP BY tid""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val bench = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("bid"), col("embedding").as("be"))
+      val organic = e.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+        .select(col("vec_id").as("tid"), col("embedding").as("te"))
+      val planted = bench.select((col("bid") + 10000000L).as("tid"),
+        expr("""transform(be, (x, i) -> CAST(CAST(x AS DOUBLE) +
+          |  (CAST((bid div 50) % 5 AS DOUBLE) * 0.01D) *
+          |  CAST((bid * 31 + (i + 1) * 17) % 13 - 6 AS DOUBLE)
+          |  AS FLOAT))""".stripMargin).as("te"))
+      organic.unionByName(planted)
+        .join(broadcast(bench))
+        .withColumn("cos", cos(col("te"), col("be")))
+        .groupBy("tid")
+        .agg(sum(when(col("cos") >= 0.92, 1L).otherwise(0L)).cast("long")
+          .as("n_bench_hits"),
+          max(col("cos")).as("mc"))
+        .select(col("tid").as("vec_id"), col("n_bench_hits"),
+          round(col("mc"), 4).as("max_cos"),
+          (col("mc") >= 0.92).as("contaminated"))
     }
   )
 

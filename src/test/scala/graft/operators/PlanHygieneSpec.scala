@@ -68,7 +68,10 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d47_pipeline_pack", "d49_incremental_dedup",
     // d50: the aggregate-sized quota build (5-lang weight table × 1-row
     // normalizer/budget) — per-doc joins are broadcast equi-joins
-    "d50_quota_mix")
+    "d50_quota_mix",
+    // e22: the aggregate-sized benchmark side broadcast against the
+    // train corpus — the e01/e14 unconditioned-broadcast shape
+    "e22_semantic_decontam")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
