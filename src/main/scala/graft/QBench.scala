@@ -165,7 +165,11 @@ object QBench {
       // per-execution keyed, so concurrent c13s must stay disjoint)
       "d47_pipeline_pack", "d48_pipeline_attrition", "c13_peer_read",
       "d49_incremental_dedup", "s13_stream_ingest_dedup", "d50_quota_mix",
-      "d51_pack_manifest")
+      "d51_pack_manifest",
+      // late-round-11 curation tier: cross-doc line dedup (corpus-wide
+      // hot-line state under interleaving), repetition filters, and the
+      // broadcast-bench semantic decontamination pass
+      "d52_line_dedup", "d53_gopher_repetition", "e22_semantic_decontam")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(
