@@ -169,7 +169,8 @@ object QBench {
       // late-round-11 curation tier: cross-doc line dedup (corpus-wide
       // hot-line state under interleaving), repetition filters, and the
       // broadcast-bench semantic decontamination pass
-      "d52_line_dedup", "d53_gopher_repetition", "e22_semantic_decontam")
+      "d52_line_dedup", "d53_gopher_repetition", "e22_semantic_decontam",
+      "m12_png_decode")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(

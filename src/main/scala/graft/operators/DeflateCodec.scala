@@ -330,4 +330,41 @@ object DeflateCodec {
     out(body.length + 3) = (ad & 0xff).toByte
     out
   }
+
+  /** Exact-content zlib framing for container codecs (PNG IDAT, m12):
+    * the [[deflateFrame]] layout minus the match — stored block with the
+    * first ≤16 bytes, fixed-Huffman literals for the rest, end-of-block
+    * — so the stream inflates to exactly `content`. */
+  def deflateLiteralFrame(content: Array[Byte]): Array[Byte] = {
+    val bw = new BitWriter()
+    bw.writeByte(0x78); bw.writeByte(0x01)
+    val n = content.length
+    if (n == 0) {
+      bw.writeBits(1, 1); bw.writeBits(0, 2); bw.alignByte()
+      bw.writeByte(0); bw.writeByte(0); bw.writeByte(0xff); bw.writeByte(0xff)
+    } else {
+      val s = math.min(n, 16)
+      bw.writeBits(0, 1); bw.writeBits(0, 2); bw.alignByte()
+      bw.writeByte(s & 0xff); bw.writeByte((s >> 8) & 0xff)
+      bw.writeByte(~s & 0xff); bw.writeByte((~s >> 8) & 0xff)
+      var i = 0
+      while (i < s) { bw.writeByte(content(i) & 0xff); i += 1 }
+      bw.writeBits(1, 1); bw.writeBits(1, 2)
+      def lit(v: Int): Unit =
+        if (v < 144) bw.writeCode(0x30 + v, 8)
+        else bw.writeCode(0x190 + (v - 144), 9)
+      while (i < n) { lit(content(i) & 0xff); i += 1 }
+      bw.writeCode(0, 7) // end of block
+      bw.alignByte()
+    }
+    val body = bw.toBytes
+    val ad = adler32(content, n)
+    val out = new Array[Byte](body.length + 4)
+    System.arraycopy(body, 0, out, 0, body.length)
+    out(body.length) = ((ad >> 24) & 0xff).toByte
+    out(body.length + 1) = ((ad >> 16) & 0xff).toByte
+    out(body.length + 2) = ((ad >> 8) & 0xff).toByte
+    out(body.length + 3) = (ad & 0xff).toByte
+    out
+  }
 }

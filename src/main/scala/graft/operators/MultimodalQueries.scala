@@ -703,6 +703,93 @@ object MultimodalQueries {
             DeflateCodec.adler32(decoded, decoded.length), roundtrip, interop)
         }
       }(enc)
+    },
+
+    // ---- Container codec above the entropy boundary (m12): each
+    // document becomes a deterministic 8-bit grayscale PNG — dims
+    // 4+b₁%8 × 4+b₂%8 (the P6 recipe), pixel(r,c) = content byte
+    // cycled — encoded with filter type row%5 (all five PNG filters
+    // exercised) and a zlib IDAT, then decoded back through the REAL
+    // path: chunk walk with CRC-32 verify on every chunk, m11 inflate,
+    // scanline filter reconstruction. Emitted pixel sums are computed
+    // FROM THE DECODED pixels, which DuckDB replays directly from the
+    // content-cycling definition — any un-filter or inflate defect
+    // breaks the hash. Three in-band proofs: filters_ok (decoded
+    // pixels == definition), crc_ok (every chunk CRC verified on the
+    // decode path), interop_ok (javax.imageio's independent PNG reader
+    // agrees pixel-for-pixel). Per-row mapPartitions decode, zero
+    // shuffle. ----
+    QueryDef("m12_png_decode", MultimodalQueries.decodeOracle(
+      """,
+        |dims AS (
+        |  SELECT doc_id, n, bs,
+        |    4 + CASE WHEN n = 0 THEN 0 ELSE bs[1] % 8 END AS w,
+        |    4 + CASE WHEN n < 2 THEN 0 ELSE bs[2] % 8 END AS h
+        |  FROM decoded),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(range(0, w * h), i ->
+        |      CASE WHEN n = 0 THEN 0 ELSE bs[CAST(i % n + 1 AS INT)] END) AS ps
+        |  FROM dims),
+        |feat AS (
+        |  SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |    CAST(w * h AS BIGINT) AS n_pix,
+        |    CAST(COALESCE(list_sum(ps), 0) AS BIGINT) AS pix_sum,
+        |    CAST(COALESCE(list_sum(list_transform(range(1, w * h + 1),
+        |      i -> i * ps[CAST(i AS INT)])), 0) AS BIGINT) AS pix_wsum
+        |  FROM px)
+        |SELECT doc_id, width, height, n_pix, pix_sum, pix_wsum,
+        |  true AS filters_ok, true AS crc_ok, true AS interop_ok
+        |FROM feat""".stripMargin)) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("width", LongType),
+        StructField("height", LongType),
+        StructField("n_pix", LongType),
+        StructField("pix_sum", LongType),
+        StructField("pix_wsum", LongType),
+        StructField("filters_ok", BooleanType),
+        StructField("crc_ok", BooleanType),
+        StructField("interop_ok", BooleanType)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      docs.mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val content = r.getAs[Array[Byte]](1)
+          val n = content.length
+          val w = 4 + (if (n == 0) 0 else content(0) & 0x07)
+          val h = 4 + (if (n < 2) 0 else content(1) & 0x07)
+          val direct = Array.tabulate(w * h)(i =>
+            if (n == 0) 0 else content(i % n) & 0xff)
+          val png = PngCodec.encodePng(w, h, direct)
+          val dec = PngCodec.decodePng(png) // the REAL decode; crc_ok by
+          // reaching here — decodePng verifies every chunk CRC
+          val filtersOk = java.util.Arrays.equals(dec.pixels, direct)
+          var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < dec.pixels.length) {
+            sum += dec.pixels(i); wsum += (i + 1).toLong * dec.pixels(i)
+            i += 1
+          }
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          val raster = img.getRaster
+          var interop = img.getWidth == w && img.getHeight == h
+          var rr = 0
+          while (interop && rr < h) {
+            var cc = 0
+            while (interop && cc < w) {
+              if (raster.getSample(cc, rr, 0) != dec.pixels(rr * w + cc))
+                interop = false
+              cc += 1
+            }
+            rr += 1
+          }
+          Row(r.getLong(0), w.toLong, h.toLong, (w * h).toLong, sum, wsum,
+            filtersOk, true, interop)
+        }
+      }(enc)
     }
   )
 }

@@ -40,6 +40,7 @@ class CodecFuzzSpec extends AnyFunSuite {
       attempt("decodeWav", WavCodec.decodeWav(b))
       attempt("decodeAvi", AviCodec.decodeAvi(b))
       attempt("decodePpm", MultimodalQueries.decodePpm(b))
+      attempt("decodePng", PngCodec.decodePng(b))
     }
   }
 
@@ -56,6 +57,9 @@ class CodecFuzzSpec extends AnyFunSuite {
           "AVI ".getBytes ++ tail))
       attempt("ppm-magic",
         MultimodalQueries.decodePpm("P6".getBytes ++ tail))
+      attempt("png-magic", PngCodec.decodePng(
+        Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+          .map(_.toByte) ++ tail))
     }
   }
 
@@ -65,7 +69,10 @@ class CodecFuzzSpec extends AnyFunSuite {
       ("wav", WavCodec.makeWav(content), b => WavCodec.decodeWav(b)),
       ("avi", AviCodec.makeAvi(content), b => AviCodec.decodeAvi(b)),
       ("ppm", MultimodalQueries.makePpm(content),
-        b => MultimodalQueries.decodePpm(b)))
+        b => MultimodalQueries.decodePpm(b)),
+      ("png", PngCodec.encodePng(8, 8,
+        Array.tabulate(64)(i => content(i % content.length) & 0xff)),
+        b => PngCodec.decodePng(b)))
     for ((name, frame, decode) <- frames) {
       // sanity: the unmutated frame decodes
       assert(attempt(s"$name-clean", decode(frame)))
