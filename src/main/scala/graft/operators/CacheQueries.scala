@@ -523,6 +523,10 @@ object CacheQueries {
         nonLocalOwners.remove(key)
         graft.cache.PeerRegistry.unregister(owner)
         server.close()
+        // release the private peer manager's state too — its removal
+        // listener deletes the cached block files, so repeated soak
+        // executions don't accumulate $base/peer-cache dirs
+        peer.clear()
       }
     }
   )

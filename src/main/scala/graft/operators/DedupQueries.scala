@@ -121,8 +121,9 @@ object DedupQueries {
         |  CAST(0 AS BIGINT) AS hamming
         |FROM d""".stripMargin) { (s, dir) =>
       val offset = 1000000L
-      val docs = Tables.load(s, dir, "documents")
-        .select("doc_id", "lang", "text")
+      val docs = Tables.guardIdsBelow(
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "text"), offset)
       val twins = docs.withColumn("doc_id", col("doc_id") + offset)
       val cands = Dedup.simhashCandidates(docs.unionByName(twins))
       docs
@@ -680,8 +681,9 @@ object DedupQueries {
         |  ON po.new_id = n.doc_id
         |LEFT JOIN (SELECT new_id, count(*) AS c FROM pn GROUP BY new_id) pn
         |  ON pn.new_id = n.doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .select("doc_id", "lang", "source", "text")
+      val docs = Tables.guardIdsBelow(
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "source", "text"), 2000000L)
       val old = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
       val twins = old.filter(pmod(col("doc_id"), lit(9)) === 5)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),

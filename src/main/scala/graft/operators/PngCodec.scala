@@ -156,8 +156,12 @@ object PngCodec {
       typ match {
         case "IHDR" =>
           require(len == 13, "bad IHDR length")
-          w = u32(pos + 8).toInt; h = u32(pos + 12).toInt
-          require(w > 0 && h > 0, "bad dimensions")
+          val wl = u32(pos + 8); val hl = u32(pos + 12)
+          // Long-range check BEFORE narrowing: a 2^31..2^32-1 dimension
+          // would wrap negative (or overflow h*(w+1)) in Int arithmetic.
+          require(wl > 0 && hl > 0 && hl * (wl + 1L) <= Int.MaxValue,
+            "bad dimensions")
+          w = wl.toInt; h = hl.toInt
           require((png(pos + 16) & 0xff) == 8 && (png(pos + 17) & 0xff) == 0,
             "only 8-bit grayscale supported")
           require((png(pos + 18) & 0xff) == 0 && (png(pos + 19) & 0xff) == 0 &&

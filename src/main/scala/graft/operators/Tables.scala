@@ -41,6 +41,27 @@ object Tables {
     } else normalizeNtz(spark.read.parquet(path(dir, name)))
   }
 
+  /** Loud guard for planted-twin id arithmetic (d47/d49/s13 device): any
+    * corpus row with doc_id >= `bound` would collide with the twin id
+    * space (or drift an engine-side old/new classification), so raise at
+    * scan time instead of silently degrading. The guard is embedded IN
+    * the doc_id projection — NOT a filter — because a filter predicate
+    * enters the relation's constraint set and InferFiltersFromConstraints
+    * will copy it across equi-joins onto subtrees that contain the
+    * post-offset twins (measured: d07's cands side re-raised on
+    * doc_id=1000000). A projection travels with the column and is never
+    * re-inferred elsewhere; the CASE WHEN is codegen'd per row. Caveat:
+    * the guard fires only where doc_id is consumed — a plan that prunes
+    * the column skips it (every twin-planting query consumes doc_id). */
+  def guardIdsBelow(df: DataFrame, bound: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("doc_id",
+      when(col("doc_id") < lit(bound), col("doc_id"))
+        .otherwise(raise_error(concat(
+          lit(s"twin-offset assumption violated (bound $bound): doc_id="),
+          col("doc_id").cast("string"))).cast("long")))
+  }
+
   /** Cast every TIMESTAMP_NTZ column to TIMESTAMP. Value-preserving only
     * because the session timezone is pinned to UTC. */
   private def normalizeNtz(df: DataFrame): DataFrame = {

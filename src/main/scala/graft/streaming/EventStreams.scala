@@ -672,6 +672,13 @@ object EventStreams {
         // strictly increasing so FileStreamSource's (mtime, path) order
         // replays arrival order deterministically
         val maxId = docs.agg(max("doc_id")).head.getLong(0)
+        // The twin offset (3,000,000 — also hardcoded in the oracle SQL)
+        // assumes all real ids sit strictly below it AND below the third
+        // slice bound; fail loudly at generation time rather than let a
+        // larger corpus silently collide twins with real docs or empty
+        // slice 3.
+        require(2 * maxId / 3 + 1 < 3000000L && maxId < 3000000L,
+          s"s13 twin offset 3000000 violated: max(doc_id)=$maxId")
         val bounds = Seq(0L, maxId / 3 + 1, 2 * maxId / 3 + 1, 3000000L,
           Long.MaxValue)
         val fs = org.apache.hadoop.fs.FileSystem

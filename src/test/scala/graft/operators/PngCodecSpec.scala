@@ -71,6 +71,16 @@ class PngCodecSpec extends AnyFunSuite {
     assert(short.getMessage.contains("wrong scanline volume"))
   }
 
+  test("overflowing dimensions reject in Long arithmetic (CRCs valid)") {
+    // w=65535, h=65536: h*(w+1) wraps to 0 in Int, so an empty-inflating
+    // IDAT would pass the scanline-volume check and then blow up in
+    // allocation — the one malformed-input class CodecFuzzSpec can't
+    // reach (random mutations never produce valid chunk CRCs)
+    val e = intercept[IllegalArgumentException](
+      PngCodec.decodePng(PngCodec.rawPng(65535, 65536, Array.emptyByteArray)))
+    assert(e.getMessage.contains("bad dimensions"))
+  }
+
   test("ancillary chunks are CRC-checked then skipped") {
     val w = 4; val h = 4
     val px = randomPixels(w * h)

@@ -36,9 +36,14 @@ def load_canary(path):
     best = None
     for m in re.finditer(r'"canary":(\{[^{}]*?\})', text):
         try:
-            best = json.loads(m.group(1))
+            d = json.loads(m.group(1))
         except json.JSONDecodeError:
-            pass
+            continue
+        # the artifact prints the full canary (with "times") before a
+        # totals-only line (without) — keep the richest parse, not the
+        # last, so noisy-slot localization survives
+        if best is None or ("times" in d and "times" not in best):
+            best = d
     return best
 
 
