@@ -9,11 +9,14 @@ import org.apache.spark.sql.expressions.Window
   * final packed output (and per-stage attrition) the DuckDB oracle replays
   * as a single CTE chain:
   *
-  *   quality filter (d19 rules) → near-dup dedup with content-policy
-  *   survivorship (d05 candidate mechanism + d10 components + d25
-  *   survivor) → cross-doc chunk dedup with document REWRITE (d18) →
-  *   verbatim-span benchmark decontamination (d46) → component-keyed
-  *   leak-free split (d43) → contiguous sequence packing (d36).
+  *   quality filter (d19 rules) → Gopher repetition ceilings (d53) →
+  *   cross-doc line dedup with document rewrite (d52) → near-dup dedup
+  *   with content-policy survivorship (d05 candidate mechanism + d10
+  *   components + d25 survivor) → cross-doc chunk dedup with document
+  *   REWRITE (d18) → verbatim-span benchmark decontamination (d46) →
+  *   semantic decontamination against benchmark embeddings (e22) →
+  *   component-keyed leak-free split (d43) → contiguous sequence
+  *   packing (d36).
   *
   * Per-op gates cannot see survivorship/split/ordering interaction bugs
   * (column contracts, filter-before-dedup ordering, a survivor whose
@@ -32,28 +35,74 @@ import org.apache.spark.sql.expressions.Window
   * across SFs) and shares no 3-gram between different twins (every tail
   * gram spans a doc-specific final token).
   *
+  * Line-dedup flow is PLANTED with d52's own device, applied to the
+  * augmented corpus: a 3-variant subscribe header on doc_id % 7 == 0 and
+  * a 2-variant rights footer on doc_id % 5 == 0 (each variant lands in
+  * ≥ n/21 docs, so the ≥3-distinct-docs threshold fires at every SF),
+  * plus PURE-boilerplate replacement docs on doc_id % 101 == 17 (twin
+  * sources % 7 == 3 excluded) whose every line is hot — these pass the
+  * d19 quality rules (11 tokens, 2 stopwords) and the repetition guard
+  * (10 bigrams < 20), then lose every line to the hot set, exercising
+  * the "document emptied by line dedup" drop reason. Twin pairs share
+  * footer variants (1,000,000 ≡ 0 mod 5 and mod 2) and twins never gain
+  * headers (1,000,000 ≡ 1 mod 7 puts them at id % 7 == 4), so the
+  * cleaned twin keeps its strictly-longer body and the survivorship
+  * device is untouched by line cleaning.
+  *
+  * The repetition stage applies d53's top2/dup2 permille ceilings only to
+  * docs with ≥ 20 bigrams: below that the permille granularity makes
+  * top_k = 1 breach the 50‰ ceiling on every short doc, which would
+  * misattribute "too short" as "too repetitive" (quality already owns
+  * the length rule). Organic flow is real: 112/500 docs at sf0.01 breach
+  * a ceiling with the guard in place, both signals firing independently.
+  *
+  * Semantic decontamination (e22's arm) joins the embeddings table by
+  * doc_id = vec_id (docs without an embedding — including all planted
+  * twins — are semantically unverifiable and pass), broadcasts the
+  * benchmark embeddings (vec_id % 50 == 0, the same id rule as the
+  * verbatim bench split), and drops any doc whose max cosine ≥ 0.92.
+  * Graded leaks are planted with e22's device: docs with doc_id % 13 == 2
+  * have their embedding OVERRIDDEN by a perturbed copy of benchmark
+  * vector 50·(doc_id mod |bench|) at noise level (doc_id div 13) % 5 ×
+  * 0.01 — levels 0-1 land above the 0.92 cut, 2-4 below (e22 measured
+  * the bands: 1.0 / ~0.96 / ≤0.89), so the crossing is computed, not a
+  * membership bit.
+  *
   * Stage order is load-bearing and itself measured: chunk-level dedup
   * must run AFTER near-dup survivorship — measured the other way round,
   * first-occurrence chunk rewriting strips the twins' shared 20-token
   * chunks and the near-dup edge set collapses to zero (the whole
-  * survivorship stage silently no-ops). This is precisely the class of
+  * survivorship stage silently no-ops). Line dedup must run BEFORE
+  * near-dup: shared boilerplate lines inflate Jaccard, so cleaning after
+  * candidate generation would both admit false near-dup pairs and leak
+  * boilerplate into survivors. This is precisely the class of
   * composition bug the per-op gates cannot see.
   *
   * MinHash-LSH (d06) rides in-band: the 16×4 banded candidate join runs
-  * over the same post-quality corpus and `lsh_recall_ok` asserts it
-  * captures ≥ 95% of the true jaccard ≥ 0.3 edge set (the production
-  * candidate path, measured against the exact edges the oracle replays;
-  * planted pairs sit at J ≥ 0.8 where 16×4 capture probability is
+  * over the line-cleaned corpus and `lsh_recall_ok` asserts it captures
+  * ≥ 95% of the true jaccard ≥ 0.3 edge set (the production candidate
+  * path, measured against the exact edges the oracle replays; planted
+  * pairs sit at J ≥ 0.8 where 16×4 capture probability is
   * 1 - (1-J⁴)¹⁶ ≥ 0.9998 per pair).
   *
-  * 100 TB shape, stage by stage: quality is a zero-shuffle codegen
-  * projection; near-dup candidates are the d05 blocked gram-hash
-  * equi-join (never all-pairs) + the d10 fixpoint (per-round
+  * d47 and d48 each call build(): the two gates price the chain
+  * independently ON PURPOSE — each bench median is the full cost of its
+  * own output, not an amortized share of a materialization the other
+  * query paid for. A production run would materialize the stage frames
+  * once and read both outputs; the gates keep per-query costing honest
+  * instead.
+  *
+  * 100 TB shape, stage by stage: quality and repetition are doc-keyed
+  * map-side-combined aggregations (zero cross-doc terms); line dedup
+  * aggregates the hot set BEFORE the join-back (boilerplate vocabularies
+  * are tiny at any corpus size); near-dup candidates are the d05 blocked
+  * gram-hash equi-join (never all-pairs) + the d10 fixpoint (per-round
   * localCheckpoint, depth-1 plans); chunk dedup is ONE shuffle on the
   * chunk string (min-over-window finds first occurrences without a
-  * self-join); decontamination broadcasts the benchmark windows so train
-  * windows never shuffle; packing uses d36's bucketed prefix sum —
-  * nothing row-scale crosses a single partition anywhere in the chain.
+  * self-join); both decontamination arms broadcast the benchmark side so
+  * train rows never shuffle against each other; packing uses d36's
+  * bucketed prefix sum — nothing row-scale crosses a single partition
+  * anywhere in the chain.
   */
 object PipelineQueries {
 
@@ -72,17 +121,38 @@ object PipelineQueries {
        |ELSE transform(sequence(1, size($tk)-7),
        |  i -> array_join(slice($tk, i, 8), ' ')) END""".stripMargin)
 
-  /** Pipeline input: the corpus (non-benchmark docs) plus planted twins. */
+  /** Pipeline input: the corpus (non-benchmark docs, with the
+    * pure-boilerplate replacement plant) plus planted twins, then the
+    * d52 header/footer line plant over the union. */
   private def augmented(s: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables.load(s, dir, "documents")
-      .select("doc_id", "lang", "source", "text")
+    val corpus = Tables.guardIdsBelow(
+      Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "source", "text"), 1000000L)
       .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(101)) === 17 &&
+            pmod(col("doc_id"), lit(7)) =!= 3,
+          concat(lit("subscribe to the newsletter edition "),
+            pmod(col("doc_id"), lit(3)).cast("string"),
+            lit(". all rights reserved form "),
+            pmod(col("doc_id"), lit(2)).cast("string")))
+          .otherwise(col("text")))
     val twins = corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
         col("source"),
         concat(col("text"), lit(" is "),
           pmod(col("doc_id"), lit(97)).cast("string")).as("text"))
     corpus.unionByName(twins)
+      .withColumn("text", concat(
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("subscribe to the newsletter edition "),
+            pmod(col("doc_id"), lit(3)).cast("string"), lit(". ")))
+          .otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(". all rights reserved form "),
+            pmod(col("doc_id"), lit(2)).cast("string")))
+          .otherwise(lit(""))))
       .repartition(s.sparkContext.defaultParallelism)
   }
 
@@ -112,26 +182,75 @@ object PipelineQueries {
       .select("doc_id", "lang", "source", "text", "tk")
   }
 
+  /** Stage 1b — d53's Gopher repetition ceilings (top-bigram ≤ 50‰,
+    * duplicated-bigram mass ≤ 120‰), applied only at ≥ 20 bigrams (see
+    * class scaladoc). Two doc-keyed map-side-combined aggregations. */
+  private def repetitionDocs(q: DataFrame): DataFrame = {
+    val per = q.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tk) < 2 THEN array()
+          |ELSE transform(sequence(1, size(tk) - 1),
+          |  i -> concat(tk[i-1], ' ', tk[i])) END""".stripMargin)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
+      .groupBy("doc_id").agg(max("k").as("top_k"),
+        sum(when(col("k") > 1, col("k")).otherwise(0L)).as("dup_k"),
+        sum("k").as("n_g"))
+    q.join(per, Seq("doc_id"))
+      .filter(col("n_g") < 20 ||
+        (col("top_k") * 1000 <= col("n_g") * 50 &&
+          col("dup_k") * 1000 <= col("n_g") * 120))
+      .select("doc_id", "lang", "source", "text", "tk")
+  }
+
+  /** Stage 1c — d52's cross-doc line dedup with document rewrite: drop
+    * every line appearing in ≥ 3 distinct stage-input docs, reassemble
+    * the rest in order; a doc with zero kept lines is dropped. The hot
+    * set is aggregated BEFORE the join-back. */
+  private def lineCleanDocs(rep: DataFrame): DataFrame = {
+    val lines = rep.select(col("doc_id"),
+        posexplode(expr(
+          "filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("line"))
+    val hot = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 3)
+    val rebuilt = lines.join(hot, Seq("line"), "left")
+      .filter(col("nd").isNull)
+      .groupBy("doc_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(pos, line))), x -> x.line), ' ')")
+        .as("ltext"))
+    rep.select("doc_id", "lang", "source")
+      .join(rebuilt, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("ltext").as("text"))
+      .withColumn("tk", expr(tokens))
+  }
+
   /** All intermediate stage frames, so d47 (pack) and d48 (attrition)
-    * share one construction. Frames are lazily composed; `q` and the
-    * edge set are persisted (multiple consumers each). */
+    * share one construction. Frames are lazily composed; `q`, `ld`, the
+    * edge set, and `rw2` are persisted (multiple consumers each). */
   private final case class Stages(
-      aug: DataFrame, q: DataFrame, edges: DataFrame, surv: DataFrame,
-      rw2: DataFrame, clean: DataFrame, sp: DataFrame, lshOk: DataFrame)
+      aug: DataFrame, q: DataFrame, rep: DataFrame, ld: DataFrame,
+      edges: DataFrame, surv: DataFrame, rw2: DataFrame, clean: DataFrame,
+      sem: DataFrame, sp: DataFrame, lshOk: DataFrame)
 
   private def build(s: SparkSession, dir: String): Stages = {
     val aug = augmented(s, dir)
-    val q = qualityDocs(aug).persist() // 4 consumers: pairs, LSH, length, chunks
+    val q = qualityDocs(aug).persist() // consumers: repetition agg + join
+    val rep = repetitionDocs(q)
+    val ld = lineCleanDocs(rep).persist() // consumers: pairs, LSH, length, chunks
 
-    // Stage 2a — exact near-dup edges via the d05 blocked candidate join
-    val edges = TextQueries.jaccardPairsOf(q)
+    // Stage 2a — exact near-dup edges via the d05 blocked candidate join,
+    // over the LINE-CLEANED text (boilerplate no longer inflates Jaccard)
+    val edges = TextQueries.jaccardPairsOf(ld)
       .filter(col("jaccard") >= 0.3)
       .select("doc_a", "doc_b")
       .persist() // consumers: components + LSH recall
 
     // Stage 2b — d06's banded LSH over the same corpus, asserted in-band:
     // the production candidate path must capture >= 95% of the true edges
-    val lshHits = Dedup.lshCandidates(Dedup.signatures(q))
+    val lshHits = Dedup.lshCandidates(Dedup.signatures(ld))
       .select(col("doc_a"), col("doc_b"), lit(1L).as("lsh_hit"))
     val lshOk = edges.join(lshHits, Seq("doc_a", "doc_b"), "left")
       .agg(coalesce(sum(coalesce(col("lsh_hit"), lit(0L))), lit(0L)).as("cap"),
@@ -140,10 +259,11 @@ object PipelineQueries {
         .as("lsh_recall_ok"))
 
     // Stage 2c — d10 components + d25 content-policy survivor (longest
-    // text wins, tie -> lowest id; the planted twin is always longer)
-    val labels = TextQueries.componentsOf(edges, q.select("doc_id"))
+    // cleaned text wins, tie -> lowest id; the planted twin is always
+    // longer)
+    val labels = TextQueries.componentsOf(edges, ld.select("doc_id"))
     val sized = labels.join(
-      q.select(col("doc_id"), length(col("text")).cast("long").as("len")),
+      ld.select(col("doc_id"), length(col("text")).cast("long").as("len")),
       "doc_id")
     val byComp = Window.partitionBy("comp")
       .orderBy(col("len").desc, col("doc_id"))
@@ -156,7 +276,7 @@ object PipelineQueries {
     // first occurrence (min doc_id*100000+idx over the chunk) keeps; the
     // doc is rebuilt from its kept chunks in order. Zero kept chunks =
     // the doc is dropped (fully boilerplate).
-    val occ = surv.join(q.select("doc_id", "tk"), "doc_id")
+    val occ = surv.join(ld.select("doc_id", "tk"), "doc_id")
       .select(col("doc_id"), col("comp"),
         posexplode(chunksExpr("tk")).as(Seq("idx", "chunk")))
     val keyed = occ.withColumn("first_key",
@@ -171,11 +291,12 @@ object PipelineQueries {
       .withColumn("rtk", expr("regexp_extract_all(rtext, '\\\\S+', 0)"))
       .persist() // consumers: decontam windows, decontam text, split/pack
 
-    // Stage 4 — d46 decontamination of the REWRITTEN stream against the
-    // raw benchmark split (doc_id % 50 == 0): candidates share an exact
-    // 8-token window (benchmark side broadcast — eval suites are small at
-    // any corpus size), exact span via the suffix-automaton lcs_len over
-    // the same 512-char cap, drop at >= 50 shared chars.
+    // Stage 4a — d46 verbatim decontamination of the REWRITTEN stream
+    // against the raw benchmark split (doc_id % 50 == 0): candidates
+    // share an exact 8-token window (benchmark side broadcast — eval
+    // suites are small at any corpus size), exact span via the
+    // suffix-automaton lcs_len over the same 512-char cap, drop at
+    // >= 50 shared chars.
     val bench = Tables.load(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("bench_id"),
@@ -197,30 +318,83 @@ object PipelineQueries {
       .filter(col("max_lcs") >= 50).select("doc_id")
     val clean = rw2.join(contam, Seq("doc_id"), "left_anti")
 
+    // Stage 4b — e22 semantic decontamination: join embeddings by
+    // doc_id = vec_id (left — no embedding means unverifiable, pass),
+    // override with the graded planted leak on doc_id % 13 == 2, drop at
+    // max cosine >= 0.92 vs the broadcast benchmark embeddings. The
+    // 1-row |bench| frame is the q31 contract-flag broadcast shape.
+    val benchV = Tables.load(s, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("be"))
+    val nb = benchV.agg(count(lit(1)).as("nbench"))
+    val semIn = clean.select("doc_id")
+      .crossJoin(broadcast(nb))
+      .withColumn("pbid", lit(50L) * pmod(col("doc_id"), col("nbench")))
+      .join(broadcast(benchV.select(col("bid").as("pbid"), col("be").as("pbe"))),
+        Seq("pbid"), "left")
+      .join(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding").as("oe")),
+        Seq("doc_id"), "left")
+      .withColumn("te",
+        when(pmod(col("doc_id"), lit(13)) === 2, expr(
+          """transform(pbe, (x, i) -> CAST(CAST(x AS DOUBLE) +
+            |  (CAST((doc_id div 13) % 5 AS DOUBLE) * 0.01D) *
+            |  CAST((doc_id * 31 + (i + 1) * 17) % 13 - 6 AS DOUBLE)
+            |  AS FLOAT))""".stripMargin))
+          .otherwise(col("oe")))
+      .select("doc_id", "te")
+    val semDrop = semIn.filter(col("te").isNotNull)
+      .join(broadcast(benchV))
+      .withColumn("cos", graft.functions.VectorOps.cosineSim(col("te"), col("be")))
+      .groupBy("doc_id").agg(max("cos").as("mc"))
+      .filter(col("mc") >= 0.92).select("doc_id")
+    val sem = clean.join(semDrop, Seq("doc_id"), "left_anti")
+
     // Stage 5 — d43's component-keyed split: near-dup twins can never
     // straddle a boundary because the unit of assignment is the comp id
-    val sp = clean.withColumn("split",
+    val sp = sem.withColumn("split",
       when(pmod(col("comp"), lit(10)) < 8, "train")
         .when(pmod(col("comp"), lit(10)) === 8, "val")
         .otherwise("test"))
 
-    Stages(aug, q, edges, surv, rw2, clean, sp, lshOk)
+    Stages(aug, q, rep, ld, edges, surv, rw2, clean, sem, sp, lshOk)
   }
 
   // ------------------------------------------------------------- oracle
   /** The shared DuckDB CTE chain replaying stages 0-5; d47/d48 append
     * their final SELECT. Every CTE is the proven oracle formulation of
-    * its per-op gate (d19/d05/d10/d25/d18/d46/d43), re-rooted on the
-    * previous stage's CTE instead of `documents`. */
+    * its per-op gate (d19/d53/d52/d05/d10/d25/d18/d46/e22/d43),
+    * re-rooted on the previous stage's CTE instead of `documents`.
+    * Every non-recursive CTE is MATERIALIZED: DuckDB inlines plain CTEs
+    * per reference, and d48's lineage frame references nine stage CTEs
+    * whose subtrees each contain the LCS replay — measured >13 min
+    * inlined vs 0.3 s materialized at sf0.01. */
   private val chainSql: String =
     """WITH RECURSIVE
-      |corpus AS (SELECT doc_id, lang, source, text FROM documents
-      |           WHERE doc_id % 50 <> 0),
-      |twins AS (SELECT doc_id + 1000000 AS doc_id, lang, source,
+      |corpus AS MATERIALIZED (SELECT doc_id, lang, source,
+      |            CASE WHEN doc_id % 101 = 17 AND doc_id % 7 <> 3
+      |              THEN 'subscribe to the newsletter edition ' ||
+      |                   CAST(doc_id % 3 AS VARCHAR) ||
+      |                   '. all rights reserved form ' ||
+      |                   CAST(doc_id % 2 AS VARCHAR)
+      |              ELSE text END AS text
+      |           FROM documents WHERE doc_id % 50 <> 0),
+      |twins AS MATERIALIZED (SELECT doc_id + 1000000 AS doc_id, lang, source,
       |           text || ' is ' || (doc_id % 97) AS text
       |          FROM corpus WHERE doc_id % 7 = 3),
-      |aug AS (SELECT * FROM corpus UNION ALL SELECT * FROM twins),
-      |f AS (SELECT doc_id, lang, source, text,
+      |aug0 AS MATERIALIZED (SELECT * FROM corpus UNION ALL SELECT * FROM twins),
+      |aug AS MATERIALIZED (SELECT doc_id, lang, source,
+      |         CASE WHEN doc_id % 7 = 0
+      |           THEN 'subscribe to the newsletter edition ' ||
+      |                CAST(doc_id % 3 AS VARCHAR) || '. '
+      |           ELSE '' END
+      |         || text ||
+      |         CASE WHEN doc_id % 5 = 0
+      |           THEN '. all rights reserved form ' ||
+      |                CAST(doc_id % 2 AS VARCHAR)
+      |           ELSE '' END AS text
+      |        FROM aug0),
+      |f AS MATERIALIZED (SELECT doc_id, lang, source, text,
       |       regexp_extract_all(text,'\S+') AS tk,
       |       length(regexp_extract_all(text,'\S+')) AS n_tok,
       |       list_sum(list_transform(regexp_extract_all(text,'\S+'),
@@ -228,83 +402,134 @@ object PipelineQueries {
       |       length(list_filter(regexp_extract_all(text,'\S+'),
       |         t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop
       |      FROM aug),
-      |g AS (SELECT *, greatest(n_tok-2,0) AS n_tri,
+      |g AS MATERIALIZED (SELECT *, greatest(n_tok-2,0) AS n_tri,
       |       length(list_distinct(list_transform(
       |         range(1, greatest(n_tok-2,0)+1),
       |         i -> concat(tk[i],' ',tk[i+1],' ',tk[i+2])))) AS n_tri_distinct
       |      FROM f),
-      |q AS (SELECT doc_id, lang, source, text, tk FROM g
+      |q AS MATERIALIZED (SELECT doc_id, lang, source, text, tk FROM g
       |      WHERE n_tok BETWEEN 10 AND 1000
       |        AND 2*n_tok <= tok_chars AND tok_chars <= 12*n_tok
       |        AND n_stop >= 2
       |        AND (n_tri = 0 OR 10*n_tri_distinct >= 4*n_tri)),
-      |sh AS (SELECT doc_id, lang, source,
+      |rep0 AS MATERIALIZED (SELECT doc_id, g2, count(*) AS k FROM (
+      |          SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g2
+      |          FROM q, unnest(range(1, greatest(len(tk)-1,0)+1)) r(i))
+      |         GROUP BY doc_id, g2),
+      |rep1 AS MATERIALIZED (SELECT doc_id, max(k) AS top_k,
+      |          sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS dup_k,
+      |          sum(k) AS n_g
+      |         FROM rep0 GROUP BY doc_id),
+      |rep AS MATERIALIZED (SELECT q.* FROM q JOIN rep1 USING (doc_id)
+      |        WHERE n_g < 20
+      |           OR (top_k*1000 <= 50*n_g AND dup_k*1000 <= 120*n_g)),
+      |ls0 AS MATERIALIZED (SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+      |           x -> length(trim(x)) > 0) AS ls
+      |        FROM rep),
+      |lns AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos, ls[i] AS line
+      |        FROM ls0, unnest(range(1, len(ls)+1)) r(i)),
+      |hot AS MATERIALIZED (SELECT line FROM lns GROUP BY line
+      |        HAVING count(DISTINCT doc_id) >= 3),
+      |ld0 AS MATERIALIZED (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS ltext
+      |        FROM lns WHERE line NOT IN (SELECT line FROM hot)
+      |        GROUP BY doc_id),
+      |ld AS MATERIALIZED (SELECT r.doc_id, r.lang, r.source, l.ltext AS text,
+      |        regexp_extract_all(l.ltext,'\S+') AS tk
+      |       FROM rep r JOIN ld0 l USING (doc_id)),
+      |sh AS MATERIALIZED (SELECT doc_id, lang, source,
       |        list_distinct(list_transform(range(1, greatest(len(tk)-2,0)+1),
-      |          i->concat(tk[i],' ',tk[i+1],' ',tk[i+2]))) AS grams FROM q),
-      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |          i->concat(tk[i],' ',tk[i+1],' ',tk[i+2]))) AS grams FROM ld),
+      |pairs AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |           round(CAST(length(list_intersect(a.grams,b.grams)) AS DOUBLE) /
       |             (length(a.grams)+length(b.grams)
       |              -length(list_intersect(a.grams,b.grams))),3) AS jac
       |          FROM sh a JOIN sh b ON a.lang=b.lang AND a.source=b.source
       |            AND a.doc_id<b.doc_id
       |          WHERE length(list_intersect(a.grams,b.grams)) > 0),
-      |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jac >= 0.3
+      |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jac >= 0.3
       |        UNION ALL SELECT doc_b, doc_a FROM pairs WHERE jac >= 0.3),
-      |walk(node, comp) AS (SELECT doc_id, doc_id FROM q
+      |walk(node, comp) AS (SELECT doc_id, doc_id FROM ld
       |        UNION SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node),
-      |lab AS (SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS comp
+      |lab AS MATERIALIZED (SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS comp
       |        FROM walk GROUP BY node),
-      |surv AS (SELECT doc_id, comp FROM (
+      |surv AS MATERIALIZED (SELECT doc_id, comp FROM (
       |          SELECT l.doc_id, l.comp,
       |            first_value(l.doc_id) OVER (PARTITION BY l.comp
       |              ORDER BY length(qq.text) DESC, l.doc_id) AS sid
-      |          FROM lab l JOIN q qq USING (doc_id)) t WHERE doc_id = sid),
-      |chunks AS (SELECT s.doc_id, s.comp,
-      |            list_transform(range(0, CAST(ceil(len(q.tk)/20.0) AS INT)),
-      |              i -> list_aggregate(q.tk[i*20+1:i*20+20], 'string_agg',' ')) AS cs
-      |           FROM surv s JOIN q USING (doc_id)),
-      |occ AS (SELECT doc_id, comp, unnest(cs) AS chunk,
+      |          FROM lab l JOIN ld qq USING (doc_id)) t WHERE doc_id = sid),
+      |chunks AS MATERIALIZED (SELECT s.doc_id, s.comp,
+      |            list_transform(range(0, CAST(ceil(len(ld.tk)/20.0) AS INT)),
+      |              i -> list_aggregate(ld.tk[i*20+1:i*20+20], 'string_agg',' ')) AS cs
+      |           FROM surv s JOIN ld USING (doc_id)),
+      |occ AS MATERIALIZED (SELECT doc_id, comp, unnest(cs) AS chunk,
       |         unnest(range(0,len(cs))) AS idx FROM chunks),
-      |keyed AS (SELECT *, min(doc_id*100000+idx) OVER (PARTITION BY chunk)
+      |keyed AS MATERIALIZED (SELECT *, min(doc_id*100000+idx) OVER (PARTITION BY chunk)
       |           AS first_key FROM occ),
-      |rw AS (SELECT doc_id, comp,
+      |rw AS MATERIALIZED (SELECT doc_id, comp,
       |        string_agg(chunk, ' ' ORDER BY idx)
       |          FILTER (WHERE doc_id*100000+idx = first_key) AS rtext
       |       FROM keyed GROUP BY doc_id, comp),
-      |rw2 AS (SELECT doc_id, comp, rtext,
+      |rw2 AS MATERIALIZED (SELECT doc_id, comp, rtext,
       |         regexp_extract_all(rtext,'\S+') AS rtk
       |        FROM rw WHERE rtext IS NOT NULL),
-      |bench AS (SELECT doc_id, substring(text,1,512) AS s,
+      |bench AS MATERIALIZED (SELECT doc_id, substring(text,1,512) AS s,
       |           regexp_extract_all(text,'\S+') AS tk
       |          FROM documents WHERE doc_id % 50 = 0),
-      |tw AS (SELECT doc_id, rtk, substring(rtext,1,512) AS s FROM rw2),
-      |trw AS (SELECT doc_id, list_aggregate(rtk[i:i+7],'string_agg',' ') AS win
+      |tw AS MATERIALIZED (SELECT doc_id, rtk, substring(rtext,1,512) AS s FROM rw2),
+      |trw AS MATERIALIZED (SELECT doc_id, list_aggregate(rtk[i:i+7],'string_agg',' ') AS win
       |        FROM tw, unnest(range(1, greatest(len(rtk)-7,0)+1)) AS r(i)),
-      |bw AS (SELECT doc_id, list_aggregate(tk[i:i+7],'string_agg',' ') AS win
+      |bw AS MATERIALIZED (SELECT doc_id, list_aggregate(tk[i:i+7],'string_agg',' ') AS win
       |       FROM bench, unnest(range(1, greatest(len(tk)-7,0)+1)) AS r(i)),
-      |p2 AS (SELECT DISTINCT tr.doc_id AS train_id, be.doc_id AS bench_id
+      |p2 AS MATERIALIZED (SELECT DISTINCT tr.doc_id AS train_id, be.doc_id AS bench_id
       |       FROM trw tr JOIN bw be ON tr.win = be.win),
-      |c2 AS (SELECT train_id, bench_id, a.s AS sa, b.s AS sb
+      |c2 AS MATERIALIZED (SELECT train_id, bench_id, a.s AS sa, b.s AS sb
       |       FROM p2 JOIN tw a ON a.doc_id = train_id
       |              JOIN bench b ON b.doc_id = bench_id),
-      |m2 AS (SELECT train_id, bench_id, i.i AS i, j.j AS j
+      |m2 AS MATERIALIZED (SELECT train_id, bench_id, i.i AS i, j.j AS j
       |       FROM c2, unnest(range(1, length(sa)+1)) AS i(i),
       |            unnest(range(1, length(sb)+1)) AS j(j)
       |       WHERE substring(sa, CAST(i.i AS INT), 1)
       |           = substring(sb, CAST(j.j AS INT), 1)),
-      |runs AS (SELECT train_id, bench_id, count(*) AS run FROM (
+      |runs AS MATERIALIZED (SELECT train_id, bench_id, count(*) AS run FROM (
       |         SELECT train_id, bench_id, i - j AS diag,
       |           i - row_number() OVER (PARTITION BY train_id, bench_id, i - j
       |                                  ORDER BY i) AS grp
       |         FROM m2) GROUP BY train_id, bench_id, diag, grp),
-      |contam AS (SELECT train_id AS doc_id FROM runs
+      |contam AS MATERIALIZED (SELECT train_id AS doc_id FROM runs
       |           GROUP BY train_id HAVING max(run) >= 50),
-      |clean AS (SELECT r.doc_id, r.comp, r.rtext, r.rtk FROM rw2 r
+      |clean AS MATERIALIZED (SELECT r.doc_id, r.comp, r.rtext, r.rtk FROM rw2 r
       |          WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)),
-      |sp AS (SELECT doc_id, comp, rtext, rtk,
+      |benchv AS MATERIALIZED (SELECT vec_id AS bid, embedding AS be
+      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |semj AS MATERIALIZED (SELECT c.doc_id,
+      |          CASE WHEN c.doc_id % 13 = 2 THEN
+      |            list_transform(range(1, len(bv.be)+1), i ->
+      |              CAST(CAST(bv.be[i] AS DOUBLE) +
+      |                (CAST((c.doc_id // 13) % 5 AS DOUBLE) * 0.01) *
+      |                CAST((c.doc_id * 31 + i * 17) % 13 - 6 AS DOUBLE)
+      |                AS FLOAT))
+      |          ELSE ev.embedding END AS te
+      |         FROM clean c
+      |         LEFT JOIN embeddings ev ON ev.vec_id = c.doc_id
+      |         LEFT JOIN benchv bv
+      |           ON bv.bid = 50 * (c.doc_id % (SELECT count(*) FROM benchv))),
+      |semc AS MATERIALIZED (SELECT s.doc_id,
+      |          max(list_sum(list_transform(range(1, len(s.te)+1),
+      |            i -> CAST(s.te[i] AS DOUBLE) * CAST(bv.be[i] AS DOUBLE))) /
+      |          (sqrt(list_sum(list_transform(s.te,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |           sqrt(list_sum(list_transform(bv.be,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS mc
+      |         FROM semj s, benchv bv WHERE s.te IS NOT NULL
+      |         GROUP BY s.doc_id),
+      |sem AS MATERIALIZED (SELECT c.* FROM clean c
+      |        WHERE c.doc_id NOT IN
+      |          (SELECT doc_id FROM semc WHERE mc >= 0.92)),
+      |sp AS MATERIALIZED (SELECT doc_id, comp, rtext, rtk,
       |        CASE WHEN comp % 10 < 8 THEN 'train'
       |             WHEN comp % 10 = 8 THEN 'val' ELSE 'test' END AS split
-      |       FROM clean)""".stripMargin
+      |       FROM sem)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -359,27 +584,35 @@ object PipelineQueries {
 
     // ---- per-stage attrition with a drop_reason bitmask (d48): every
     // input doc (corpus + planted twin) carries the FIRST stage that
-    // dropped it — 1 quality, 2 near-dup loser, 4 fully-boilerplate
-    // (zero kept chunks), 8 contaminated, 0 survived (with its split) —
-    // and the gate hash-pins the (reason, split) histogram. This is the
-    // "why was this doc dropped" accounting a 100 TB pipeline must
-    // emit; reasons are disjoint by stage order, so the counts ARE the
-    // per-stage attrition table. Aggregate-sized output; the lineage
-    // frame itself is one pass of left anti-joins over stage frames. ----
+    // dropped it — 1 quality, 16 repetition ceilings, 32 emptied by line
+    // dedup, 2 near-dup loser, 4 fully-boilerplate (zero kept chunks),
+    // 8 verbatim-contaminated, 64 semantically contaminated, 0 survived
+    // (with its split) — and the gate hash-pins the (reason, split)
+    // histogram. This is the "why was this doc dropped" accounting a
+    // 100 TB pipeline must emit; reasons are disjoint by stage order, so
+    // the counts ARE the per-stage attrition table. Aggregate-sized
+    // output; the lineage frame itself is one pass of left anti-joins
+    // over stage frames. ----
     QueryDef("d48_pipeline_attrition", chainSql +
       """,
         |lin AS (
         |  SELECT a.doc_id,
         |    CASE WHEN q.doc_id IS NULL THEN 1
+        |         WHEN re.doc_id IS NULL THEN 16
+        |         WHEN l.doc_id IS NULL THEN 32
         |         WHEN s.doc_id IS NULL THEN 2
         |         WHEN r.doc_id IS NULL THEN 4
-        |         WHEN c.doc_id IS NULL THEN 8 ELSE 0 END AS drop_reason,
+        |         WHEN c.doc_id IS NULL THEN 8
+        |         WHEN se.doc_id IS NULL THEN 64 ELSE 0 END AS drop_reason,
         |    COALESCE(p.split, 'dropped') AS split
         |  FROM aug a
         |    LEFT JOIN q ON q.doc_id = a.doc_id
+        |    LEFT JOIN rep re ON re.doc_id = a.doc_id
+        |    LEFT JOIN ld l ON l.doc_id = a.doc_id
         |    LEFT JOIN surv s ON s.doc_id = a.doc_id
         |    LEFT JOIN rw2 r ON r.doc_id = a.doc_id
         |    LEFT JOIN clean c ON c.doc_id = a.doc_id
+        |    LEFT JOIN sem se ON se.doc_id = a.doc_id
         |    LEFT JOIN sp p ON p.doc_id = a.doc_id)
         |SELECT CAST(drop_reason AS BIGINT) AS drop_reason, split,
         |  CAST(count(*) AS BIGINT) AS n_docs
@@ -387,15 +620,21 @@ object PipelineQueries {
       val st = build(s, dir)
       st.aug.select("doc_id")
         .join(st.q.select(col("doc_id"), lit(1L).as("in_q")), Seq("doc_id"), "left")
+        .join(st.rep.select(col("doc_id"), lit(1L).as("in_rep")), Seq("doc_id"), "left")
+        .join(st.ld.select(col("doc_id"), lit(1L).as("in_ld")), Seq("doc_id"), "left")
         .join(st.surv.select(col("doc_id"), lit(1L).as("in_surv")), Seq("doc_id"), "left")
         .join(st.rw2.select(col("doc_id"), lit(1L).as("in_rw")), Seq("doc_id"), "left")
         .join(st.clean.select(col("doc_id"), lit(1L).as("in_clean")), Seq("doc_id"), "left")
+        .join(st.sem.select(col("doc_id"), lit(1L).as("in_sem")), Seq("doc_id"), "left")
         .join(st.sp.select(col("doc_id"), col("split")), Seq("doc_id"), "left")
         .withColumn("drop_reason",
           when(col("in_q").isNull, 1L)
+            .when(col("in_rep").isNull, 16L)
+            .when(col("in_ld").isNull, 32L)
             .when(col("in_surv").isNull, 2L)
             .when(col("in_rw").isNull, 4L)
             .when(col("in_clean").isNull, 8L)
+            .when(col("in_sem").isNull, 64L)
             .otherwise(0L))
         .groupBy(col("drop_reason"), coalesce(col("split"), lit("dropped")).as("split"))
         .agg(count(lit(1)).as("n_docs"))

@@ -185,7 +185,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byReason = att.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
     assert(byReason.getOrElse(1L, 0L) > 0, "quality stage dropped nothing")
     assert(byReason.getOrElse(2L, 0L) > 0, "near-dup stage dropped nothing")
-    assert(byReason.keySet.subsetOf(Set(0L, 1L, 2L, 4L, 8L)))
+    // the r12 stages each have designed flow at every SF: organic
+    // repetition breaches (16), the pure-boilerplate replacement docs
+    // emptied by line dedup (32), and the graded planted semantic leaks
+    // at noise levels 0-1 (64)
+    assert(byReason.getOrElse(16L, 0L) > 0, "repetition stage dropped nothing")
+    assert(byReason.getOrElse(32L, 0L) > 0, "line-dedup emptied nothing")
+    assert(byReason.getOrElse(64L, 0L) > 0, "semantic decontam dropped nothing")
+    assert(byReason.keySet.subsetOf(Set(0L, 1L, 2L, 4L, 8L, 16L, 32L, 64L)))
     // survivors carry a split, dropped docs carry 'dropped', exclusively
     assert(att.keys.forall { case (reason, split) =>
       if (reason == 0L) Set("train", "val", "test").contains(split)

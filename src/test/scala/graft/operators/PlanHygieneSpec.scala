@@ -63,9 +63,11 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     //      neighbor-vote scoring
     "d43_leakfree_split", "e19_maxsim", "e20_rrf_fusion",
     "e21_knn_classify",
-    // d47/d49: the 1-row lsh_recall_ok contract-flag broadcast (the
-    // d43/q31 pattern); the stages themselves are equi-joins + windows
-    "d47_pipeline_pack", "d49_incremental_dedup",
+    // d47/d48/d49: the 1-row lsh_recall_ok / |bench| contract-flag
+    // broadcasts (the d43/q31 pattern) plus the e22 semantic stage's
+    // aggregate-sized benchmark-embedding broadcast against the clean
+    // set; the stages themselves are equi-joins + windows
+    "d47_pipeline_pack", "d48_pipeline_attrition", "d49_incremental_dedup",
     // d50: the aggregate-sized quota build (5-lang weight table × 1-row
     // normalizer/budget) — per-doc joins are broadcast equi-joins
     "d50_quota_mix",
