@@ -170,7 +170,10 @@ object QBench {
       // hot-line state under interleaving), repetition filters, and the
       // broadcast-bench semantic decontamination pass
       "d52_line_dedup", "d53_gopher_repetition", "e22_semantic_decontam",
-      "m12_png_decode")
+      "m12_png_decode",
+      // round-12: BPE-tokenized packing (shared 1-row merge-table
+      // broadcast under interleaving)
+      "d54_bpe_pack", "d55_bpe_manifest")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(

@@ -1744,6 +1744,196 @@ object TextQueries {
             .cast("long").as("dup2_permille"),
           coalesce(col("top_k") * 1000 <= col("n_grams") * 50 &&
             col("dup_k") * 1000 <= col("n_grams") * 120, lit(true)).as("keep"))
+    },
+
+    // ---- BPE-TOKENIZED sequence packing (d54): d36's packing composed
+    // with the REAL tokenizer chain the repo already owns — d22's
+    // regex pre-tokenizer and d28's corpus-derived merge table, applied
+    // in rank order — so the pack offsets are in BPE-token space, the
+    // unit a dataloader actually consumes. Whitespace-token packing
+    // (d36) produces sequence boundaries no dataloader would see:
+    // merges shrink each doc by a content-dependent amount, so the two
+    // packings diverge on almost every cut point. The merge-table md5
+    // rides as data (d28's device): a ranking drift on either engine is
+    // a hash mismatch, which pins that BOTH engines packed under the
+    // SAME tokenizer. Scale shape: pair counting is one explode + one
+    // bounded-vocabulary shuffle; merge application is a zero-shuffle
+    // projection; packing is d36's bucketed exclusive prefix sum
+    // (aggregate-sized offset table broadcast, bucket-partitioned
+    // running sum — never a row-scale global window). ----
+    QueryDef("d54_bpe_pack",
+      bpeCountSql +
+      """,
+        |c AS (SELECT doc_id, n_bpe, mtm,
+        |        coalesce(sum(n_bpe) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS tok_start
+        |      FROM cnt)
+        |SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+        |  CAST(tok_start AS BIGINT) AS token_start,
+        |  CAST(tok_start // 128 AS BIGINT) AS seq_id,
+        |  CAST(tok_start % 128 AS BIGINT) AS seq_offset,
+        |  CAST((tok_start + n_bpe - 1) // 128 - tok_start // 128 + 1
+        |    AS BIGINT) AS n_seqs,
+        |  mtm AS merge_table_md5
+        |FROM c""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val toks = bpeTokenCounts(s, dir)
+        .withColumn("bucket", expr("doc_id div 100L"))
+        .persist()
+      val offsets = toks.groupBy("bucket").agg(sum("n_bpe").as("btotal"))
+        .withColumn("off", coalesce(
+          sum("btotal").over(w.orderBy(col("bucket").asc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val byBucket = w.partitionBy("bucket").orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      toks
+        .join(broadcast(offsets.select(col("bucket"), col("off"))), Seq("bucket"))
+        .withColumn("tok_start",
+          (col("off") + coalesce(sum("n_bpe").over(byBucket), lit(0L))).cast("long"))
+        .select(col("doc_id"), col("n_bpe").cast("long").as("n_bpe_tokens"),
+          col("tok_start").as("token_start"),
+          expr("tok_start div 128L").as("seq_id"),
+          pmod(col("tok_start"), lit(128L)).as("seq_offset"),
+          expr("(tok_start + n_bpe - 1) div 128L - tok_start div 128L + 1")
+            .cast("long").as("n_seqs"),
+          col("mtm").as("merge_table_md5"))
+    },
+
+    // ---- BPE pack MANIFEST (d55): d51's per-(sequence, doc) span table
+    // in BPE-token space — for every 128-BPE-token sequence a doc
+    // touches, its start offset and span length inside that sequence
+    // plus the doc_head/doc_tail attention-boundary flags. This is the
+    // table a dataloader's attention masking reads, in the unit it
+    // reads it in; PipelineSpec asserts every interior sequence fills
+    // to exactly 128 BPE tokens and that spans tile each sequence.
+    // Same scale shape as d51 (the manifest adds one bounded sequence
+    // explode of <= n_seqs elements per doc). ----
+    QueryDef("d55_bpe_manifest",
+      bpeCountSql +
+      """,
+        |c AS (SELECT doc_id, n_bpe, tok_start FROM (
+        |        SELECT doc_id, n_bpe,
+        |          coalesce(sum(n_bpe) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS tok_start
+        |        FROM cnt) WHERE n_bpe > 0),
+        |e AS (SELECT doc_id, n_bpe, tok_start,
+        |        unnest(range(CAST(tok_start // 128 AS BIGINT),
+        |                     CAST((tok_start + n_bpe - 1) // 128 + 1 AS BIGINT)))
+        |          AS seq_id
+        |      FROM c)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(greatest(tok_start - seq_id*128, 0) AS BIGINT) AS start_in_seq,
+        |  CAST(least(tok_start + n_bpe - seq_id*128, 128)
+        |    - greatest(tok_start - seq_id*128, 0) AS BIGINT) AS len_in_seq,
+        |  seq_id = tok_start // 128 AS doc_head,
+        |  seq_id = (tok_start + n_bpe - 1) // 128 AS doc_tail
+        |FROM e""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val toks = bpeTokenCounts(s, dir)
+        .withColumn("bucket", expr("doc_id div 100L"))
+        .persist()
+      val offsets = toks.groupBy("bucket").agg(sum("n_bpe").as("btotal"))
+        .withColumn("off", coalesce(
+          sum("btotal").over(w.orderBy(col("bucket").asc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val byBucket = w.partitionBy("bucket").orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      toks
+        .join(broadcast(offsets.select(col("bucket"), col("off"))), Seq("bucket"))
+        .withColumn("tok_start",
+          (col("off") + coalesce(sum("n_bpe").over(byBucket), lit(0L))).cast("long"))
+        .filter(col("n_bpe") > 0)
+        .select(col("doc_id"), col("n_bpe"), col("tok_start"),
+          explode(expr(
+            "sequence(tok_start div 128L, (tok_start + n_bpe - 1) div 128L)"))
+            .as("seq_id"))
+        .select(col("seq_id"), col("doc_id"),
+          greatest(col("tok_start") - col("seq_id") * 128, lit(0L))
+            .as("start_in_seq"),
+          (least(col("tok_start") + col("n_bpe") - col("seq_id") * 128, lit(128L)) -
+            greatest(col("tok_start") - col("seq_id") * 128, lit(0L)))
+            .as("len_in_seq"),
+          (col("seq_id") === expr("tok_start div 128L")).as("doc_head"),
+          (col("seq_id") === expr("(tok_start + n_bpe - 1) div 128L")).as("doc_tail"))
     }
   )
+
+  /** Per-doc BPE token counts under the corpus-derived merge table —
+    * d22's pre-tokenizer (with its augmentation tail, so every token
+    * class appears) + d28's top-8 merge loop applied in rank order via
+    * the boundary-marked replace chain. Returns (doc_id, n_bpe, mtm)
+    * where mtm is the merge-table md5 (the tokenizer identity). The
+    * merge table reaches each row as a 1-row broadcast (d16 pattern). */
+  private def bpeTokenCounts(s: SparkSession, dir: String): DataFrame = {
+    val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" It's v"),
+          (col("doc_id") % 10).cast("string"), lit(".2, don't-stop #"),
+          col("doc_id").cast("string"), lit(" (you'll see 42%)!")).as("t"))
+      .select(col("doc_id"),
+        regexp_extract_all(col("t"), lit(pat), lit(0)).as("bt"))
+    val top8 = tok
+      .select(explode(expr(
+        """IF(size(bt) >= 2,
+          |  transform(sequence(1, size(bt) - 1),
+          |    i -> concat(element_at(bt, i), chr(1), element_at(bt, i + 1))),
+          |  CAST(array() AS ARRAY<STRING>))""".stripMargin)).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("m"))
+      .limit(8)
+    val merges = top8.agg(expr(
+      "transform(sort_array(collect_list(struct(-cnt AS nc, m AS m))), p -> p.m)")
+      .as("merges"))
+    tok.crossJoin(broadcast(merges))
+      .withColumn("merged", expr(
+        """aggregate(merges,
+          |  concat(chr(1), concat_ws(chr(1), bt), chr(1)),
+          |  (acc, mm) -> replace(acc,
+          |    concat(chr(1), mm, chr(1)),
+          |    concat(chr(1), replace(mm, chr(1), ''), chr(1))))""".stripMargin))
+      .select(col("doc_id"),
+        (size(split(col("merged"), "\u0001")) - 2).cast("long").as("n_bpe"),
+        md5(concat_ws("\u0002", col("merges"))).as("mtm"))
+  }
+
+  /** Shared oracle prefix for d54/d55: d28's proven aug/tok/merge-table
+    * CTEs plus the per-doc merged count. MATERIALIZED where referenced
+    * via multiple downstream CTEs (DuckDB inlines plain CTEs). */
+  // lazy: referenced by `defs` above, which initializes first
+  private lazy val bpeCountSql: String =
+    """WITH aug AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    text || ' It''s v' || (doc_id % 10) || '.2, don''t-stop #' ||
+      |      doc_id || ' (you''ll see 42%)!' AS t
+      |  FROM documents),
+      |tok AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    regexp_extract_all(t,
+      |      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+') AS bt
+      |  FROM aug),
+      |pairs AS MATERIALIZED (
+      |  SELECT unnest(list_transform(range(1, len(bt)),
+      |           i -> bt[CAST(i AS INT)] || chr(1) || bt[CAST(i+1 AS INT)])) AS m
+      |  FROM tok),
+      |top8 AS MATERIALIZED (
+      |  SELECT m, count(*) AS cnt FROM pairs GROUP BY m
+      |  ORDER BY cnt DESC, m LIMIT 8),
+      |mt AS MATERIALIZED (SELECT list(m ORDER BY cnt DESC, m) AS merges FROM top8),
+      |app AS MATERIALIZED (
+      |  SELECT doc_id, merges,
+      |    list_reduce(
+      |      list_prepend(chr(1) || array_to_string(bt, chr(1)) || chr(1), merges),
+      |      (acc, mm) -> replace(acc,
+      |        chr(1) || mm || chr(1),
+      |        chr(1) || replace(mm, chr(1), '') || chr(1))) AS merged
+      |  FROM tok, mt),
+      |cnt AS MATERIALIZED (
+      |  SELECT doc_id, len(string_split(merged, chr(1))) - 2 AS n_bpe,
+      |    md5(array_to_string(merges, chr(2))) AS mtm
+      |  FROM app)""".stripMargin
 }

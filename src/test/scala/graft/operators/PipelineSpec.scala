@@ -207,6 +207,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lineage not total: ${att.values.sum} != ${nCorpus + nTwins}")
   }
 
+  test("d55 BPE manifest: interior sequences fill to exactly 128 BPE tokens; BPE counts genuinely diverge from whitespace counts") {
+    val rows = SparkEntryQueries("d55_bpe_manifest").collect()
+    assert(rows.nonEmpty)
+    val bySeq = rows.groupBy(_.getAs[Long]("seq_id"))
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, spans) =>
+      val fill = spans.map(_.getAs[Long]("len_in_seq")).sum
+      if (seq < lastSeq)
+        assert(fill == 128L, s"seq $seq fills to $fill BPE tokens, not 128")
+      else assert(fill <= 128L, s"final seq overfilled: $fill")
+    }
+    // the non-vacuity dial: if the "BPE" counts were secretly whitespace
+    // counts, packing under the merge table would be d36 in disguise —
+    // the per-doc totals must differ for most docs (the pre-tokenizer
+    // splits punctuation/numbers AND the merges shrink sequences)
+    val bpePerDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("len_in_seq")).sum).toMap
+    val ws = SparkEntryQueries("d36_sequence_pack").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val diff = bpePerDoc.count { case (id, n) => ws.get(id).exists(_ != n) }
+    assert(diff * 10 >= bpePerDoc.size * 9,
+      s"only $diff/${bpePerDoc.size} docs have BPE != whitespace counts")
+  }
+
   test("d51 manifest: every interior sequence fills to exactly 128 tokens, spans partition docs") {
     val rows = SparkEntryQueries("d51_pack_manifest").collect()
     assert(rows.nonEmpty)

@@ -71,6 +71,9 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // d50: the aggregate-sized quota build (5-lang weight table × 1-row
     // normalizer/budget) — per-doc joins are broadcast equi-joins
     "d50_quota_mix",
+    // d54/d55: d28's 1-row merge-table broadcast (the d16 pattern)
+    // feeding the BPE application projection
+    "d54_bpe_pack", "d55_bpe_manifest",
     // e22: the aggregate-sized benchmark side broadcast against the
     // train corpus — the e01/e14 unconditioned-broadcast shape
     "e22_semantic_decontam")
