@@ -172,8 +172,12 @@ object QBench {
       "d52_line_dedup", "d53_gopher_repetition", "e22_semantic_decontam",
       "m12_png_decode",
       // round-12: BPE-tokenized packing (shared 1-row merge-table
-      // broadcast under interleaving)
-      "d54_bpe_pack", "d55_bpe_manifest")
+      // broadcast under interleaving), the eviction-under-budget gate
+      // (private budgeted manager + per-execution scratch — concurrent
+      // executions must stay disjoint), and the sampled triangle
+      // estimator
+      "d54_bpe_pack", "d55_bpe_manifest", "c14_eviction_budget",
+      "d56_triangle_estimate")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(

@@ -66,10 +66,12 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val (src, out, tiles, parts) = args match {
-      case Array(s, o, t) => (s, o, t.toInt, 16)
-      case Array(s, o, t, p) => (s, o, t.toInt, p.toInt)
-      case _ => sys.error("usage: ScaleGen <srcSfDir> <outDir> <tiles> [parts]")
+    val (src, out, tiles, parts, embMult) = args match {
+      case Array(s, o, t) => (s, o, t.toInt, 16, 1)
+      case Array(s, o, t, p) => (s, o, t.toInt, p.toInt, 1)
+      case Array(s, o, t, p, em) => (s, o, t.toInt, p.toInt, em.toInt)
+      case _ => sys.error(
+        "usage: ScaleGen <srcSfDir> <outDir> <tiles> [parts] [embMult]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(master = s"local[$cpus]",
@@ -144,8 +146,18 @@ object ScaleGen {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
 
-    // embeddings: key offset + the per-tile orthogonal rotation
-    val embTiles = (0 until tiles).map { t =>
+    // embeddings: key offset + the per-tile orthogonal rotation.
+    // `embMult` multiplies the embeddings row count INDEPENDENTLY of the
+    // table tiling (r12): the driver corpus has a fixed ~2k-row
+    // embeddings table at every SF, so a 1× probe point is dominated by
+    // fixed per-query overhead and e-tier exponents read ~0 for the
+    // wrong reason (SCALE.md r11). With embMult=M, every tile carries M
+    // distinct sub-rotations — effectively M·tiles disjoint tiles of the
+    // source table — so the 1× absolute is non-degenerate and step-ups
+    // measure real variable cost. Same no-planted-similarity argument:
+    // intra-sub-tile cosines are exactly the source values, cross pairs
+    // land at ~N(0, 1/√64).
+    val embTiles = (0 until tiles * embMult).map { t =>
       val q = rotation(64, seed = if (t == 0) 0L else 42L + t)
       val off = t * vStride
       load("embeddings")

@@ -38,6 +38,36 @@ object ScaleProbe {
         val n = e.count()
         val k = math.max(16, (n / 125).toInt)
         operators.DedupQueries.quantSemanticPairs(s, e, 0.35, k = k, nprobe = 8)
+      },
+      // d56's PRODUCTION path: the deterministic 1/4 edge sample +
+      // degree-ordered count, WITHOUT the exact arm (the gate runs both
+      // for the in-band error contract; a real corpus runs only this)
+      "d56_estimator_only" -> { (s, d) =>
+        import org.apache.spark.sql.functions._
+        val es = operators.GraphQueries.canonicalEdges(s, d)
+          .filter(expr("(a * 100003L + b * 7919L) % 1000000L") < 250000L)
+          .persist()
+        operators.GraphQueries.trianglesOf(es)
+          .agg((count(lit(1)) * 64).as("est_triangles"))
+      },
+      // e22's PRODUCTION shape: benchmark suites are fixed-size while
+      // the train corpus grows, so the probe caps the bench side to the
+      // source tile's rows (vec_id < 2000). The gate's uncapped formula
+      // on a ScaleGen corpus grows BOTH sides (bench ∝ n → quadratic
+      // work) — that regime is the tiling artifact, not the operator.
+      "e22_fixed_bench" -> { (s, d) =>
+        import org.apache.spark.sql.functions._
+        val e = operators.Tables.load(s, d, "embeddings")
+        val bench = broadcast(
+          e.filter(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 2000)
+            .select(col("vec_id").as("bid"), col("embedding").as("be")))
+        e.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+          .select(col("vec_id").as("tid"), col("embedding").as("te"))
+          .join(bench)
+          .withColumn("cos",
+            graft.functions.VectorOps.cosineSim(col("te"), col("be")))
+          .groupBy("tid").agg(max("cos").as("mc"))
+          .select(col("tid"), (col("mc") >= 0.92).as("contaminated"))
       })
 
     def once(n: String): Double = PinScope.run(spark) {

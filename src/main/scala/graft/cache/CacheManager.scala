@@ -176,6 +176,11 @@ final class CacheManager(val conf: CacheConfig,
     w
   }
 
+  /** Run pending cache maintenance (size enforcement): the weigher
+    * evicts on write paths, and guava may defer the sweep — budget
+    * assertions (DiskBudgetSpec, the c14 gate) call this first. */
+  def maintain(): Unit = registry.cleanUp()
+
   def clear(): Unit = {
     registry.invalidateAll()
     registry.cleanUp()

@@ -528,6 +528,94 @@ object CacheQueries {
         // executions don't accumulate $base/peer-cache dirs
         peer.clear()
       }
+    },
+
+    // ---- c14: eviction correctness UNDER BUDGET, under the full oracle
+    // (reference CacheRemoval.robot — BASELINE.md names eviction
+    // correctness as a target; DiskBudgetSpec proves the weigher in
+    // isolation, this gate proves evicted-and-refetched bytes still
+    // produce oracle-exact query results). A private CacheManager gets
+    // a budget of ~1.4× one working-set file (the DiskBudgetSpec
+    // usable-disk injection: 3× file bytes at 50% fullness), then SIX
+    // copies of orders.parquet stream through CachingInputStreams
+    // against it in two round-robin passes — the working set is ~4.2×
+    // the budget, so every file's blocks are evicted and re-admitted
+    // between touches. In-band contract (evict_ok): evictions > 0, the
+    // post-maintenance cache weight NEVER exceeded the budget at any
+    // sample point, and every streamed copy's md5 equals the source
+    // file's. The oracle-checked aggregation then runs over the
+    // RECONSTRUCTED bytes (copy 0's second-pass stream written back out
+    // and read by Spark) — a corruption anywhere in the evict/re-admit
+    // path breaks the hash, not just a flag. At scale this is the cache
+    // steady state: working sets always exceed budgets, and the gate is
+    // the proof that churn never changes query answers. ----
+    QueryDef("c14_eviction_budget",
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice),3) AS price, true AS evict_ok
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val base = tmpBase("graft-evict", dir)
+      new java.io.File(s"$base/ws").mkdirs()
+      new java.io.File(s"$base/cache").mkdirs()
+      new java.io.File(s"$base/recon").mkdirs()
+      val src = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      val srcBytes = java.nio.file.Files.readAllBytes(src)
+      val srcMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(srcBytes).toSeq
+      val nCopies = 6
+      (0 until nCopies).foreach { i =>
+        java.nio.file.Files.copy(src,
+          java.nio.file.Paths.get(s"$base/ws/orders_$i.parquet"))
+      }
+      val pc = new org.apache.hadoop.conf.Configuration(false)
+      pc.set(graft.cache.CacheConfig.CacheDirKey, s"$base/cache")
+      pc.setInt(graft.cache.CacheConfig.BlockSizeKey, 32 * 1024)
+      pc.setInt(graft.cache.CacheConfig.DiskFullnessKey, 50)
+      val mgr = new graft.cache.CacheManager(
+        graft.cache.CacheConfig.from(pc),
+        usableDiskBytes = 3L * srcBytes.length)
+      val localFs = org.apache.hadoop.fs.FileSystem
+        .getLocal(s.sparkContext.hadoopConfiguration)
+      try {
+        var maxW = 0L
+        var bytesOk = true
+        var recon: Array[Byte] = null
+        for (pass <- 0 until 2; i <- 0 until nCopies) {
+          val p = s"$base/ws/orders_$i.parquet"
+          val key = new org.apache.hadoop.fs.Path("file", null, p).toString
+          val ip = new org.apache.hadoop.fs.Path(key)
+          val st = localFs.getFileStatus(ip)
+          val out = new java.io.ByteArrayOutputStream(srcBytes.length)
+          val cis = new graft.cache.CachingInputStream(
+            () => localFs.open(ip), key, st.getLen, st.getModificationTime,
+            mgr, true)
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            var pos = 0L
+            while (pos < st.getLen) {
+              val r = cis.read(buf, 0,
+                math.min(buf.length.toLong, st.getLen - pos).toInt)
+              require(r > 0, s"eviction-gate read stalled at $pos of $p")
+              out.write(buf, 0, r)
+              pos += r
+            }
+          } finally cis.close()
+          val got = out.toByteArray
+          bytesOk &&= java.security.MessageDigest.getInstance("MD5")
+            .digest(got).toSeq == srcMd5
+          if (pass == 1 && i == 0) recon = got
+          mgr.maintain()
+          maxW = math.max(maxW, mgr.totalWeightKB)
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/recon/orders.parquet"), recon)
+        val ok = mgr.metrics.evictions.get > 0 && mgr.budgetKB > 0 &&
+          maxW <= mgr.budgetKB && bytesOk
+        s.read.parquet(s"$base/recon")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 3).as("price"))
+          .withColumn("evict_ok", lit(ok))
+      } finally mgr.clear()
     }
   )
 

@@ -106,64 +106,132 @@ object GraphQueries {
         |      UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
         |SELECT part AS l_partkey, count(*) AS n_tri
         |FROM n GROUP BY part""".stripMargin) { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       // canonical undirected edges {a < b}; persisted: degree calc, the
-      // orientation join, and the closing join all read it
-      val e = li.as("x").join(li.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-        .distinct()
-        .persist()
-      val deg = e.select(col("a").as("node"))
-        .union(e.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("d"))
-      // orient by the (degree, id) total order
-      val oriented = e
-        .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
-        .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
-        .select(
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")), col("a"))
-            .otherwise(col("b")).as("src"),
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")), col("b"))
-            .otherwise(col("a")).as("dst"),
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")), col("db"))
-            .otherwise(col("da")).as("ddst"))
-        .persist()
-      // wedges at the apex (two out-edges, ordered by the same total
-      // order to dedupe), closed against the canonical edge set
-      val wedges = oriented.as("o1")
-        .join(oriented.as("o2"),
-          col("o1.src") === col("o2.src") &&
-            (col("o1.ddst") < col("o2.ddst") ||
-              (col("o1.ddst") === col("o2.ddst") &&
-                col("o1.dst") < col("o2.dst"))))
-        .select(col("o1.src").as("u"),
-          least(col("o1.dst"), col("o2.dst")).as("va"),
-          greatest(col("o1.dst"), col("o2.dst")).as("vb"))
-      // close against a BROADCAST of the canonical edge set: the wedge
-      // stream (the big side — sum of oriented outdeg², ~30M at sf0.1)
-      // then never shuffles, each wedge probes a map-side hash table.
-      // 1.2M 16-byte edges ≈ 20 MB — comfortably a broadcast. The hint is
-      // GATED on a measured edge count (e is persisted, so the count is a
-      // cached-scan pass reused by every downstream stage): past ~16M
-      // edges (~256 MB hashed) the closing join degrades gracefully to a
-      // shuffle join on (va, vb) instead of a broadcast OOM; the
-      // orientation bounds the wedge volume either way.
-      val edgeCount = e.count()
-      val closeSide = if (edgeCount <= 16L * 1000 * 1000) broadcast(e) else e
-      val tris = wedges
-        .join(closeSide, col("va") === col("a") && col("vb") === col("b"))
-        .select(col("u"), col("va"), col("vb"))
+      // orientation join, and the closing join all read it. The kernel
+      // (orientation + wedges + close) lives in [[trianglesOf]], shared
+      // with the d56 sampled estimator.
+      val e = canonicalEdges(s, dir).persist()
+      val tris = trianglesOf(e)
       tris.select(col("u").as("part"))
         .union(tris.select(col("va").as("part")))
         .union(tris.select(col("vb").as("part")))
         .groupBy("part").agg(count(lit(1)).as("n_tri"))
         .select(col("part").as("l_partkey"), col("n_tri"))
+    },
+
+    // ---- sampled triangle ESTIMATE (d56) — d41's production arm for
+    // the 100 TB frontier: d41's exact count is linear (SCALE.md e=1.01)
+    // but its absolute cost makes it the suite's most expensive query at
+    // 10× (119 s), so a real corpus runs DOULION (Tsourakakis et al.,
+    // KDD'09): keep each edge with probability p, count triangles on
+    // the sampled graph, scale by 1/p³. p = 1/4 makes the scale factor
+    // the integer 64 (no float arithmetic anywhere), and the sample is
+    // DETERMINISTIC — edge {a,b} survives iff
+    // (a·100003 + b·7919) mod 1e6 < 250000, an expression both engines
+    // evaluate identically (all intermediates < 2^35, no overflow on
+    // either engine) — so the estimator output itself rides the hash
+    // oracle, and the relative-error contract vs the exact count rides
+    // in-band (err_ok; the exact arm is the same gate-scale cost d41
+    // already pays — ScaleProbe's d56_estimator_only arm probes the
+    // sampling path alone, which is what a production run executes).
+    // Scale shape: sampling is a codegen filter on the persisted edge
+    // list; the sampled graph re-runs the same degree-ordered
+    // orientation with ~p× edges and ~p²× wedge volume — the estimator
+    // is ~64× cheaper than exact at any scale. ----
+    QueryDef("d56_triangle_estimate",
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |es AS MATERIALIZED (SELECT a, b FROM e
+        |      WHERE (a*100003 + b*7919) % 1000000 < 250000),
+        |ts AS (SELECT count(*) AS n FROM (
+        |        SELECT e1.a, e1.b, e2.b AS c
+        |        FROM es e1 JOIN es e2 ON e1.b = e2.a
+        |        JOIN es e3 ON e3.a = e1.a AND e3.b = e2.b)),
+        |tx AS (SELECT count(*) AS n FROM (
+        |        SELECT e1.a, e1.b, e2.b AS c
+        |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b))
+        |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM es) AS BIGINT) AS n_sampled,
+        |  CAST(ts.n * 64 AS BIGINT) AS est_triangles,
+        |  CAST(tx.n AS BIGINT) AS exact_triangles,
+        |  CAST(abs(ts.n * 64 - tx.n) * 1000 // greatest(tx.n, 1) AS BIGINT)
+        |    AS err_permille,
+        |  (abs(ts.n * 64 - tx.n) * 1000 // greatest(tx.n, 1)) <= 150
+        |    OR tx.n < 50000 AS err_ok
+        |FROM ts, tx""".stripMargin) { (s, dir) =>
+      val e = canonicalEdges(s, dir).persist()
+      val esamp = e.filter(
+        expr("(a * 100003L + b * 7919L) % 1000000L") < 250000L).persist()
+      val nTriS = trianglesOf(esamp).agg(count(lit(1)).as("n"))
+        .select(col("n").as("ns"))
+      val nTriX = trianglesOf(e).agg(count(lit(1)).as("n"))
+        .select(col("n").as("nx"))
+      val counts = e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(esamp.agg(count(lit(1)).as("n_sampled")))
+      counts.crossJoin(nTriS).crossJoin(nTriX)
+        .select(col("n_edges"), col("n_sampled"),
+          (col("ns") * 64).as("est_triangles"),
+          col("nx").as("exact_triangles"),
+          expr("abs(ns * 64 - nx) * 1000 div greatest(nx, 1L)")
+            .as("err_permille"),
+          (expr("abs(ns * 64 - nx) * 1000 div greatest(nx, 1L)") <= 150 ||
+            col("nx") < 50000).as("err_ok"))
     }
   )
+
+  /** Canonical undirected co-purchase edges {a < b} over parts sharing
+    * an order (d41's edge recipe). */
+  private[graft] def canonicalEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+  }
+
+  /** Degree-ordered triangle enumeration (d41's kernel) over an
+    * arbitrary canonical edge frame: orient by (degree, id), enumerate
+    * wedges per source, close against the edge set (broadcast below the
+    * measured 16M-edge cap, shuffle join above). Returns one row per
+    * triangle (u, va, vb). */
+  private[graft] def trianglesOf(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("db"))
+          .otherwise(col("da")).as("ddst"))
+      .persist()
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") &&
+          (col("o1.ddst") < col("o2.ddst") ||
+            (col("o1.ddst") === col("o2.ddst") &&
+              col("o1.dst") < col("o2.dst"))))
+      .select(col("o1.src").as("u"),
+        least(col("o1.dst"), col("o2.dst")).as("va"),
+        greatest(col("o1.dst"), col("o2.dst")).as("vb"))
+    val edgeCount = e.count()
+    val closeSide = if (edgeCount <= 16L * 1000 * 1000) broadcast(e) else e
+    wedges
+      .join(closeSide, col("va") === col("a") && col("vb") === col("b"))
+      .select(col("u"), col("va"), col("vb"))
+  }
 }

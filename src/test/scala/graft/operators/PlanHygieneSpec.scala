@@ -74,6 +74,9 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // d54/d55: d28's 1-row merge-table broadcast (the d16 pattern)
     // feeding the BPE application projection
     "d54_bpe_pack", "d55_bpe_manifest",
+    // d56: 1-row count frames (est/exact/edge totals) cross-joined into
+    // the single-row contract output
+    "d56_triangle_estimate",
     // e22: the aggregate-sized benchmark side broadcast against the
     // train corpus — the e01/e14 unconditioned-broadcast shape
     "e22_semantic_decontam")
