@@ -177,7 +177,14 @@ object QBench {
       // executions must stay disjoint), and the sampled triangle
       // estimator
       "d54_bpe_pack", "d55_bpe_manifest", "c14_eviction_budget",
-      "d56_triangle_estimate")
+      "d56_triangle_estimate",
+      // the incremental composed pipeline — store-vs-batch frames are
+      // all persisted per-execution; interleaving would surface any
+      // cross-execution leakage of the hot-line/chunk-store caches
+      "d57_incremental_pipeline",
+      // shadow-mode sizing: two private managers (one dummy) per
+      // execution — concurrent runs must keep prediction windows disjoint
+      "c15_shadow_sizing")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(

@@ -616,6 +616,127 @@ object CacheQueries {
             round(sum("o_totalprice"), 3).as("price"))
           .withColumn("evict_ok", lit(ok))
       } finally mgr.clear()
+    },
+
+    // ---- c15: SHADOW-MODE cache sizing under the full oracle — the
+    // dry-run the reference's DummyModeCachingInputStream exists for
+    // (DummyModeCachingInputStream.java: account cache state, store
+    // nothing). A shadow manager (dummyMode on) and a real manager get
+    // the SAME budget (~1.4× one file via the DiskBudgetSpec usable-disk
+    // injection) and the SAME access pattern: four copies of
+    // orders.parquet streamed in two passes — a working set ~2.8× the
+    // budget, so the metadata-weighted LRU evicts in BOTH managers (the
+    // shadow weigher runs on marked-block counts alone, so the dry-run
+    // genuinely simulates eviction without writing a data byte). In-band
+    // (shadow_ok): the shadow cache dir holds ZERO data bytes (mdfiles
+    // only), both managers evicted, and the shadow's pass-2 predicted
+    // hit rate matches the real manager's measured warm hit rate within
+    // 100 permille — the sizing question ("what hit rate would budget B
+    // buy?") answered without the disk. The oracle aggregation runs over
+    // the REAL manager's reconstructed second-pass bytes (the c14
+    // discipline), so the shadow never substitutes for correctness. At
+    // scale this is how a 100 TB deployment sizes cache volumes: replay
+    // a day's access log against shadow bookkeepers at candidate
+    // budgets, pick the knee, never stage a byte. ----
+    QueryDef("c15_shadow_sizing",
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice),3) AS price, true AS shadow_ok
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val base = tmpBase("graft-shadow", dir)
+      Seq("ws", "shadow-cache", "real-cache", "recon").foreach(d =>
+        new java.io.File(s"$base/$d").mkdirs())
+      val src = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      val srcBytes = java.nio.file.Files.readAllBytes(src)
+      val srcMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(srcBytes).toSeq
+      val nCopies = 4
+      (0 until nCopies).foreach { i =>
+        java.nio.file.Files.copy(src,
+          java.nio.file.Paths.get(s"$base/ws/orders_$i.parquet"))
+      }
+      def mkMgr(cacheDir: String, dummy: Boolean) = {
+        val pc = new org.apache.hadoop.conf.Configuration(false)
+        pc.set(graft.cache.CacheConfig.CacheDirKey, cacheDir)
+        pc.setInt(graft.cache.CacheConfig.BlockSizeKey, 32 * 1024)
+        pc.setInt(graft.cache.CacheConfig.DiskFullnessKey, 50)
+        pc.setBoolean(graft.cache.CacheConfig.DummyKey, dummy)
+        new graft.cache.CacheManager(graft.cache.CacheConfig.from(pc),
+          usableDiskBytes = 3L * srcBytes.length)
+      }
+      val shadow = mkMgr(s"$base/shadow-cache", dummy = true)
+      val real = mkMgr(s"$base/real-cache", dummy = false)
+      val localFs = org.apache.hadoop.fs.FileSystem
+        .getLocal(s.sparkContext.hadoopConfiguration)
+      try {
+        var bytesOk = true
+        def stream(mgr: graft.cache.CacheManager, i: Int): Array[Byte] = {
+          val p = s"$base/ws/orders_$i.parquet"
+          val key = new org.apache.hadoop.fs.Path("file", null, p).toString
+          val ip = new org.apache.hadoop.fs.Path(key)
+          val st = localFs.getFileStatus(ip)
+          val out = new java.io.ByteArrayOutputStream(srcBytes.length)
+          val cis = new graft.cache.CachingInputStream(
+            () => localFs.open(ip), key, st.getLen, st.getModificationTime,
+            mgr, true)
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            var pos = 0L
+            while (pos < st.getLen) {
+              val r = cis.read(buf, 0,
+                math.min(buf.length.toLong, st.getLen - pos).toInt)
+              require(r > 0, s"shadow-gate read stalled at $pos of $p")
+              out.write(buf, 0, r)
+              pos += r
+            }
+          } finally cis.close()
+          mgr.maintain()
+          val got = out.toByteArray
+          bytesOk &&= java.security.MessageDigest.getInstance("MD5")
+            .digest(got).toSeq == srcMd5
+          got
+        }
+        def hitsMisses(m: graft.cache.CacheManager) =
+          (m.metrics.cachedRequests.get, m.metrics.remoteRequests.get)
+        def permille(h: Long, m: Long): Long = h * 1000L / math.max(1L, h + m)
+
+        (0 until nCopies).foreach(stream(shadow, _)) // shadow warm-mark
+        val (sh0, sm0) = hitsMisses(shadow)
+        (0 until nCopies).foreach(stream(shadow, _)) // shadow re-read
+        val (sh1, sm1) = hitsMisses(shadow)
+        val predicted = permille(sh1 - sh0, sm1 - sm0)
+        val shadowDataBytes = {
+          val root = java.nio.file.Paths.get(s"$base/shadow-cache")
+          val st = java.nio.file.Files.walk(root)
+          try st.filter(java.nio.file.Files.isRegularFile(_))
+            .filter(p => !p.getFileName.toString.contains("_mdfile"))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally st.close()
+        }
+
+        (0 until nCopies).foreach(stream(real, _)) // real warm
+        val (rh0, rm0) = hitsMisses(real)
+        var recon: Array[Byte] = null
+        (0 until nCopies).foreach { i =>
+          val got = stream(real, i) // real re-read
+          if (i == 0) recon = got
+        }
+        val (rh1, rm1) = hitsMisses(real)
+        val actual = permille(rh1 - rh0, rm1 - rm0)
+
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/recon/orders.parquet"), recon)
+        val ok = shadowDataBytes == 0L && bytesOk &&
+          shadow.metrics.evictions.get > 0 && real.metrics.evictions.get > 0 &&
+          math.abs(predicted - actual) <= 100L
+        s.read.parquet(s"$base/recon")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 3).as("price"))
+          .withColumn("shadow_ok", lit(ok))
+      } finally {
+        shadow.clear()
+        real.clear()
+      }
     }
   )
 

@@ -142,19 +142,24 @@ object PipelineQueries {
         col("source"),
         concat(col("text"), lit(" is "),
           pmod(col("doc_id"), lit(97)).cast("string")).as("text"))
-    corpus.unionByName(twins)
-      .withColumn("text", concat(
-        when(pmod(col("doc_id"), lit(7)) === 0,
-          concat(lit("subscribe to the newsletter edition "),
-            pmod(col("doc_id"), lit(3)).cast("string"), lit(". ")))
-          .otherwise(lit("")),
-        col("text"),
-        when(pmod(col("doc_id"), lit(5)) === 0,
-          concat(lit(". all rights reserved form "),
-            pmod(col("doc_id"), lit(2)).cast("string")))
-          .otherwise(lit(""))))
+    headerFooter(corpus.unionByName(twins))
       .repartition(s.sparkContext.defaultParallelism)
   }
+
+  /** The d52 boilerplate plant: a 3-variant subscribe header on
+    * doc_id % 7 == 0 and a 2-variant rights footer on doc_id % 5 == 0 —
+    * shared by the bootstrap (d47) and incremental (d57) chains. */
+  private def headerFooter(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit("subscribe to the newsletter edition "),
+          pmod(col("doc_id"), lit(3)).cast("string"), lit(". ")))
+        .otherwise(lit("")),
+      col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(". all rights reserved form "),
+          pmod(col("doc_id"), lit(2)).cast("string")))
+        .otherwise(lit(""))))
 
   /** Stage 1 — d19's quality chain (all four integer rules), keeping the
     * token array for the downstream stages. */
@@ -201,21 +206,31 @@ object PipelineQueries {
       .select("doc_id", "lang", "source", "text", "tk")
   }
 
-  /** Stage 1c — d52's cross-doc line dedup with document rewrite: drop
-    * every line appearing in ≥ 3 distinct stage-input docs, reassemble
-    * the rest in order; a doc with zero kept lines is dropped. The hot
-    * set is aggregated BEFORE the join-back. */
-  private def lineCleanDocs(rep: DataFrame): DataFrame = {
-    val lines = rep.select(col("doc_id"),
+  /** Per-doc exploded sentence lines of a (doc_id, ..., text) frame —
+    * the d52 axis, shared by the bootstrap (d47) and incremental (d57)
+    * line-dedup stages. */
+  private def linesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         posexplode(expr(
           "filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("line"))
-    val hot = lines.groupBy("line")
+
+  /** Lines appearing in ≥ 3 distinct docs of `lines` — the boilerplate
+    * vocabulary. Aggregated BEFORE any join-back; tiny at any corpus. */
+  private def hotLinesOf(lines: DataFrame): DataFrame =
+    lines.groupBy("line")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 3)
-    val rebuilt = lines.join(hot, Seq("line"), "left")
-      .filter(col("nd").isNull)
+      .select("line")
+
+  /** Stage 1c — d52's cross-doc line dedup with document rewrite: drop
+    * every line in `hot`, reassemble the rest in order; a doc with zero
+    * kept lines is dropped. `hot` is the hot set of the SAME frame for
+    * the bootstrap chain (d47) and the persisted store vocabulary for
+    * the incremental chain (d57). */
+  private def lineCleanAgainst(rep: DataFrame, hot: DataFrame): DataFrame = {
+    val rebuilt = linesOf(rep).join(hot, Seq("line"), "left_anti")
       .groupBy("doc_id")
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(pos, line))), x -> x.line), ' ')")
@@ -226,6 +241,9 @@ object PipelineQueries {
         col("ltext").as("text"))
       .withColumn("tk", expr(tokens))
   }
+
+  private def lineCleanDocs(rep: DataFrame): DataFrame =
+    lineCleanAgainst(rep, hotLinesOf(linesOf(rep)))
 
   /** All intermediate stage frames, so d47 (pack) and d48 (attrition)
     * share one construction. Frames are lazily composed; `q`, `ld`, the
@@ -358,6 +376,230 @@ object PipelineQueries {
         .otherwise("test"))
 
     Stages(aug, q, rep, ld, edges, surv, rw2, clean, sem, sp, lshOk)
+  }
+
+  // --------------------------------------------------- incremental (d57)
+
+  /** The shared-chunk plant for d57's chunk-store stage: a fixed
+    * punctuation-free 20-token prefix (one aligned chunk) followed by 60
+    * doc-unique tokens, planted on doc_id % 97 == 13 of BOTH the store
+    * and the batch. Cross-doc Jaccard of two planted docs is
+    * 18/(78+78-18) ≈ 0.13 — far below the 0.3 near-dup cut — so planted
+    * batch docs SURVIVE dedup and then lose exactly their shared prefix
+    * chunk to the store chunk set (alignment holds because the chunk is
+    * line-terminator-free and header/footer boilerplate is stripped
+    * before chunking). */
+  private val sharedChunk =
+    "the data of a stream and the cache of a block and the scan of a file and shard store"
+
+  private def plantedChunkText: Column = concat(lit(sharedChunk + " "), expr(
+    "array_join(transform(sequence(1, 60), " +
+      "i -> concat('w', cast(doc_id AS string), 'x', cast(i AS string))), ' ')"))
+
+  private final case class IncStages(
+      ldOld: DataFrame, ldBat: DataFrame, rw: DataFrame, sem: DataFrame,
+      base: DataFrame, lshOk: DataFrame)
+
+  /** d57's frames: the d47 chain in d49's steady-state shape. The store
+    * (old corpus, doc_id % 4 != 0) is the bootstrap's ADMITTED set —
+    * quality → repetition → line-clean, i.e. per-doc transforms plus the
+    * broadcast-sized hot-line aggregation only; a production run reads
+    * these frames (and the hot-line vocabulary, the gram/band index, the
+    * chunk set, and the next-token offset) from what the bootstrap
+    * persisted, so the gate's own store construction is one corpus scan.
+    * What is NEVER formed, matching d49's discipline: a store×store
+    * doc-pair join — every pairwise stage probes batch-side keys against
+    * store-side keys only. */
+  private def buildInc(s: SparkSession, dir: String): IncStages = {
+    val src = Tables.guardIdsBelow(
+      Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "source", "text"), 2000000L)
+      .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val old0 = src.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(97)) === 13, plantedChunkText)
+          .otherwise(col("text")))
+    val bat0 = src.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(97)) === 13, plantedChunkText)
+          .when(pmod(col("doc_id"), lit(101)) === 17,
+            concat(lit("subscribe to the newsletter edition "),
+              pmod(col("doc_id"), lit(3)).cast("string"),
+              lit(". all rights reserved form "),
+              pmod(col("doc_id"), lit(2)).cast("string")))
+          .otherwise(col("text")))
+    // planted re-crawls of store docs (the d49 device) — the vs-store
+    // dedup arm's flow: ~1/9 of the store re-enters through the batch
+    val twins = old0.filter(pmod(col("doc_id"), lit(9)) === 5)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+        col("source"),
+        concat(col("text"), lit(" is "),
+          pmod(col("doc_id"), lit(97)).cast("string")).as("text"))
+    val par = s.sparkContext.defaultParallelism
+    val oldAug = headerFooter(old0).repartition(par)
+    val batAug = headerFooter(bat0.unionByName(twins)).repartition(par)
+
+    // the store: bootstrap-admitted docs + its hot-line vocabulary
+    val oldQ = repetitionDocs(qualityDocs(oldAug))
+    val hotStore = hotLinesOf(linesOf(oldQ)).persist()
+    val ldOld = lineCleanAgainst(oldQ, hotStore)
+      .persist() // consumers: gram probe, LSH sigs, chunk set, base sum
+    // the batch through the same admission rules, cleaned against the
+    // STORE vocabulary (boilerplate lists refresh at bootstrap, not
+    // per-batch — batch-internal new boilerplate waits for the next one)
+    val ldBat = lineCleanAgainst(repetitionDocs(qualityDocs(batAug)), hotStore)
+      .persist() // consumers: gram probes x2, LSH sigs, chunk explode
+
+    // near-dup vs store + in-batch greedy (d49's rule, d05's mechanism)
+    def ghsOf(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+      col("source"),
+      graft.functions.TextHashes.shingleHash64Col(
+        col("text"), col("tk"), 3, emptyIfShort = true).as("ghs"))
+    val osh = ghsOf(ldOld).persist()
+    val bsh = ghsOf(ldBat).persist()
+    def gtab(sh: DataFrame, idAs: String) = sh
+      .select(col("doc_id").as(idAs), col("lang"), col("source"),
+        explode(col("ghs")).as("gh"))
+    def sizes(sh: DataFrame, idAs: String, nAs: String) =
+      sh.select(col("doc_id").as(idAs), size(col("ghs")).as(nAs))
+    def jacPairs(inter: DataFrame, aId: String, bId: String,
+        aSh: DataFrame, bSh: DataFrame) = inter
+      .join(sizes(aSh, aId, "na"), aId).join(sizes(bSh, bId, "nb"), bId)
+      .filter(round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 3) >= 0.3)
+      .select(col(aId), col(bId))
+    // store grams probe ONLY batch grams — store×store is never formed
+    val po = jacPairs(
+      gtab(bsh, "new_id").join(
+        gtab(osh, "old_id")
+          .withColumnRenamed("lang", "lang_o")
+          .withColumnRenamed("source", "source_o")
+          .withColumnRenamed("gh", "gh_o"),
+        col("gh") === col("gh_o") && col("lang") === col("lang_o") &&
+          col("source") === col("source_o"))
+        .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter")),
+      "new_id", "old_id", bsh, osh).persist()
+    val pn = jacPairs(
+      gtab(bsh, "earlier_id").join(
+        gtab(bsh, "new_id")
+          .withColumnRenamed("lang", "lang_b")
+          .withColumnRenamed("source", "source_b")
+          .withColumnRenamed("gh", "gh_b"),
+        col("gh") === col("gh_b") && col("lang") === col("lang_b") &&
+          col("source") === col("source_b") &&
+          col("earlier_id") < col("new_id"))
+        .groupBy("earlier_id", "new_id").agg(count(lit(1)).as("inter")),
+      "earlier_id", "new_id", bsh, bsh).persist()
+    val keptB = ldBat
+      .join(po.select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .join(pn.select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+
+    // banded-LSH arm in the same asymmetric shape (d49): only batch-side
+    // band keys probe the full band table; recall vs the exact edges
+    val bandedAll = Dedup.bandedKeys(Dedup.signatures(
+      ldOld.select("doc_id", "text")
+        .unionByName(ldBat.select("doc_id", "text")))).persist()
+    val isBatch = pmod(col("doc_id"), lit(4)) === 0 || col("doc_id") >= 2000000L
+    val cands = bandedAll.filter(isBatch)
+      .select(col("band"), col("bh"), col("doc_id").as("probe_id"))
+      .join(bandedAll.select(col("band"), col("bh"),
+        col("doc_id").as("cand_id")), Seq("band", "bh"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(least(col("probe_id"), col("cand_id")).as("doc_a"),
+        greatest(col("probe_id"), col("cand_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    val exactEdges = po.select(least(col("new_id"), col("old_id")).as("doc_a"),
+        greatest(col("new_id"), col("old_id")).as("doc_b"))
+      .unionByName(pn.select(
+        least(col("earlier_id"), col("new_id")).as("doc_a"),
+        greatest(col("earlier_id"), col("new_id")).as("doc_b")))
+      .distinct()
+    val lshOk = exactEdges.join(cands, Seq("doc_a", "doc_b"), "left")
+      .agg(coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("cap"),
+        count(lit(1)).as("n"))
+      .select((expr("cap * 1000L div greatest(n, 1L)") >= 950 ||
+        col("n") === 0).as("lsh_recall_ok"))
+
+    // chunk rewrite vs the STORE chunk set + in-batch first occurrence:
+    // a chunk already ingested drops from EVERY batch doc; a new chunk
+    // survives only at its first batch position (d18's rule, keyed
+    // against the store index instead of a same-run window alone)
+    val storeChunks = ldOld.select(explode(chunksExpr("tk")).as("chunk"))
+      .distinct()
+    val occB = keptB
+      .select(col("doc_id"), posexplode(chunksExpr("tk")).as(Seq("idx", "chunk")))
+      .withColumn("bkey", col("doc_id") * lit(100000L) + col("idx"))
+      .withColumn("first_key",
+        min(col("bkey")).over(Window.partitionBy("chunk")))
+    val rw = occB
+      .join(storeChunks.withColumn("ins", lit(1L)), Seq("chunk"), "left")
+      .filter(col("ins").isNull && col("bkey") === col("first_key"))
+      .groupBy("doc_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), ' ')")
+        .as("rtext"))
+      .withColumn("rtk", expr("regexp_extract_all(rtext, '\\\\S+', 0)"))
+      .persist() // consumers: decontam windows + text, semantic, pack
+
+    // verbatim decontamination vs the raw benchmark split (d46 / d47 4a)
+    val bench = Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("bench_id"),
+        substring(col("text"), 1, 512).as("sb"), expr(tokens).as("btk"))
+    val bw = broadcast(bench
+      .select(col("bench_id"), explode(winsExpr("btk")).as("bwin"))
+      .withColumn("bwh", xxhash64(col("bwin"))))
+    val tw = rw.select(col("doc_id"), explode(winsExpr("rtk")).as("win"))
+      .withColumn("wh", xxhash64(col("win")))
+    val contam = tw.join(bw,
+        col("wh") === col("bwh") && col("win") === col("bwin"))
+      .select("doc_id", "bench_id").distinct()
+      .join(rw.select(col("doc_id"),
+        substring(col("rtext"), 1, 512).as("sa")), "doc_id")
+      .join(bench.select("bench_id", "sb"), "bench_id")
+      .withColumn("lcs",
+        graft.functions.StringAlgos.lcsLenCol(col("sa"), col("sb")))
+      .groupBy("doc_id").agg(max("lcs").as("max_lcs"))
+      .filter(col("max_lcs") >= 50).select("doc_id")
+    val clean = rw.join(contam, Seq("doc_id"), "left_anti")
+
+    // semantic decontamination (e22 / d47 4b) over the batch survivors
+    val benchV = Tables.load(s, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("be"))
+    val nb = benchV.agg(count(lit(1)).as("nbench"))
+    val semIn = clean.select("doc_id")
+      .crossJoin(broadcast(nb))
+      .withColumn("pbid", lit(50L) * pmod(col("doc_id"), col("nbench")))
+      .join(broadcast(benchV.select(col("bid").as("pbid"), col("be").as("pbe"))),
+        Seq("pbid"), "left")
+      .join(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding").as("oe")),
+        Seq("doc_id"), "left")
+      .withColumn("te",
+        when(pmod(col("doc_id"), lit(13)) === 2, expr(
+          """transform(pbe, (x, i) -> CAST(CAST(x AS DOUBLE) +
+            |  (CAST((doc_id div 13) % 5 AS DOUBLE) * 0.01D) *
+            |  CAST((doc_id * 31 + (i + 1) * 17) % 13 - 6 AS DOUBLE)
+            |  AS FLOAT))""".stripMargin))
+          .otherwise(col("oe")))
+      .select("doc_id", "te")
+    val semDrop = semIn.filter(col("te").isNotNull)
+      .join(broadcast(benchV))
+      .withColumn("cos", graft.functions.VectorOps.cosineSim(col("te"), col("be")))
+      .groupBy("doc_id").agg(max("cos").as("mc"))
+      .filter(col("mc") >= 0.92).select("doc_id")
+    val sem = clean.join(semDrop, Seq("doc_id"), "left_anti")
+
+    // the store manifest's next-token offset — at scale a persisted
+    // scalar, here the sum over the store's admitted token stream
+    val base = ldOld.agg(
+      coalesce(sum(size(col("tk")).cast("long")), lit(0L)).as("base_off"))
+
+    IncStages(ldOld, ldBat, rw, sem, base, lshOk)
   }
 
   // ------------------------------------------------------------- oracle
@@ -638,6 +880,234 @@ object PipelineQueries {
             .otherwise(0L))
         .groupBy(col("drop_reason"), coalesce(col("split"), lit("dropped")).as("split"))
         .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // ---- INCREMENTAL composed pipeline (d57): the d47 chain in d49's
+    // steady-state shape — today's batch (the % 4 == 0 slice + planted
+    // re-crawls of store docs) runs quality → repetition → line-clean
+    // vs the STORE hot-line vocabulary → near-dup vs store + in-batch
+    // greedy → chunk rewrite vs the STORE chunk set → verbatim +
+    // semantic decontamination → packing APPENDED at the store token
+    // stream's tail. The store is never rescanned pairwise (no
+    // store×store join anywhere; see buildInc), and the output manifest
+    // hash-pins every surviving batch doc's offsets AND rewritten-text
+    // md5 — so a store-contract drift between bootstrap and incremental
+    // (signature schema, hot-line set, chunk keying, base offset) breaks
+    // the gate. lsh_recall_ok rides in-band (the d49 asymmetric banded
+    // arm vs the exact edge set). ----
+    QueryDef("d57_incremental_pipeline",
+      """WITH
+        |src AS MATERIALIZED (SELECT doc_id, lang, source, text FROM documents
+        |       WHERE doc_id % 50 <> 0),
+        |old0 AS MATERIALIZED (SELECT doc_id, lang, source,
+        |   CASE WHEN doc_id % 97 = 13 THEN
+        |     'the data of a stream and the cache of a block and the scan of a file and shard store ' ||
+        |     list_aggregate(list_transform(range(1, 61),
+        |       i -> 'w' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)),
+        |       'string_agg', ' ')
+        |   ELSE text END AS text
+        |  FROM src WHERE doc_id % 4 <> 0),
+        |bat0 AS MATERIALIZED (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN doc_id % 97 = 13 THEN
+        |      'the data of a stream and the cache of a block and the scan of a file and shard store ' ||
+        |      list_aggregate(list_transform(range(1, 61),
+        |        i -> 'w' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)),
+        |        'string_agg', ' ')
+        |    WHEN doc_id % 101 = 17 THEN
+        |      'subscribe to the newsletter edition ' || CAST(doc_id % 3 AS VARCHAR) ||
+        |      '. all rights reserved form ' || CAST(doc_id % 2 AS VARCHAR)
+        |    ELSE text END AS text
+        |  FROM src WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, lang, source,
+        |    text || ' is ' || CAST(doc_id % 97 AS VARCHAR) AS text
+        |  FROM old0 WHERE doc_id % 9 = 5),
+        |au AS MATERIALIZED (
+        |  SELECT side, doc_id, lang, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'subscribe to the newsletter edition ' ||
+        |      CAST(doc_id % 3 AS VARCHAR) || '. ' ELSE '' END || text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '. all rights reserved form ' ||
+        |      CAST(doc_id % 2 AS VARCHAR) ELSE '' END AS text
+        |  FROM (SELECT 'o' AS side, * FROM old0
+        |        UNION ALL SELECT 'b' AS side, * FROM bat0)),
+        |f AS MATERIALIZED (SELECT side, doc_id, lang, source, text,
+        |   regexp_extract_all(text,'\S+') AS tk,
+        |   length(regexp_extract_all(text,'\S+')) AS n_tok,
+        |   list_sum(list_transform(regexp_extract_all(text,'\S+'),
+        |     t->length(t))) AS tok_chars,
+        |   length(list_filter(regexp_extract_all(text,'\S+'),
+        |     t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop
+        |  FROM au),
+        |g AS MATERIALIZED (SELECT *, greatest(n_tok-2,0) AS n_tri,
+        |   length(list_distinct(list_transform(
+        |     range(1, greatest(n_tok-2,0)+1),
+        |     i -> concat(tk[i],' ',tk[i+1],' ',tk[i+2])))) AS n_tri_distinct
+        |  FROM f),
+        |q AS MATERIALIZED (SELECT side, doc_id, lang, source, text, tk FROM g
+        |  WHERE n_tok BETWEEN 10 AND 1000
+        |    AND 2*n_tok <= tok_chars AND tok_chars <= 12*n_tok
+        |    AND n_stop >= 2
+        |    AND (n_tri = 0 OR 10*n_tri_distinct >= 4*n_tri)),
+        |rep0 AS MATERIALIZED (SELECT doc_id, g2, count(*) AS k FROM (
+        |   SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g2
+        |   FROM q, unnest(range(1, greatest(len(tk)-1,0)+1)) r(i))
+        |  GROUP BY doc_id, g2),
+        |rep1 AS MATERIALIZED (SELECT doc_id, max(k) AS top_k,
+        |   sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS dup_k, sum(k) AS n_g
+        |  FROM rep0 GROUP BY doc_id),
+        |rep AS MATERIALIZED (SELECT q.* FROM q JOIN rep1 USING (doc_id)
+        |  WHERE n_g < 20 OR (top_k*1000 <= 50*n_g AND dup_k*1000 <= 120*n_g)),
+        |ls0 AS MATERIALIZED (SELECT side, doc_id,
+        |   list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+        |     x -> length(trim(x)) > 0) AS ls FROM rep),
+        |lns AS MATERIALIZED (SELECT side, doc_id, CAST(i AS BIGINT) AS pos,
+        |   ls[i] AS line
+        |  FROM ls0, unnest(range(1, len(ls)+1)) r(i)),
+        |hot AS MATERIALIZED (SELECT line FROM lns WHERE side = 'o'
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+        |ld0 AS MATERIALIZED (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS ltext
+        |  FROM lns WHERE line NOT IN (SELECT line FROM hot) GROUP BY doc_id),
+        |ld AS MATERIALIZED (SELECT r.side, r.doc_id, r.lang, r.source,
+        |   l.ltext AS text, regexp_extract_all(l.ltext,'\S+') AS tk
+        |  FROM rep r JOIN ld0 l USING (doc_id)),
+        |sh2 AS MATERIALIZED (SELECT side, doc_id, lang, source,
+        |   list_distinct(list_transform(range(1, greatest(len(tk)-2,0)+1),
+        |     i->concat(tk[i],' ',tk[i+1],' ',tk[i+2]))) AS grams FROM ld),
+        |po AS MATERIALIZED (SELECT DISTINCT b.doc_id AS new_id
+        |  FROM sh2 b JOIN sh2 o ON b.lang = o.lang AND b.source = o.source
+        |  WHERE b.side = 'b' AND o.side = 'o'
+        |    AND length(list_intersect(b.grams, o.grams)) > 0
+        |    AND round(CAST(length(list_intersect(b.grams,o.grams)) AS DOUBLE) /
+        |      (length(b.grams)+length(o.grams)
+        |       -length(list_intersect(b.grams,o.grams))),3) >= 0.3),
+        |pn AS MATERIALIZED (SELECT DISTINCT b.doc_id AS new_id
+        |  FROM sh2 a JOIN sh2 b ON a.lang = b.lang AND a.source = b.source
+        |    AND a.doc_id < b.doc_id
+        |  WHERE a.side = 'b' AND b.side = 'b'
+        |    AND length(list_intersect(a.grams,b.grams)) > 0
+        |    AND round(CAST(length(list_intersect(a.grams,b.grams)) AS DOUBLE) /
+        |      (length(a.grams)+length(b.grams)
+        |       -length(list_intersect(a.grams,b.grams))),3) >= 0.3),
+        |keptd AS MATERIALIZED (SELECT * FROM ld WHERE side = 'b'
+        |  AND doc_id NOT IN (SELECT new_id FROM po)
+        |  AND doc_id NOT IN (SELECT new_id FROM pn)),
+        |storec AS MATERIALIZED (SELECT DISTINCT unnest(cs) AS chunk FROM (
+        |   SELECT list_transform(range(0, CAST(ceil(len(tk)/20.0) AS INT)),
+        |     i -> list_aggregate(tk[i*20+1:i*20+20], 'string_agg',' ')) AS cs
+        |   FROM ld WHERE side = 'o')),
+        |boc AS MATERIALIZED (SELECT doc_id, unnest(cs) AS chunk,
+        |   unnest(range(0, len(cs))) AS idx FROM (
+        |   SELECT doc_id, list_transform(range(0, CAST(ceil(len(tk)/20.0) AS INT)),
+        |     i -> list_aggregate(tk[i*20+1:i*20+20], 'string_agg',' ')) AS cs
+        |   FROM keptd)),
+        |bk AS MATERIALIZED (SELECT *, min(doc_id*100000+idx)
+        |   OVER (PARTITION BY chunk) AS first_key FROM boc),
+        |bk2 AS MATERIALIZED (SELECT k.*, (s.chunk IS NOT NULL) AS ins
+        |  FROM bk k LEFT JOIN storec s USING (chunk)),
+        |rw AS MATERIALIZED (SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx)
+        |   FILTER (WHERE NOT ins AND doc_id*100000+idx = first_key) AS rtext
+        |  FROM bk2 GROUP BY doc_id),
+        |rw2 AS MATERIALIZED (SELECT doc_id, rtext,
+        |   regexp_extract_all(rtext,'\S+') AS rtk
+        |  FROM rw WHERE rtext IS NOT NULL),
+        |bench AS MATERIALIZED (SELECT doc_id, substring(text,1,512) AS s,
+        |   regexp_extract_all(text,'\S+') AS tk
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |tw AS MATERIALIZED (SELECT doc_id, rtk, substring(rtext,1,512) AS s FROM rw2),
+        |trw AS MATERIALIZED (SELECT doc_id,
+        |   list_aggregate(rtk[i:i+7],'string_agg',' ') AS win
+        |  FROM tw, unnest(range(1, greatest(len(rtk)-7,0)+1)) AS r(i)),
+        |bw AS MATERIALIZED (SELECT doc_id,
+        |   list_aggregate(tk[i:i+7],'string_agg',' ') AS win
+        |  FROM bench, unnest(range(1, greatest(len(tk)-7,0)+1)) AS r(i)),
+        |p2 AS MATERIALIZED (SELECT DISTINCT tr.doc_id AS train_id, be.doc_id AS bench_id
+        |  FROM trw tr JOIN bw be ON tr.win = be.win),
+        |c2 AS MATERIALIZED (SELECT train_id, bench_id, a.s AS sa, b.s AS sb
+        |  FROM p2 JOIN tw a ON a.doc_id = train_id
+        |         JOIN bench b ON b.doc_id = bench_id),
+        |m2 AS MATERIALIZED (SELECT train_id, bench_id, i.i AS i, j.j AS j
+        |  FROM c2, unnest(range(1, length(sa)+1)) AS i(i),
+        |       unnest(range(1, length(sb)+1)) AS j(j)
+        |  WHERE substring(sa, CAST(i.i AS INT), 1)
+        |      = substring(sb, CAST(j.j AS INT), 1)),
+        |runs AS MATERIALIZED (SELECT train_id, bench_id, count(*) AS run FROM (
+        |   SELECT train_id, bench_id, i - j AS diag,
+        |     i - row_number() OVER (PARTITION BY train_id, bench_id, i - j
+        |                            ORDER BY i) AS grp
+        |   FROM m2) GROUP BY train_id, bench_id, diag, grp),
+        |contam AS MATERIALIZED (SELECT train_id AS doc_id FROM runs
+        |  GROUP BY train_id HAVING max(run) >= 50),
+        |cln AS MATERIALIZED (SELECT r.doc_id, r.rtext, r.rtk FROM rw2 r
+        |  WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |benchv AS MATERIALIZED (SELECT vec_id AS bid, embedding AS be
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |semj AS MATERIALIZED (SELECT c.doc_id,
+        |   CASE WHEN c.doc_id % 13 = 2 THEN
+        |     list_transform(range(1, len(bv.be)+1), i ->
+        |       CAST(CAST(bv.be[i] AS DOUBLE) +
+        |         (CAST((c.doc_id // 13) % 5 AS DOUBLE) * 0.01) *
+        |         CAST((c.doc_id * 31 + i * 17) % 13 - 6 AS DOUBLE)
+        |         AS FLOAT))
+        |   ELSE ev.embedding END AS te
+        |  FROM cln c
+        |  LEFT JOIN embeddings ev ON ev.vec_id = c.doc_id
+        |  LEFT JOIN benchv bv
+        |    ON bv.bid = 50 * (c.doc_id % (SELECT count(*) FROM benchv))),
+        |semc AS MATERIALIZED (SELECT s.doc_id,
+        |   max(list_sum(list_transform(range(1, len(s.te)+1),
+        |     i -> CAST(s.te[i] AS DOUBLE) * CAST(bv.be[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(s.te,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(bv.be,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS mc
+        |  FROM semj s, benchv bv WHERE s.te IS NOT NULL
+        |  GROUP BY s.doc_id),
+        |sem AS MATERIALIZED (SELECT c.* FROM cln c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM semc WHERE mc >= 0.92)),
+        |base AS MATERIALIZED (SELECT CAST(COALESCE(SUM(len(tk)),0) AS BIGINT) AS b
+        |  FROM ld WHERE side = 'o'),
+        |pk AS (SELECT doc_id, rtext, len(rtk) AS n_tok,
+        |   (SELECT b FROM base) + coalesce(sum(len(rtk)) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS tok_start
+        |  FROM sem)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CAST(tok_start AS BIGINT) AS token_start,
+        |  CAST(tok_start // 128 AS BIGINT) AS seq_id,
+        |  CAST(tok_start % 128 AS BIGINT) AS seq_offset,
+        |  CAST((tok_start + n_tok - 1) // 128 - tok_start // 128 + 1
+        |    AS BIGINT) AS n_seqs,
+        |  md5(rtext) AS text_md5, true AS lsh_recall_ok
+        |FROM pk""".stripMargin) { (s, dir) =>
+      val st = buildInc(s, dir)
+      // packing appended at the store stream's tail: base offset + the
+      // d36 bucketed exclusive prefix sum over the kept batch docs
+      val w = Window
+      val toks = st.sem
+        .select(col("doc_id"), col("rtext"),
+          size(col("rtk")).cast("long").as("n_tok"))
+        .withColumn("bucket", expr("doc_id div 100L"))
+        .persist()
+      val offsets = toks.groupBy("bucket").agg(sum("n_tok").as("btotal"))
+        .withColumn("off", coalesce(
+          sum("btotal").over(w.orderBy(col("bucket").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val byBucket = w.partitionBy("bucket").orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .join(broadcast(offsets.select(col("bucket"), col("off"))), Seq("bucket"))
+        .crossJoin(broadcast(st.base))
+        .withColumn("tok_start",
+          (col("base_off") + col("off") +
+            coalesce(sum("n_tok").over(byBucket), lit(0L))).cast("long"))
+        .select(col("doc_id"), col("n_tok").as("n_tokens"),
+          col("tok_start").as("token_start"),
+          expr("tok_start div 128L").as("seq_id"),
+          pmod(col("tok_start"), lit(128L)).as("seq_offset"),
+          expr("(tok_start + n_tok - 1) div 128L - tok_start div 128L + 1")
+            .cast("long").as("n_seqs"),
+          md5(col("rtext")).as("text_md5"))
+        .crossJoin(broadcast(st.lshOk))
     }
   )
 }
