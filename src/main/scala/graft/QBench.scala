@@ -40,6 +40,20 @@ object QBench {
         tau = args.drop(2).headOption.map(_.toDouble).getOrElse(0.35),
         tileStride = args.drop(3).headOption.map(_.toLong),
         quantTau = args.drop(4).headOption.map(_.toDouble))
+      case "d57prof" =>
+        operators.PipelineQueries.incProbe = (name, act) => {
+          val t0 = System.nanoTime()
+          val n = act()
+          println(f"[d57prof] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs  n=$n")
+        }
+        (1 to 2).foreach { rep =>
+          println(s"[d57prof] --- rep $rep ---")
+          val t0 = System.nanoTime()
+          SparkEntry.queries("d57_incremental_pipeline")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[d57prof] TOTAL          ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+        }
+        operators.PipelineQueries.incProbe = (_, _) => ()
       case name if SparkEntry.queries.contains(name) =>
         // generic: any gate query by name, 1 warmup + 3 timed reps
         time(name, 4)(SparkEntry.queries(name)(spark, sfDir))

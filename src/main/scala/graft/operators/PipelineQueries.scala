@@ -246,8 +246,14 @@ object PipelineQueries {
     lineCleanAgainst(rep, hotLinesOf(linesOf(rep)))
 
   /** All intermediate stage frames, so d47 (pack) and d48 (attrition)
-    * share one construction. Frames are lazily composed; `q`, `ld`, the
-    * edge set, and `rw2` are persisted (multiple consumers each). */
+    * share one construction. Multi-consumer frames (`q`, `ld`, the edge
+    * set, `rw2`) plus the two frames every downstream plan re-roots on
+    * (`sem`, the 1-row `lshOk`) are EAGER localCheckpoints, not persists:
+    * d48's attrition plan stitches nine stage lineages into one tree, and
+    * driver-side analysis/AQE re-optimization of that tree dominated the
+    * warm cost (measured on d57, same class as SCALE.md's componentsOf
+    * plan-doubling; severing cut d47 18.2->12.9, d48 20.4->13.2, and
+    * d57 37.3->12.8 s warm at sf0.1). */
   private final case class Stages(
       aug: DataFrame, q: DataFrame, rep: DataFrame, ld: DataFrame,
       edges: DataFrame, surv: DataFrame, rw2: DataFrame, clean: DataFrame,
@@ -255,16 +261,16 @@ object PipelineQueries {
 
   private def build(s: SparkSession, dir: String): Stages = {
     val aug = augmented(s, dir)
-    val q = qualityDocs(aug).persist() // consumers: repetition agg + join
+    val q = qualityDocs(aug).localCheckpoint(true) // consumers: repetition agg + join
     val rep = repetitionDocs(q)
-    val ld = lineCleanDocs(rep).persist() // consumers: pairs, LSH, length, chunks
+    val ld = lineCleanDocs(rep).localCheckpoint(true) // consumers: pairs, LSH, length, chunks
 
     // Stage 2a — exact near-dup edges via the d05 blocked candidate join,
     // over the LINE-CLEANED text (boilerplate no longer inflates Jaccard)
     val edges = TextQueries.jaccardPairsOf(ld)
       .filter(col("jaccard") >= 0.3)
       .select("doc_a", "doc_b")
-      .persist() // consumers: components + LSH recall
+      .localCheckpoint(true) // consumers: components + LSH recall
 
     // Stage 2b — d06's banded LSH over the same corpus, asserted in-band:
     // the production candidate path must capture >= 95% of the true edges
@@ -307,7 +313,7 @@ object PipelineQueries {
         "array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), ' ')")
         .as("rtext"))
       .withColumn("rtk", expr("regexp_extract_all(rtext, '\\\\S+', 0)"))
-      .persist() // consumers: decontam windows, decontam text, split/pack
+      .localCheckpoint(true) // consumers: decontam windows, decontam text, split/pack
 
     // Stage 4a — d46 verbatim decontamination of the REWRITTEN stream
     // against the raw benchmark split (doc_id % 50 == 0): candidates
@@ -375,7 +381,8 @@ object PipelineQueries {
         .when(pmod(col("comp"), lit(10)) === 8, "val")
         .otherwise("test"))
 
-    Stages(aug, q, rep, ld, edges, surv, rw2, clean, sem, sp, lshOk)
+    Stages(aug, q, rep, ld, edges, surv, rw2, clean,
+      sem.localCheckpoint(true), sp, lshOk.localCheckpoint(true))
   }
 
   // --------------------------------------------------- incremental (d57)
@@ -410,6 +417,20 @@ object PipelineQueries {
     * What is NEVER formed, matching d49's discipline: a store×store
     * doc-pair join — every pairwise stage probes batch-side keys against
     * store-side keys only. */
+  /** Scratch profiling hook (QBench d57prof): eagerly materializes each
+    * persisted frame of the incremental chain with wall-clock prints. */
+  private[graft] var incProbe: (String, () => Long) => Unit = (_, _) => ()
+
+  /** d57's frames end in eager localCheckpoints (base/lshOk here, toks in
+    * the query) rather than persist: the combined final plan stitches the
+    * FULL store+batch lineage into every crossJoined contract frame, and
+    * driver-side analysis/AQE re-optimization of that tree — not
+    * execution — measured 38 s of the query's 52 s warm time (QBench
+    * d57prof; the componentsOf plan-doubling class from SCALE.md).
+    * Severing at the three seams cut the warm median 37.3 s → 12.8 s with
+    * the hash gate unchanged. The trade (lost recomputability of a
+    * checkpointed block on executor loss) prices the same as d10's
+    * fixpoint discipline. */
   private def buildInc(s: SparkSession, dir: String): IncStages = {
     val src = Tables.guardIdsBelow(
       Tables.load(s, dir, "documents")
@@ -599,7 +620,8 @@ object PipelineQueries {
     val base = ldOld.agg(
       coalesce(sum(size(col("tk")).cast("long")), lit(0L)).as("base_off"))
 
-    IncStages(ldOld, ldBat, rw, sem, base, lshOk)
+    IncStages(ldOld, ldBat, rw, sem, base.localCheckpoint(true),
+      lshOk.localCheckpoint(true))
   }
 
   // ------------------------------------------------------------- oracle
@@ -1087,7 +1109,7 @@ object PipelineQueries {
         .select(col("doc_id"), col("rtext"),
           size(col("rtk")).cast("long").as("n_tok"))
         .withColumn("bucket", expr("doc_id div 100L"))
-        .persist()
+        .localCheckpoint(true)
       val offsets = toks.groupBy("bucket").agg(sum("n_tok").as("btotal"))
         .withColumn("off", coalesce(
           sum("btotal").over(w.orderBy(col("bucket").asc)
