@@ -340,7 +340,11 @@ object PipelineQueries {
         graft.functions.StringAlgos.lcsLenCol(col("sa"), col("sb")))
       .groupBy("doc_id").agg(max("lcs").as("max_lcs"))
       .filter(col("max_lcs") >= 50).select("doc_id")
+    // clean feeds BOTH the semantic probe input and the final anti-join;
+    // unsevered, the contam subtree (window join + LCS) re-evaluates per
+    // consumer — measured as the residual warm cost after the r12 seams
     val clean = rw2.join(contam, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
 
     // Stage 4b — e22 semantic decontamination: join embeddings by
     // doc_id = vec_id (left — no embedding means unverifiable, pass),
@@ -586,6 +590,7 @@ object PipelineQueries {
       .groupBy("doc_id").agg(max("lcs").as("max_lcs"))
       .filter(col("max_lcs") >= 50).select("doc_id")
     val clean = rw.join(contam, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // same double-evaluation seam as build()
 
     // semantic decontamination (e22 / d47 4b) over the batch survivors
     val benchV = Tables.load(s, dir, "embeddings")

@@ -20,7 +20,11 @@ class MultiDiskSpec extends AnyFunSuite with CacheFixture {
     c.setInt(CacheConfig.MaxReadRequestKey, 1000)
     val mgr = new CacheManager(CacheConfig.from(c))
 
-    val files = (0 until 8).map { i =>
+    // 32 files, not 8: the disk choice is murmur3(path) % 2 and the
+    // fixture tmp dir varies per run, so with 8 files the all-on-one-disk
+    // probability is 2/2^8 ~ 0.8% per run — a measured flake. 32 files
+    // puts it at 2/2^32.
+    val files = (0 until 32).map { i =>
       TestFiles.write(tmp, s"data/md$i.bin", content)
     }
     files.foreach { f =>
@@ -38,7 +42,7 @@ class MultiDiskSpec extends AnyFunSuite with CacheFixture {
       else Nil
     }
     val perDisk = dirs.map(d => dataFiles(d).size)
-    assert(perDisk.sum == 8,
+    assert(perDisk.sum == 32,
       s"every file cached exactly once: $perDisk; " +
         s"files=${dirs.flatMap(dataFiles).map(_.getPath).mkString(", ")}")
     assert(perDisk.forall(_ > 0), s"both disks must carry load: $perDisk")
