@@ -198,7 +198,12 @@ object QBench {
       "d57_incremental_pipeline",
       // shadow-mode sizing: two private managers (one dummy) per
       // execution — concurrent runs must keep prediction windows disjoint
-      "c15_shadow_sizing")
+      "c15_shadow_sizing",
+      // late-round-12: the trained classifier (broadcast model under
+      // interleaving) and MMR selection (8 bounded driver argmax steps
+      // over a per-execution checkpointed relevance frame — the soak's
+      // no-per-task-PinScope discipline is what keeps that frame alive)
+      "d58_centroid_classify", "e23_mmr_select")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(

@@ -1859,6 +1859,88 @@ object TextQueries {
             .as("len_in_seq"),
           (col("seq_id") === expr("tok_start div 128L")).as("doc_head"),
           (col("seq_id") === expr("(tok_start + n_bpe - 1) div 128L")).as("doc_tail"))
+    },
+
+    // ---- d58: TRAINED discriminative-vocabulary language classifier —
+    // the supervised counterpart of d03's heuristic lang-id and the
+    // token-side counterpart of e21's embedding kNN. Train on
+    // doc_id % 3 != 0: the model keeps only LANG-EXCLUSIVE tokens
+    // (tokens whose training occurrences are confined to one language)
+    // with their counts; classify doc_id % 3 == 0 by
+    // argmax_l sum_w c_w(doc) * count(w | l), tie -> lang ascending; a
+    // doc touching no discriminative token predicts 'unk'. The
+    // restriction is load-bearing, measured: the synthetic corpus's
+    // 31-token vocabulary is language-INDEPENDENT, so the unrestricted
+    // dot product degenerates to the majority class ('en' on every doc,
+    // accuracy = class share) — exclusive-vocab profiles are the
+    // smallest trained model with real signal. Flow is PLANTED (the d07
+    // device): docs with doc_id % 2 == 0 carry one ' langmark<lang>'
+    // tail token, standing in for the lang-distinctive vocabulary a real
+    // corpus has organically; marked test docs must classify correctly,
+    // unmarked ones fall to 'unk' (both visible in the hashed output —
+    // everything is integer counts, no contract flag needed). 100 TB
+    // shape: the model is discriminative-vocabulary x languages
+    // (aggregate-sized by construction) and BROADCASTS; scoring is one
+    // map-side pass over exploded test tokens with partial aggregation —
+    // the corpus never shuffles against itself. ----
+    QueryDef("d58_centroid_classify",
+      """WITH aug AS (
+        |  SELECT doc_id, lang,
+        |    text || CASE WHEN doc_id % 2 = 0 THEN ' langmark' || lang
+        |                 ELSE '' END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang, unnest(regexp_extract_all(text, '\S+')) AS w
+        |  FROM aug),
+        |model0 AS (
+        |  SELECT lang AS ml, w, count(*) AS cnt FROM tok
+        |  WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+        |excl AS (SELECT w FROM model0 GROUP BY w HAVING count(*) = 1),
+        |model AS (SELECT ml, w, cnt FROM model0 JOIN excl USING (w)),
+        |sc AS (
+        |  SELECT t.doc_id, m.ml, sum(m.cnt) AS score
+        |  FROM tok t JOIN model m USING (w)
+        |  WHERE t.doc_id % 3 = 0 GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, ml, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, ml) AS rn
+        |  FROM sc)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(b.ml, 'unk') AS pred_lang,
+        |  CAST(coalesce(b.score, 0) AS BIGINT) AS score,
+        |  (d.lang = coalesce(b.ml, 'unk')) AS correct
+        |FROM documents d
+        |  LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        |WHERE d.doc_id % 3 = 0""".stripMargin) { (s, dir) =>
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(lit(" langmark"), col("lang"))).otherwise(lit("")))
+            .as("text"))
+        .select(col("doc_id"), col("lang"), explode(tokensCol).as("w"))
+      val model0 = tok.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .groupBy(col("lang").as("ml"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+      val excl = model0.groupBy("w").agg(count(lit(1)).as("nl"))
+        .filter(col("nl") === 1).select("w")
+      val model = model0.join(excl, Seq("w"))
+      val sc = tok.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .join(broadcast(model), Seq("w"))
+        .groupBy("doc_id", "ml").agg(sum("cnt").as("score"))
+      val best = sc.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("ml").asc)))
+        .filter(col("rn") === 1).select("doc_id", "ml", "score")
+      Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select("doc_id", "lang")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("ml"), lit("unk")).as("pred_lang"),
+          coalesce(col("score"), lit(0L)).cast("long").as("score"),
+          (col("lang") === coalesce(col("ml"), lit("unk"))).as("correct"))
     }
   )
 

@@ -1035,6 +1035,90 @@ object VectorQueries {
         .select(col("tid").as("vec_id"), col("n_bench_hits"),
           round(col("mc"), 4).as("max_cos"),
           (col("mc") >= 0.92).as("contaminated"))
+    },
+
+    // ---- e23: Maximal Marginal Relevance diversity selection (Carbonell
+    // & Goldstein, SIGIR'98) — greedy top-k where each pick maximizes
+    // lambda*rel(q,d) - (1-lambda)*max_{s in S} sim(d,s): the
+    // diversity-aware retrieval every RAG/dataset-curation stack layers
+    // over plain kNN (e01 ranks by relevance alone and returns near-dup
+    // neighbors together; MMR spends the same similarity primitive to
+    // spread the set). Exact greedy selection IS the oracle: k=8 steps
+    // unrolled as chained argmax CTEs in DuckDB (generated below — the
+    // recursion is bounded and data-independent, so unrolling beats a
+    // recursive CTE with list state), and the Spark arm runs the same k
+    // bounded driver iterations (one 1-row collect per step, the
+    // documented Lloyd-fetch class), each a fully-distributed scan:
+    // maxdiv is greatest() over at most k-1 literal picked vectors, so
+    // every step is one codegen pass over the candidates — O(k*n) total
+    // work, no all-pairs sim matrix, driver state = k vectors. At 100 TB
+    // the candidate set is itself a top-N relevance prefilter (compose
+    // with e01/e07); the per-step scan broadcasts k floats. ----
+    {
+      val cosSql = (a: String, b: String) =>
+        s"""list_sum(list_transform(range(1, 65),
+           |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+           |    (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           |     sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      val steps = (2 to 8).map { i =>
+        s"""s$i AS MATERIALIZED (
+           |  SELECT r.cid, r.rel,
+           |    0.7 * r.rel - 0.3 * max(${cosSql("r.ce", "p.ce")}) AS mmr
+           |  FROM rel r, k${i - 1} p
+           |  WHERE r.cid NOT IN (SELECT cid FROM k${i - 1})
+           |  GROUP BY r.cid, r.rel),
+           |p$i AS MATERIALIZED (
+           |  SELECT $i AS t, r.cid, r.ce, r.rel, s.mmr FROM
+           |    (SELECT cid, mmr FROM s$i ORDER BY mmr DESC, cid LIMIT 1) s
+           |    JOIN rel r USING (cid)),
+           |k$i AS MATERIALIZED (SELECT * FROM k${i - 1} UNION ALL SELECT * FROM p$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      QueryDef("e23_mmr_select",
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |cand AS (SELECT vec_id AS cid, embedding AS ce
+           |         FROM embeddings WHERE vec_id % 5 = 3),
+           |rel AS MATERIALIZED (SELECT cid, ce, ${cosSql("ce", "qe")} AS rel
+           |        FROM cand, q),
+           |p1 AS MATERIALIZED (SELECT 1 AS t, cid, ce, rel, rel AS mmr FROM rel
+           |       ORDER BY rel DESC, cid LIMIT 1),
+           |k1 AS MATERIALIZED (SELECT * FROM p1),
+           |$steps
+           |SELECT CAST(t AS BIGINT) AS t, cid AS vec_id,
+           |  round(rel, 4) AS rel, round(mmr, 4) AS mmr
+           |FROM k8""".stripMargin) { (s, dir) =>
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        // the q31 1-row broadcast shape: rel is ONE distributed pass
+        val rel = e.filter(pmod(col("vec_id"), lit(5)) === 3)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+          .crossJoin(broadcast(q))
+          .select(col("cid"), col("ce"), cos(col("ce"), col("qe")).as("rel"))
+          .localCheckpoint(true) // k argmax scans re-read this frame
+        var picked = Vector.empty[(Long, Long, Array[Float], Double, Double)]
+        while (picked.size < 8) {
+          val t = picked.size + 1
+          val base = rel.filter(!col("cid").isInCollection(
+            if (picked.isEmpty) Seq(-1L) else picked.map(_._2)))
+          val scored =
+            if (picked.isEmpty) base.withColumn("mmr", col("rel"))
+            else {
+              val sims = picked.map(p => cos(col("ce"), lit(p._3)))
+              val maxdiv = if (sims.size == 1) sims.head else greatest(sims: _*)
+              base.withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * maxdiv)
+            }
+          val row = scored.orderBy(col("mmr").desc, col("cid").asc)
+            .limit(1).select("cid", "ce", "rel", "mmr").collect()(0)
+          picked :+= ((t.toLong, row.getLong(0),
+            row.getSeq[Float](1).toArray, row.getDouble(2), row.getDouble(3)))
+        }
+        import s.implicits._
+        picked.map(p => (p._1, p._2, p._4, p._5))
+          .toDF("t", "vec_id", "rel0", "mmr0")
+          .select(col("t"), col("vec_id"),
+            round(col("rel0"), 4).as("rel"), round(col("mmr0"), 4).as("mmr"))
+      }
     }
   )
 

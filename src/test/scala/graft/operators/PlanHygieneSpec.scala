@@ -82,7 +82,10 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d57_incremental_pipeline",
     // e22: the aggregate-sized benchmark side broadcast against the
     // train corpus — the e01/e14 unconditioned-broadcast shape
-    "e22_semantic_decontam")
+    "e22_semantic_decontam",
+    // e23: the 1-row query vector broadcast into the relevance pass
+    // (the q31 shape); the k argmax scans read a checkpointed frame
+    "e23_mmr_select")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
