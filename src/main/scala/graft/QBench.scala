@@ -203,7 +203,10 @@ object QBench {
       // interleaving) and MMR selection (8 bounded driver argmax steps
       // over a per-execution checkpointed relevance frame — the soak's
       // no-per-task-PinScope discipline is what keeps that frame alive)
-      "d58_centroid_classify", "e23_mmr_select")
+      "d58_centroid_classify", "e23_mmr_select",
+      // s14 (serial lane via the s prefix): per-execution scratch
+      // stream dirs + the external quota store must stay disjoint
+      "s14_stream_quota")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(

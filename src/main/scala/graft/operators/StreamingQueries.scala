@@ -215,6 +215,38 @@ object StreamingQueries {
         |  COALESCE(p.c,0) = 0 AS kept, true AS batches_ok
         |FROM input i LEFT JOIN p ON p.id = i.doc_id""".stripMargin) { (s, dir) =>
       EventStreams.streamIngestDedup(s, dir)
+    },
+
+    // Streaming per-language token-budget quota admission (s14): the
+    // streaming counterpart of d29's budget selection — id-ordered
+    // micro-batches admit docs until a provisioned per-lang budget
+    // (corpus_total div 8, sized in a pre-pass like any quota
+    // provisioned from yesterday's stats) is exhausted; per-lang
+    // consumed state rides an external batch_id-keyed store (the s13
+    // idempotency discipline). The budget crosses in a DIFFERENT batch
+    // per language at every SF (en in batch 2, the small langs in
+    // batch 4), so cross-batch state is load-bearing; the admitted set
+    // is batch-boundary independent (monotone-exhaustion argument in
+    // the streamQuota scaladoc), so the oracle is the global
+    // lower-id-prefix rule; batches_ok pins the 4-batch shape in-band.
+    QueryDef("s14_stream_quota",
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT sum(n_tok) // 8 AS budget FROM tok),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS arrived_before
+        |  FROM tok)
+        |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(arrived_before AS BIGINT) AS arrived_before,
+        |  arrived_before < (SELECT budget FROM b) AS admitted,
+        |  true AS batches_ok
+        |FROM c""".stripMargin) { (s, dir) =>
+      EventStreams.streamQuota(s, dir)
     }
   )
 }

@@ -795,6 +795,123 @@ object EventStreams {
     ()
   }
 
+  /** Streaming per-language token-budget quota admission (s14) — the
+    * streaming counterpart of d29's budget selection: documents arrive
+    * as id-ordered micro-batches and each language admits docs until a
+    * provisioned token budget is exhausted, carrying per-lang consumed
+    * state across batches in an external batch_id-keyed store (the s13
+    * discipline: overwrite-per-batch dirs, store read excludes the
+    * current id — idempotent under foreachBatch re-delivery).
+    *
+    * Budget = corpus_total_tokens div 8, computed in a provisioning
+    * pre-pass (at 100 TB: yesterday's stats size today's quota) — it
+    * binds at a DIFFERENT batch per language at every SF (en crosses in
+    * batch 2, the small languages in batch 4), so the cross-batch state
+    * is load-bearing, and `batches_ok` pins the 4-batch shape in-band.
+    *
+    * The admitted set is batch-boundary independent, so the oracle is
+    * the global rule: admit iff the same-language tokens AHEAD of the
+    * doc (all lower ids) are under budget. That equals true
+    * admitted-consumes semantics by a monotonicity argument: the first
+    * rejected doc r of a language sees only admitted predecessors, so
+    * its all-docs and admitted-only prefix sums coincide (both >= B),
+    * and every later doc's flag is false under both rules — rejected
+    * docs never free quota. The store therefore accumulates plain
+    * per-lang arrival totals.
+    *
+    * At 100 TB: per-batch work is one window over the batch keyed by
+    * language plus a languages-sized store read — no engine-internal
+    * state, nothing corpus-scale crosses a partition. */
+  def streamQuota(spark: SparkSession, dir: String): DataFrame =
+    withStreamConf(spark) {
+      val docs = graft.operators.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+            .as("n_tok"))
+      val budget = docs.agg(expr("sum(n_tok) div 8")).head.getLong(0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-squota-").toString
+      try {
+        val maxId = docs.agg(max("doc_id")).head.getLong(0)
+        val bounds = Seq(0L, maxId / 4 + 1, maxId / 2 + 1,
+          3 * maxId / 4 + 1, Long.MaxValue)
+        val fs = org.apache.hadoop.fs.FileSystem
+          .getLocal(spark.sparkContext.hadoopConfiguration)
+        bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+          val tmp = new org.apache.hadoop.fs.Path(s"$base/_slice_$i")
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = fs.listStatus(tmp).map(_.getPath)
+            .find(_.getName.startsWith("part-"))
+            .getOrElse(sys.error(s"slice $i wrote no part file"))
+          val dest = new org.apache.hadoop.fs.Path(s"$base/in/slice-$i.parquet")
+          fs.mkdirs(dest.getParent)
+          fs.rename(part, dest)
+          fs.delete(tmp, true)
+          new java.io.File(dest.toUri.getPath).setLastModified(1000L * (i + 1))
+        }
+        val q = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$base/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            quotaBatch(base, budget, batch, batchId)
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(180000),
+          s"streaming query ${q.name} timed out at 180s")
+        finally if (q.isActive) q.stop()
+        val out = spark.read.parquet(s"$base/out").localCheckpoint(true)
+        val nBatches = out.agg(countDistinct("batch_id").as("nb"))
+          .select((col("nb") === 4).as("batches_ok"))
+        out.select(col("doc_id"), col("lang"), col("n_tok"),
+            col("arrived_before"), col("admitted"))
+          .crossJoin(broadcast(nBatches))
+      } finally {
+        org.apache.hadoop.fs.FileSystem
+          .getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(base), true)
+      }
+    }
+
+  /** One s14 micro-batch: prior per-lang totals from the store (batch_id
+    * < current), a within-batch prefix window, the admission flag, and
+    * this batch's per-lang totals appended to the store — idempotent
+    * under re-delivery (s13's overwrite discipline). */
+  def quotaBatch(base: String, budget: Long, batch: DataFrame,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val storeRoot = new java.io.File(s"$base/store")
+    val prior =
+      if (storeRoot.exists() && storeRoot.listFiles() != null &&
+        storeRoot.listFiles().exists(_.getName.startsWith("batch_id="))) {
+        s.read.parquet(s"$base/store")
+          .filter(col("batch_id") < batchId)
+          .groupBy("lang").agg(sum("toks").as("base_toks"))
+      } else {
+        s.emptyDataFrame
+          .select(lit("").as("lang"), lit(0L).as("base_toks")).limit(0)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    batch
+      .join(broadcast(prior), Seq("lang"), "left")
+      .withColumn("arrived_before",
+        coalesce(col("base_toks"), lit(0L)) +
+          coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        col("arrived_before").cast("long").as("arrived_before"),
+        (col("arrived_before") < budget).as("admitted"))
+      .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId")
+    batch.groupBy("lang").agg(sum("n_tok").as("toks"))
+      .write.mode("overwrite").parquet(s"$base/store/batch_id=$batchId")
+    ()
+  }
+
   /** Per-user lifetime stats via Spark 4's `transformWithState` — the
     * arbitrary-state API that supersedes [[sessionize]]'s
     * flatMapGroupsWithState (typed ValueState/ListState/MapState handles,

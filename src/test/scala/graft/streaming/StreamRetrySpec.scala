@@ -155,4 +155,44 @@ class StreamRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
         .delete(new org.apache.hadoop.fs.Path(base), true)
     }
   }
+
+  test("s14 quota batch is idempotent under foreachBatch re-delivery") {
+    // same at-least-once contract as s13: a re-delivered batch must
+    // replace its own output partition and must not double-count its own
+    // earlier store write as prior consumed tokens.
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-s14-retry-").toString
+    try {
+      val b0 = Seq((1L, "en", 6L), (2L, "en", 5L), (3L, "fr", 4L))
+        .toDF("doc_id", "lang", "n_tok")
+      val b1 = Seq((10L, "en", 3L), (11L, "fr", 2L))
+        .toDF("doc_id", "lang", "n_tok")
+      EventStreams.quotaBatch(base, budget = 12L, b0, 0L)
+      EventStreams.quotaBatch(base, budget = 12L, b1, 1L)
+      def snap() = spark.read.parquet(s"$base/out")
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("arrived_before"),
+          r.getAs[Boolean]("admitted"))).sorted.toSeq
+      val first = snap()
+      // doc 10's prior en tokens = 6 + 5 = 11 < 12 -> admitted; a
+      // double-counted store would read 22 and reject it
+      assert(first.contains((10L, 11L, true)),
+        s"doc 10 must see exactly batch-0 en tokens as prior: $first")
+      assert(first.contains((11L, 4L, true)), s"fr base wrong: $first")
+      EventStreams.quotaBatch(base, budget = 12L, b1, 1L) // the retry
+      val retried = snap()
+      assert(retried == first,
+        s"re-delivered batch changed the sink: $first -> $retried")
+      val storeRows = spark.read.parquet(s"$base/store")
+        .groupBy("lang", "batch_id").count()
+        .filter(col("count") > 1).count()
+      assert(storeRows == 0, "retry duplicated quota-store rows")
+    } finally {
+      org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+    }
+  }
 }
