@@ -207,6 +207,59 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lineage not total: ${att.values.sum} != ${nCorpus + nTwins}")
   }
 
+  test("d57 incremental pipeline: appends at the store tail, twins dedupe vs store, batch-only output") {
+    val rows = SparkEntryQueries("d57_incremental_pipeline")
+      .orderBy(col("token_start")).collect()
+    assert(rows.nonEmpty)
+    // the pack stream APPENDS at the store's next-token offset — a zero
+    // base would mean the incremental run restarted the stream (the
+    // store-contract bug class the gate exists for)
+    val base = rows.head.getAs[Long]("token_start")
+    assert(base > 0, "base offset 0: packing ignored the store tail")
+    // contiguity from the base: exclusive running sum, no gaps/overlaps
+    var expect = base
+    rows.foreach { r =>
+      assert(r.getAs[Long]("token_start") == expect,
+        s"doc ${r.getAs[Long]("doc_id")}: token_start " +
+          s"${r.getAs[Long]("token_start")} != $expect")
+      expect += r.getAs[Long]("n_tokens")
+    }
+    assert(rows.forall(_.getAs[Boolean]("lsh_recall_ok")))
+
+    // output is batch-only: original batch ids (doc_id % 4 == 0) plus
+    // re-crawl twins (>= 2,000,000) whose STORE original failed
+    // admission — a store id in the output means the chain rescanned
+    // the old corpus
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.forall(id => id >= 2000000L || id % 4 == 0),
+      "store-side doc id leaked into the incremental output")
+
+    // dedup-vs-store flow: most planted re-crawls are flagged against
+    // the store and dropped; the few survivors are exactly the twins
+    // whose original never entered the store (failed quality upstream)
+    val docs = Tables.load(spark, dir, "documents")
+    val planted = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0 &&
+      pmod(col("doc_id"), lit(4)) =!= 0 &&
+      pmod(col("doc_id"), lit(9)) === 5).count()
+    val twinsKept = ids.count(_ >= 2000000L)
+    assert(planted > 10, s"flow: only $planted twins planted")
+    assert(twinsKept < planted / 2,
+      s"vs-store dedup vacuous: $twinsKept of $planted twins survived")
+
+    // attrition flow on the batch itself: some original batch docs
+    // dropped (quality/repetition/dedup/decontam), some kept
+    val batchN = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0 &&
+      pmod(col("doc_id"), lit(4)) === 0).count()
+    val origKept = ids.count(id => id < 2000000L)
+    assert(origKept > 0 && origKept < batchN,
+      s"batch attrition vacuous: $origKept of $batchN kept")
+
+    // chunk-store flow: at least one planted shared-chunk batch doc
+    // survived to be rewritten against the store chunk set
+    assert(ids.exists(id => id < 2000000L && id % 97 == 13),
+      "no planted shared-chunk doc in the output — chunk stage unexercised")
+  }
+
   test("d55 BPE manifest: interior sequences fill to exactly 128 BPE tokens; BPE counts genuinely diverge from whitespace counts") {
     val rows = SparkEntryQueries("d55_bpe_manifest").collect()
     assert(rows.nonEmpty)
