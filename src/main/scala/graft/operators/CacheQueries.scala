@@ -37,8 +37,9 @@ object CacheQueries {
   }
   private val execSeq = new java.util.concurrent.atomic.AtomicLong
   /** Unique per call — callers derive every path of one execution from a
-    * single tmpBase result. */
-  private def tmpBase(prefix: String, dir: String): String = {
+    * single tmpBase result. Shared with PipelineQueries' d59 store
+    * handoff (same scratch registry, same shutdown-hook cleanup). */
+  private[operators] def tmpBase(prefix: String, dir: String): String = {
     val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/$prefix/" +
       new java.io.File(dir).getName + "-e" + execSeq.incrementAndGet()
     scratchDirs.put(p, ())

@@ -61,7 +61,10 @@ import org.apache.spark.sql.expressions.Window
   * twins — are semantically unverifiable and pass), broadcasts the
   * benchmark embeddings (vec_id % 50 == 0, the same id rule as the
   * verbatim bench split), and drops any doc whose max cosine ≥ 0.92.
-  * Graded leaks are planted with e22's device: docs with doc_id % 13 == 2
+  * Graded leaks are planted with e22's device: ORIGINAL-corpus docs
+  * (doc_id < 1,000,000 — planted twins and re-crawls are excluded, so
+  * the survivorship device's winning twin can never be semantically
+  * dropped) with doc_id % 13 == 2
   * have their embedding OVERRIDDEN by a perturbed copy of benchmark
   * vector 50·(doc_id mod |bench|) at noise level (doc_id div 13) % 5 ×
   * 0.01 — levels 0-1 land above the 0.92 cut, 2-4 below (e22 measured
@@ -364,7 +367,7 @@ object PipelineQueries {
         .select(col("vec_id").as("doc_id"), col("embedding").as("oe")),
         Seq("doc_id"), "left")
       .withColumn("te",
-        when(pmod(col("doc_id"), lit(13)) === 2, expr(
+        when(pmod(col("doc_id"), lit(13)) === 2 && col("doc_id") < 1000000L, expr(
           """transform(pbe, (x, i) -> CAST(CAST(x AS DOUBLE) +
             |  (CAST((doc_id div 13) % 5 AS DOUBLE) * 0.01D) *
             |  CAST((doc_id * 31 + (i + 1) * 17) % 13 - 6 AS DOUBLE)
@@ -376,17 +379,21 @@ object PipelineQueries {
       .withColumn("cos", graft.functions.VectorOps.cosineSim(col("te"), col("be")))
       .groupBy("doc_id").agg(max("cos").as("mc"))
       .filter(col("mc") >= 0.92).select("doc_id")
-    val sem = clean.join(semDrop, Seq("doc_id"), "left_anti")
+    // checkpoint ONCE and derive sp from the checkpointed frame — built
+    // from the raw `sem`, d47's pack path would re-execute the semDrop
+    // subtree (embedding joins + cosine scan) instead of reading the seam
+    val semCk = clean.join(semDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
 
     // Stage 5 — d43's component-keyed split: near-dup twins can never
     // straddle a boundary because the unit of assignment is the comp id
-    val sp = sem.withColumn("split",
+    val sp = semCk.withColumn("split",
       when(pmod(col("comp"), lit(10)) < 8, "train")
         .when(pmod(col("comp"), lit(10)) === 8, "val")
         .otherwise("test"))
 
     Stages(aug, q, rep, ld, edges, surv, rw2, clean,
-      sem.localCheckpoint(true), sp, lshOk.localCheckpoint(true))
+      semCk, sp, lshOk.localCheckpoint(true))
   }
 
   // --------------------------------------------------- incremental (d57)
@@ -407,9 +414,29 @@ object PipelineQueries {
     "array_join(transform(sequence(1, 60), " +
       "i -> concat('w', cast(doc_id AS string), 'x', cast(i AS string))), ' ')"))
 
-  private final case class IncStages(
-      ldOld: DataFrame, ldBat: DataFrame, rw: DataFrame, sem: DataFrame,
+  private[operators] final case class IncStages(
+      ldBat: DataFrame, rw: DataFrame, sem: DataFrame,
       base: DataFrame, lshOk: DataFrame)
+
+  /** The persisted-store contract between the bootstrap job and the
+    * incremental job — exactly the artifacts a production steady state
+    * writes once at bootstrap and reads cold every day (VERDICT r12
+    * "What's missing #1"; the reference's analog is the persisted
+    * mdfile/generation contract, `bookkeeper/FileMetadata.java:96-182`):
+    *  - `hot`       (line)                     — hot-line vocabulary
+    *  - `grams`     (old_id, lang, source, gh) — exploded 3-gram index;
+    *                 at 100 TB this is written bucketed by gh so the
+    *                 daily batch probe is a co-located join
+    *  - `gramSizes` (old_id, nb)               — distinct-gram counts
+    *  - `bands`     (doc_id, band, bh)         — LSH band keys
+    *  - `chunks`    (chunk)                    — ingested 20-token chunks
+    *  - `baseOff`   (base_off) 1 row           — next-token offset
+    * d57 materializes these in memory (same-run handoff); d59 writes them
+    * to parquet through graft:// and reads them back COLD, so the hash
+    * gate crosses a real serialization boundary. */
+  private[operators] final case class StoreFrames(
+      hot: DataFrame, grams: DataFrame, gramSizes: DataFrame,
+      bands: DataFrame, chunks: DataFrame, baseOff: DataFrame)
 
   /** d57's frames: the d47 chain in d49's steady-state shape. The store
     * (old corpus, doc_id % 4 != 0) is the bootstrap's ADMITTED set —
@@ -432,10 +459,19 @@ object PipelineQueries {
     * execution — measured 38 s of the query's 52 s warm time (QBench
     * d57prof; the componentsOf plan-doubling class from SCALE.md).
     * Severing at the three seams cut the warm median 37.3 s → 12.8 s with
-    * the hash gate unchanged. The trade (lost recomputability of a
+    * the hash gate unchanged — but note 12.8 s was back-to-back QBench
+    * reps with cross-rep cache reuse; the honest PinScope-per-rep bench
+    * medians are 35.0 s on the single-file layout / 22.6 s on 16-part
+    * (BASELINE.md r12). The trade (lost recomputability of a
     * checkpointed block on executor loss) prices the same as d10's
     * fixpoint discipline. */
-  private def buildInc(s: SparkSession, dir: String): IncStages = {
+  /** Input synthesis shared by every incremental job: the store corpus
+    * (doc_id % 4 != 0) and today's batch (% 4 == 0 + planted re-crawls of
+    * ~1/9 of the store, the d49 device). Plants are harness INPUT
+    * construction — the crawler's feed — not store state, so both jobs
+    * may recompute them from the raw table without weakening the d59
+    * serialization-boundary claim. Returns (store corpus, batch). */
+  private def incInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val src = Tables.guardIdsBelow(
       Tables.load(s, dir, "documents")
         .select("doc_id", "lang", "source", "text"), 2000000L)
@@ -461,50 +497,136 @@ object PipelineQueries {
         concat(col("text"), lit(" is "),
           pmod(col("doc_id"), lit(97)).cast("string")).as("text"))
     val par = s.sparkContext.defaultParallelism
-    val oldAug = headerFooter(old0).repartition(par)
-    val batAug = headerFooter(bat0.unionByName(twins)).repartition(par)
+    (headerFooter(old0).repartition(par),
+      headerFooter(bat0.unionByName(twins)).repartition(par))
+  }
 
-    // the store: bootstrap-admitted docs + its hot-line vocabulary
+  private def ghsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+    col("lang"), col("source"),
+    graft.functions.TextHashes.shingleHash64Col(
+      col("text"), col("tk"), 3, emptyIfShort = true).as("ghs"))
+  private def gtab(sh: DataFrame, idAs: String): DataFrame = sh
+    .select(col("doc_id").as(idAs), col("lang"), col("source"),
+      explode(col("ghs")).as("gh"))
+  private def gsizes(sh: DataFrame, idAs: String, nAs: String): DataFrame =
+    sh.select(col("doc_id").as(idAs), size(col("ghs")).as(nAs))
+  /** Keep (aId, bId) pairs whose gram intersection clears Jaccard 0.3;
+    * `aSz`/`bSz` carry (aId, na) / (bId, nb) — computed in-run for d57,
+    * read from the persisted gram_sizes artifact for d59's store side. */
+  private def jacFilter(inter: DataFrame, aId: String, bId: String,
+      aSz: DataFrame, bSz: DataFrame): DataFrame = inter
+    .join(aSz, aId).join(bSz, bId)
+    .filter(round(col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")), 3) >= 0.3)
+    .select(col(aId), col(bId))
+
+  /** d57's store side, materialized in the SAME run (the pre-d59 shape):
+    * one corpus scan through the bootstrap admission rules, then the six
+    * contract frames of [[StoreFrames]] built over the persisted
+    * admitted set. */
+  private def storeFramesInMemory(s: SparkSession, dir: String): StoreFrames = {
+    val (oldAug, _) = incInputs(s, dir)
     val oldQ = repetitionDocs(qualityDocs(oldAug))
     val hotStore = hotLinesOf(linesOf(oldQ)).persist()
+    incProbe("hotStore", () => hotStore.count())
     val ldOld = lineCleanAgainst(oldQ, hotStore)
       .persist() // consumers: gram probe, LSH sigs, chunk set, base sum
+    incProbe("ldOld", () => ldOld.count())
+    val osh = ghsOf(ldOld).persist()
+    incProbe("osh", () => osh.count())
+    StoreFrames(
+      hot = hotStore,
+      grams = gtab(osh, "old_id"),
+      gramSizes = gsizes(osh, "old_id", "nb"),
+      bands = Dedup.bandedKeys(Dedup.signatures(ldOld.select("doc_id", "text"))),
+      chunks = ldOld.select(explode(chunksExpr("tk")).as("chunk")).distinct(),
+      baseOff = ldOld.agg(
+        coalesce(sum(size(col("tk")).cast("long")), lit(0L)).as("base_off")))
+  }
+
+  /** d59's bootstrap JOB: build the store once and WRITE the
+    * [[StoreFrames]] artifacts to parquet through the graft:// caching
+    * FS — the natural persisted schema (doc_id / n_grams /
+    * next_token_offset), which [[readStore]] maps back onto the chain's
+    * probe-side names, so a schema drift between the two jobs fails
+    * loudly at read time (StoreHandoffSpec's canary). Also writes the
+    * admitted store corpus itself (`admitted`) — tomorrow's bootstrap
+    * input and the audit surface — though the incremental job reads only
+    * the derived index artifacts. */
+  private[operators] def bootstrapStore(
+      s: SparkSession, dir: String, base: String): Unit = {
+    CacheQueries.enableCacheFs(s)
+    val (oldAug, _) = incInputs(s, dir)
+    val oldQ = repetitionDocs(qualityDocs(oldAug))
+    val hotStore = hotLinesOf(linesOf(oldQ)).persist()
+    val ldOld = lineCleanAgainst(oldQ, hotStore).persist()
+    val osh = ghsOf(ldOld).persist()
+    try {
+      def w(df: DataFrame, name: String): Unit =
+        df.write.mode("overwrite").parquet(s"graft://$base/$name")
+      w(ldOld.select("doc_id", "lang", "source", "text"), "admitted")
+      w(hotStore, "hot_lines")
+      // at 100 TB gram_index is written bucketed by gh (the probe key)
+      // so the daily batch probe is a co-located join; band_table by
+      // (band, bh) likewise
+      w(gtab(osh, "doc_id"), "gram_index")
+      w(gsizes(osh, "doc_id", "n_grams"), "gram_sizes")
+      w(Dedup.bandedKeys(Dedup.signatures(ldOld.select("doc_id", "text"))),
+        "band_table")
+      w(ldOld.select(explode(chunksExpr("tk")).as("chunk")).distinct(),
+        "chunk_set")
+      w(ldOld.agg(coalesce(sum(size(col("tk")).cast("long")), lit(0L))
+        .as("next_token_offset")), "manifest")
+    } finally { osh.unpersist(); ldOld.unpersist(); hotStore.unpersist() }
+  }
+
+  /** d59's incremental-job view of the store: COLD parquet reads of what
+    * [[bootstrapStore]] persisted — no lineage reaches back into the
+    * bootstrap's frames, so the hash gate proves the contract survives a
+    * real serialization boundary. */
+  private[operators] def readStore(s: SparkSession, base: String): StoreFrames = {
+    CacheQueries.enableCacheFs(s)
+    def r(name: String) = s.read.parquet(s"graft://$base/$name")
+    StoreFrames(
+      hot = r("hot_lines"),
+      grams = r("gram_index").withColumnRenamed("doc_id", "old_id"),
+      gramSizes = r("gram_sizes")
+        .select(col("doc_id").as("old_id"), col("n_grams").as("nb")),
+      bands = r("band_table"),
+      chunks = r("chunk_set"),
+      baseOff = r("manifest")
+        .select(col("next_token_offset").as("base_off")))
+  }
+
+  /** The incremental batch chain, parameterized by the store contract —
+    * d57 passes [[storeFramesInMemory]], d59 passes [[readStore]]. */
+  private[operators] def incChain(s: SparkSession, dir: String,
+      store: StoreFrames): IncStages = {
     // the batch through the same admission rules, cleaned against the
     // STORE vocabulary (boilerplate lists refresh at bootstrap, not
     // per-batch — batch-internal new boilerplate waits for the next one)
-    val ldBat = lineCleanAgainst(repetitionDocs(qualityDocs(batAug)), hotStore)
+    val (_, batAug) = incInputs(s, dir)
+    val ldBat = lineCleanAgainst(repetitionDocs(qualityDocs(batAug)), store.hot)
       .persist() // consumers: gram probes x2, LSH sigs, chunk explode
+    incProbe("ldBat", () => ldBat.count())
 
     // near-dup vs store + in-batch greedy (d49's rule, d05's mechanism)
-    def ghsOf(df: DataFrame) = df.select(col("doc_id"), col("lang"),
-      col("source"),
-      graft.functions.TextHashes.shingleHash64Col(
-        col("text"), col("tk"), 3, emptyIfShort = true).as("ghs"))
-    val osh = ghsOf(ldOld).persist()
     val bsh = ghsOf(ldBat).persist()
-    def gtab(sh: DataFrame, idAs: String) = sh
-      .select(col("doc_id").as(idAs), col("lang"), col("source"),
-        explode(col("ghs")).as("gh"))
-    def sizes(sh: DataFrame, idAs: String, nAs: String) =
-      sh.select(col("doc_id").as(idAs), size(col("ghs")).as(nAs))
-    def jacPairs(inter: DataFrame, aId: String, bId: String,
-        aSh: DataFrame, bSh: DataFrame) = inter
-      .join(sizes(aSh, aId, "na"), aId).join(sizes(bSh, bId, "nb"), bId)
-      .filter(round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 3) >= 0.3)
-      .select(col(aId), col(bId))
+    incProbe("bsh", () => bsh.count())
     // store grams probe ONLY batch grams — store×store is never formed
-    val po = jacPairs(
+    val po = jacFilter(
       gtab(bsh, "new_id").join(
-        gtab(osh, "old_id")
+        store.grams
           .withColumnRenamed("lang", "lang_o")
           .withColumnRenamed("source", "source_o")
           .withColumnRenamed("gh", "gh_o"),
         col("gh") === col("gh_o") && col("lang") === col("lang_o") &&
           col("source") === col("source_o"))
         .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter")),
-      "new_id", "old_id", bsh, osh).persist()
-    val pn = jacPairs(
+      "new_id", "old_id", gsizes(bsh, "new_id", "na"), store.gramSizes)
+      .persist()
+    incProbe("po", () => po.count())
+    val pn = jacFilter(
       gtab(bsh, "earlier_id").join(
         gtab(bsh, "new_id")
           .withColumnRenamed("lang", "lang_b")
@@ -514,7 +636,9 @@ object PipelineQueries {
           col("source") === col("source_b") &&
           col("earlier_id") < col("new_id"))
         .groupBy("earlier_id", "new_id").agg(count(lit(1)).as("inter")),
-      "earlier_id", "new_id", bsh, bsh).persist()
+      "earlier_id", "new_id", gsizes(bsh, "earlier_id", "na"),
+      gsizes(bsh, "new_id", "nb")).persist()
+    incProbe("pn", () => pn.count())
     val keptB = ldBat
       .join(po.select(col("new_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
@@ -522,14 +646,15 @@ object PipelineQueries {
         Seq("doc_id"), "left_anti")
 
     // banded-LSH arm in the same asymmetric shape (d49): only batch-side
-    // band keys probe the full band table; recall vs the exact edges
-    val bandedAll = Dedup.bandedKeys(Dedup.signatures(
-      ldOld.select("doc_id", "text")
-        .unionByName(ldBat.select("doc_id", "text")))).persist()
-    val isBatch = pmod(col("doc_id"), lit(4)) === 0 || col("doc_id") >= 2000000L
-    val cands = bandedAll.filter(isBatch)
+    // band keys probe the full band table (store artifact ∪ today's batch
+    // keys); recall vs the exact edges
+    val batchBands = Dedup.bandedKeys(Dedup.signatures(
+      ldBat.select("doc_id", "text"))).persist()
+    incProbe("batchBands", () => batchBands.count())
+    val allBands = store.bands.unionByName(batchBands)
+    val cands = batchBands
       .select(col("band"), col("bh"), col("doc_id").as("probe_id"))
-      .join(bandedAll.select(col("band"), col("bh"),
+      .join(allBands.select(col("band"), col("bh"),
         col("doc_id").as("cand_id")), Seq("band", "bh"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(least(col("probe_id"), col("cand_id")).as("doc_a"),
@@ -552,15 +677,13 @@ object PipelineQueries {
     // a chunk already ingested drops from EVERY batch doc; a new chunk
     // survives only at its first batch position (d18's rule, keyed
     // against the store index instead of a same-run window alone)
-    val storeChunks = ldOld.select(explode(chunksExpr("tk")).as("chunk"))
-      .distinct()
     val occB = keptB
       .select(col("doc_id"), posexplode(chunksExpr("tk")).as(Seq("idx", "chunk")))
       .withColumn("bkey", col("doc_id") * lit(100000L) + col("idx"))
       .withColumn("first_key",
         min(col("bkey")).over(Window.partitionBy("chunk")))
     val rw = occB
-      .join(storeChunks.withColumn("ins", lit(1L)), Seq("chunk"), "left")
+      .join(store.chunks.withColumn("ins", lit(1L)), Seq("chunk"), "left")
       .filter(col("ins").isNull && col("bkey") === col("first_key"))
       .groupBy("doc_id")
       .agg(expr(
@@ -568,6 +691,7 @@ object PipelineQueries {
         .as("rtext"))
       .withColumn("rtk", expr("regexp_extract_all(rtext, '\\\\S+', 0)"))
       .persist() // consumers: decontam windows + text, semantic, pack
+    incProbe("rw", () => rw.count())
 
     // verbatim decontamination vs the raw benchmark split (d46 / d47 4a)
     val bench = Tables.load(s, dir, "documents")
@@ -591,6 +715,7 @@ object PipelineQueries {
       .filter(col("max_lcs") >= 50).select("doc_id")
     val clean = rw.join(contam, Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // same double-evaluation seam as build()
+    incProbe("clean", () => clean.count())
 
     // semantic decontamination (e22 / d47 4b) over the batch survivors
     val benchV = Tables.load(s, dir, "embeddings")
@@ -606,7 +731,7 @@ object PipelineQueries {
         .select(col("vec_id").as("doc_id"), col("embedding").as("oe")),
         Seq("doc_id"), "left")
       .withColumn("te",
-        when(pmod(col("doc_id"), lit(13)) === 2, expr(
+        when(pmod(col("doc_id"), lit(13)) === 2 && col("doc_id") < 1000000L, expr(
           """transform(pbe, (x, i) -> CAST(CAST(x AS DOUBLE) +
             |  (CAST((doc_id div 13) % 5 AS DOUBLE) * 0.01D) *
             |  CAST((doc_id * 31 + (i + 1) * 17) % 13 - 6 AS DOUBLE)
@@ -620,14 +745,16 @@ object PipelineQueries {
       .filter(col("mc") >= 0.92).select("doc_id")
     val sem = clean.join(semDrop, Seq("doc_id"), "left_anti")
 
-    // the store manifest's next-token offset — at scale a persisted
-    // scalar, here the sum over the store's admitted token stream
-    val base = ldOld.agg(
-      coalesce(sum(size(col("tk")).cast("long")), lit(0L)).as("base_off"))
-
-    IncStages(ldOld, ldBat, rw, sem, base.localCheckpoint(true),
-      lshOk.localCheckpoint(true))
+    // the store manifest's next-token offset — the persisted scalar for
+    // d59 (manifest artifact), the same sum computed in-run for d57
+    val baseCk = store.baseOff.localCheckpoint(true)
+    val lshOkCk = lshOk.localCheckpoint(true)
+    incProbe("base+lshOk", () => baseCk.count() + lshOkCk.count())
+    IncStages(ldBat, rw, sem, baseCk, lshOkCk)
   }
+
+  private def buildInc(s: SparkSession, dir: String): IncStages =
+    incChain(s, dir, storeFramesInMemory(s, dir))
 
   // ------------------------------------------------------------- oracle
   /** The shared DuckDB CTE chain replaying stages 0-5; d47/d48 append
@@ -772,7 +899,7 @@ object PipelineQueries {
       |benchv AS MATERIALIZED (SELECT vec_id AS bid, embedding AS be
       |           FROM embeddings WHERE vec_id % 50 = 0),
       |semj AS MATERIALIZED (SELECT c.doc_id,
-      |          CASE WHEN c.doc_id % 13 = 2 THEN
+      |          CASE WHEN c.doc_id % 13 = 2 AND c.doc_id < 1000000 THEN
       |            list_transform(range(1, len(bv.be)+1), i ->
       |              CAST(CAST(bv.be[i] AS DOUBLE) +
       |                (CAST((c.doc_id // 13) % 5 AS DOUBLE) * 0.01) *
@@ -922,7 +1049,35 @@ object PipelineQueries {
     // (signature schema, hot-line set, chunk keying, base offset) breaks
     // the gate. lsh_recall_ok rides in-band (the d49 asymmetric banded
     // arm vs the exact edge set). ----
-    QueryDef("d57_incremental_pipeline",
+    QueryDef("d57_incremental_pipeline", incOracleSql) { (s, dir) =>
+      packInc(buildInc(s, dir))
+    },
+
+    // ---- PERSISTED store handoff (d59): the d57 chain split into TWO
+    // jobs — a bootstrap that WRITES the store artifacts (admitted
+    // corpus, hot-line vocabulary, gram index + sizes, band table, chunk
+    // set, next-token-offset manifest) to parquet through graft://, and
+    // an incremental job that READS them cold. Oracle unchanged (the
+    // global-batch rule replays the same chain); the NEW evidence is
+    // that the hash survives a real serialization boundary — the
+    // contract class an in-run handoff cannot break (float widths, array
+    // encodings, column naming, partitioning of the persisted index).
+    // StoreHandoffSpec's drift canary proves the reads are load-bearing:
+    // perturbing the manifest shifts every token_start by exactly the
+    // perturbation, and a renamed gram_index column fails loudly. ----
+    QueryDef("d59_store_handoff", incOracleSql) { (s, dir) =>
+      val base = CacheQueries.tmpBase("graft-store", dir)
+      bootstrapStore(s, dir, base) // job 1: write the store contract
+      packInc(incChain(s, dir, readStore(s, base))) // job 2: cold reads
+    }
+  )
+
+  /** d57/d59 shared oracle — the global-batch DuckDB replay of the
+    * incremental chain (store side recomputed from `documents`; the
+    * persisted-vs-in-memory store distinction is engine-side only). */
+  // lazy: referenced by `defs` above its definition point — a plain val
+  // would still be null when the Seq initializes
+  private lazy val incOracleSql: String =
       """WITH
         |src AS MATERIALIZED (SELECT doc_id, lang, source, text FROM documents
         |       WHERE doc_id % 50 <> 0),
@@ -1070,7 +1225,7 @@ object PipelineQueries {
         |benchv AS MATERIALIZED (SELECT vec_id AS bid, embedding AS be
         |  FROM embeddings WHERE vec_id % 50 = 0),
         |semj AS MATERIALIZED (SELECT c.doc_id,
-        |   CASE WHEN c.doc_id % 13 = 2 THEN
+        |   CASE WHEN c.doc_id % 13 = 2 AND c.doc_id < 1000000 THEN
         |     list_transform(range(1, len(bv.be)+1), i ->
         |       CAST(CAST(bv.be[i] AS DOUBLE) +
         |         (CAST((c.doc_id // 13) % 5 AS DOUBLE) * 0.01) *
@@ -1105,36 +1260,37 @@ object PipelineQueries {
         |  CAST((tok_start + n_tok - 1) // 128 - tok_start // 128 + 1
         |    AS BIGINT) AS n_seqs,
         |  md5(rtext) AS text_md5, true AS lsh_recall_ok
-        |FROM pk""".stripMargin) { (s, dir) =>
-      val st = buildInc(s, dir)
-      // packing appended at the store stream's tail: base offset + the
-      // d36 bucketed exclusive prefix sum over the kept batch docs
-      val w = Window
-      val toks = st.sem
-        .select(col("doc_id"), col("rtext"),
-          size(col("rtk")).cast("long").as("n_tok"))
-        .withColumn("bucket", expr("doc_id div 100L"))
-        .localCheckpoint(true)
-      val offsets = toks.groupBy("bucket").agg(sum("n_tok").as("btotal"))
-        .withColumn("off", coalesce(
-          sum("btotal").over(w.orderBy(col("bucket").asc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val byBucket = w.partitionBy("bucket").orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      toks
-        .join(broadcast(offsets.select(col("bucket"), col("off"))), Seq("bucket"))
-        .crossJoin(broadcast(st.base))
-        .withColumn("tok_start",
-          (col("base_off") + col("off") +
-            coalesce(sum("n_tok").over(byBucket), lit(0L))).cast("long"))
-        .select(col("doc_id"), col("n_tok").as("n_tokens"),
-          col("tok_start").as("token_start"),
-          expr("tok_start div 128L").as("seq_id"),
-          pmod(col("tok_start"), lit(128L)).as("seq_offset"),
-          expr("(tok_start + n_tok - 1) div 128L - tok_start div 128L + 1")
-            .cast("long").as("n_seqs"),
-          md5(col("rtext")).as("text_md5"))
-        .crossJoin(broadcast(st.lshOk))
-    }
-  )
+        |FROM pk""".stripMargin
+
+  /** Packing appended at the store stream's tail: base offset + the d36
+    * bucketed exclusive prefix sum over the kept batch docs — the final
+    * stage shared by d57 and d59. */
+  private[operators] def packInc(st: IncStages): DataFrame = {
+    val w = Window
+    val toks = st.sem
+      .select(col("doc_id"), col("rtext"),
+        size(col("rtk")).cast("long").as("n_tok"))
+      .withColumn("bucket", expr("doc_id div 100L"))
+      .localCheckpoint(true)
+    val offsets = toks.groupBy("bucket").agg(sum("n_tok").as("btotal"))
+      .withColumn("off", coalesce(
+        sum("btotal").over(w.orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val byBucket = w.partitionBy("bucket").orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .join(broadcast(offsets.select(col("bucket"), col("off"))), Seq("bucket"))
+      .crossJoin(broadcast(st.base))
+      .withColumn("tok_start",
+        (col("base_off") + col("off") +
+          coalesce(sum("n_tok").over(byBucket), lit(0L))).cast("long"))
+      .select(col("doc_id"), col("n_tok").as("n_tokens"),
+        col("tok_start").as("token_start"),
+        expr("tok_start div 128L").as("seq_id"),
+        pmod(col("tok_start"), lit(128L)).as("seq_offset"),
+        expr("(tok_start + n_tok - 1) div 128L - tok_start div 128L + 1")
+          .cast("long").as("n_seqs"),
+        md5(col("rtext")).as("text_md5"))
+      .crossJoin(broadcast(st.lshOk))
+  }
 }

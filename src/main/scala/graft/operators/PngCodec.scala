@@ -157,9 +157,12 @@ object PngCodec {
         case "IHDR" =>
           require(len == 13, "bad IHDR length")
           val wl = u32(pos + 8); val hl = u32(pos + 12)
-          // Long-range check BEFORE narrowing: a 2^31..2^32-1 dimension
-          // would wrap negative (or overflow h*(w+1)) in Int arithmetic.
-          require(wl > 0 && hl > 0 && hl * (wl + 1L) <= Int.MaxValue,
+          // Bound each dimension BEFORE the product: a 2^31..2^32-1
+          // dimension would wrap negative in Int arithmetic, and with
+          // both near 2^31 even the Long product hl*(wl+1) wraps.
+          require(wl > 0 && hl > 0 &&
+            wl <= Int.MaxValue && hl <= Int.MaxValue &&
+            hl * (wl + 1L) <= Int.MaxValue,
             "bad dimensions")
           w = wl.toInt; h = hl.toInt
           require((png(pos + 16) & 0xff) == 8 && (png(pos + 17) & 0xff) == 0,

@@ -77,9 +77,10 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // d56: 1-row count frames (est/exact/edge totals) cross-joined into
     // the single-row contract output
     "d56_triangle_estimate",
-    // d57: the 1-row store base-offset, |bench| count, and lsh_recall_ok
-    // contract frames cross-joined into the manifest (the q31 shape)
-    "d57_incremental_pipeline",
+    // d57/d59: the 1-row store base-offset, |bench| count, and
+    // lsh_recall_ok contract frames cross-joined into the manifest (the
+    // q31 shape); d59 reads base-offset from the persisted manifest
+    "d57_incremental_pipeline", "d59_store_handoff",
     // e22: the aggregate-sized benchmark side broadcast against the
     // train corpus — the e01/e14 unconditioned-broadcast shape
     "e22_semantic_decontam",
