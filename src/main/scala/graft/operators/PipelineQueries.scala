@@ -415,8 +415,9 @@ object PipelineQueries {
       "i -> concat('w', cast(doc_id AS string), 'x', cast(i AS string))), ' ')"))
 
   private[operators] final case class IncStages(
-      ldBat: DataFrame, rw: DataFrame, sem: DataFrame,
-      base: DataFrame, lshOk: DataFrame)
+      batAug: DataFrame, qB: DataFrame, repB: DataFrame, ldBat: DataFrame,
+      poDrop: DataFrame, pnDrop: DataFrame, rw: DataFrame, clean: DataFrame,
+      sem: DataFrame, base: DataFrame, lshOk: DataFrame)
 
   /** The persisted-store contract between the bootstrap job and the
     * incremental job — exactly the artifacts a production steady state
@@ -480,15 +481,56 @@ object PipelineQueries {
       .withColumn("text",
         when(pmod(col("doc_id"), lit(97)) === 13, plantedChunkText)
           .otherwise(col("text")))
+    // the COMPILATION plant (d60's device): batch docs on doc_id % 11 == 0
+    // become exactly the shared chunk — a doc every one of whose chunks
+    // the store has already ingested, while Jaccard vs every store doc
+    // stays < 0.3 (18/78 ≈ 0.23 vs the %97 chunk plant). The earliest
+    // such doc per (lang, source) survives near-dup and is then EMPTIED
+    // by the store chunk set (drop reason 4); later ones in the same cell
+    // are in-batch near-dups of it at J = 1.0 (drop reason 128) — both
+    // store-specific attrition reasons get real flow at every SF
+    // (measured cells: ≥1 pair and ≥6 occupied cells at sf0.001).
     val bat0 = src.filter(pmod(col("doc_id"), lit(4)) === 0)
       .withColumn("text",
         when(pmod(col("doc_id"), lit(97)) === 13, plantedChunkText)
+          .when(pmod(col("doc_id"), lit(11)) === 0, lit(sharedChunk))
           .when(pmod(col("doc_id"), lit(101)) === 17,
             concat(lit("subscribe to the newsletter edition "),
               pmod(col("doc_id"), lit(3)).cast("string"),
               lit(". all rights reserved form "),
               pmod(col("doc_id"), lit(2)).cast("string")))
           .otherwise(col("text")))
+    // the VERBATIM-leak plant (d60's reason-8 device): remaining batch
+    // docs on doc_id % 103 == 5 copy the FIRST SENTENCE of benchmark doc
+    // 50·(doc_id mod |bench|) — a ≥50-char span with no sentence
+    // boundary, so line-clean's punctuation-stripping rejoin cannot break
+    // the common substring — followed by 30 doc-unique tokens (dilutes
+    // Jaccard between two plants sharing a bench doc to ~0.2 < 0.3 and
+    // keeps every 20-token chunk doc-unique). The doc survives to the
+    // verbatim stage and is dropped there: its first 8-token window is
+    // the benchmark doc's own, and the LCS over the 512-char caps is the
+    // whole sentence (measured ≥ 52 chars at every SF).
+    val bench0 = Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("vbid"),
+        regexp_extract(col("text"), "^[^.!?]*", 0).as("vfs"))
+    val nvb = bench0.agg(count(lit(1)).as("nvb"))
+    val vtail = expr("array_join(transform(sequence(1, 30), " +
+      "i -> concat('v', cast(doc_id AS string), 'x', cast(i AS string))), ' ')")
+    val bat1 = bat0.crossJoin(broadcast(nvb))
+      .withColumn("vbid", lit(50L) * pmod(col("doc_id"), col("nvb")))
+      .join(broadcast(bench0), Seq("vbid"), "left")
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(103)) === 5 &&
+            pmod(col("doc_id"), lit(97)) =!= 13 &&
+            pmod(col("doc_id"), lit(11)) =!= 0 &&
+            pmod(col("doc_id"), lit(101)) =!= 17,
+          // " of the " carries the two stopwords quality demands — the
+          // synthetic vocabulary has none, so the sentence alone would
+          // misroute the plant to drop reason 1
+          concat(col("vfs"), lit(" of the "), vtail))
+          .otherwise(col("text")))
+      .select("doc_id", "lang", "source", "text")
     // planted re-crawls of store docs (the d49 device) — the vs-store
     // dedup arm's flow: ~1/9 of the store re-enters through the batch
     val twins = old0.filter(pmod(col("doc_id"), lit(9)) === 5)
@@ -498,7 +540,7 @@ object PipelineQueries {
           pmod(col("doc_id"), lit(97)).cast("string")).as("text"))
     val par = s.sparkContext.defaultParallelism
     (headerFooter(old0).repartition(par),
-      headerFooter(bat0.unionByName(twins)).repartition(par))
+      headerFooter(bat1.unionByName(twins)).repartition(par))
   }
 
   private def ghsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
@@ -604,9 +646,14 @@ object PipelineQueries {
       store: StoreFrames): IncStages = {
     // the batch through the same admission rules, cleaned against the
     // STORE vocabulary (boilerplate lists refresh at bootstrap, not
-    // per-batch — batch-internal new boilerplate waits for the next one)
+    // per-batch — batch-internal new boilerplate waits for the next one).
+    // qB is eagerly checkpointed for the same reason as build()'s q:
+    // repetitionDocs consumes it twice, and d60's attrition joins add
+    // two more consumers of the quality lineage.
     val (_, batAug) = incInputs(s, dir)
-    val ldBat = lineCleanAgainst(repetitionDocs(qualityDocs(batAug)), store.hot)
+    val qB = qualityDocs(batAug).localCheckpoint(true)
+    val repB = repetitionDocs(qB)
+    val ldBat = lineCleanAgainst(repB, store.hot)
       .persist() // consumers: gram probes x2, LSH sigs, chunk explode
     incProbe("ldBat", () => ldBat.count())
 
@@ -750,7 +797,10 @@ object PipelineQueries {
     val baseCk = store.baseOff.localCheckpoint(true)
     val lshOkCk = lshOk.localCheckpoint(true)
     incProbe("base+lshOk", () => baseCk.count() + lshOkCk.count())
-    IncStages(ldBat, rw, sem, baseCk, lshOkCk)
+    IncStages(batAug, qB, repB, ldBat,
+      po.select(col("new_id").as("doc_id")).distinct(),
+      pn.select(col("new_id").as("doc_id")).distinct(),
+      rw, clean, sem, baseCk, lshOkCk)
   }
 
   private def buildInc(s: SparkSession, dir: String): IncStages =
@@ -1069,6 +1119,43 @@ object PipelineQueries {
       val base = CacheQueries.tmpBase("graft-store", dir)
       bootstrapStore(s, dir, base) // job 1: write the store contract
       packInc(incChain(s, dir, readStore(s, base))) // job 2: cold reads
+    },
+
+    // ---- INCREMENTAL attrition accounting (d60): d48's drop-reason
+    // bitmask threaded through the steady-state chain — every batch doc
+    // (today's crawl + planted re-crawls) carries the FIRST stage that
+    // dropped it, now with the STORE-SPECIFIC reasons split out:
+    // 1 quality, 16 repetition, 32 emptied by line-clean vs the store
+    // vocabulary, 2 near-dup vs STORE, 128 near-dup in-batch, 4 emptied
+    // by the store chunk set, 8 verbatim-contaminated, 64 semantically
+    // contaminated, 0 survived — hash-pinned as the (reason, lang)
+    // histogram, the daily attrition report a 100 TB steady state reads.
+    // Reasons 2 vs 128 and 4 have real flow at every SF via the planted
+    // re-crawls (2), the compilation plant's same-cell later docs (128),
+    // and its earliest-per-cell survivors (4) — see incInputs. ----
+    QueryDef("d60_incremental_attrition", incAttritionSql) { (s, dir) =>
+      val st = buildInc(s, dir)
+      st.batAug.select("doc_id", "lang")
+        .join(st.qB.select(col("doc_id"), lit(1L).as("in_q")), Seq("doc_id"), "left")
+        .join(st.repB.select(col("doc_id"), lit(1L).as("in_rep")), Seq("doc_id"), "left")
+        .join(st.ldBat.select(col("doc_id"), lit(1L).as("in_ld")), Seq("doc_id"), "left")
+        .join(st.poDrop.select(col("doc_id"), lit(1L).as("in_po")), Seq("doc_id"), "left")
+        .join(st.pnDrop.select(col("doc_id"), lit(1L).as("in_pn")), Seq("doc_id"), "left")
+        .join(st.rw.select(col("doc_id"), lit(1L).as("in_rw")), Seq("doc_id"), "left")
+        .join(st.clean.select(col("doc_id"), lit(1L).as("in_clean")), Seq("doc_id"), "left")
+        .join(st.sem.select(col("doc_id"), lit(1L).as("in_sem")), Seq("doc_id"), "left")
+        .withColumn("drop_reason",
+          when(col("in_q").isNull, 1L)
+            .when(col("in_rep").isNull, 16L)
+            .when(col("in_ld").isNull, 32L)
+            .when(col("in_po").isNotNull, 2L)
+            .when(col("in_pn").isNotNull, 128L)
+            .when(col("in_rw").isNull, 4L)
+            .when(col("in_clean").isNull, 8L)
+            .when(col("in_sem").isNull, 64L)
+            .otherwise(0L))
+        .groupBy("drop_reason", "lang")
+        .agg(count(lit(1)).as("n_docs"))
     }
   )
 
@@ -1077,7 +1164,7 @@ object PipelineQueries {
     * persisted-vs-in-memory store distinction is engine-side only). */
   // lazy: referenced by `defs` above its definition point — a plain val
   // would still be null when the Seq initializes
-  private lazy val incOracleSql: String =
+  private lazy val incChainSql: String =
       """WITH
         |src AS MATERIALIZED (SELECT doc_id, lang, source, text FROM documents
         |       WHERE doc_id % 50 <> 0),
@@ -1096,9 +1183,18 @@ object PipelineQueries {
         |      list_aggregate(list_transform(range(1, 61),
         |        i -> 'w' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)),
         |        'string_agg', ' ')
+        |    WHEN doc_id % 11 = 0 THEN
+        |      'the data of a stream and the cache of a block and the scan of a file and shard store'
         |    WHEN doc_id % 101 = 17 THEN
         |      'subscribe to the newsletter edition ' || CAST(doc_id % 3 AS VARCHAR) ||
         |      '. all rights reserved form ' || CAST(doc_id % 2 AS VARCHAR)
+        |    WHEN doc_id % 103 = 5 THEN
+        |      (SELECT regexp_extract(b.text, '^[^.!?]*') FROM documents b
+        |        WHERE b.doc_id % 50 = 0 AND b.doc_id = 50 * (src.doc_id %
+        |          (SELECT count(*) FROM documents WHERE doc_id % 50 = 0))) ||
+        |      ' of the ' || list_aggregate(list_transform(range(1, 31),
+        |        i -> 'v' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)),
+        |        'string_agg', ' ')
         |    ELSE text END AS text
         |  FROM src WHERE doc_id % 4 = 0
         |  UNION ALL
@@ -1246,7 +1342,12 @@ object PipelineQueries {
         |  FROM semj s, benchv bv WHERE s.te IS NOT NULL
         |  GROUP BY s.doc_id),
         |sem AS MATERIALIZED (SELECT c.* FROM cln c
-        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM semc WHERE mc >= 0.92)),
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM semc WHERE mc >= 0.92))"""
+        .stripMargin
+
+  /** d57/d59's oracle: the chain + packing at the store tail. */
+  private lazy val incOracleSql: String = incChainSql +
+      """,
         |base AS MATERIALIZED (SELECT CAST(COALESCE(SUM(len(tk)),0) AS BIGINT) AS b
         |  FROM ld WHERE side = 'o'),
         |pk AS (SELECT doc_id, rtext, len(rtk) AS n_tok,
@@ -1261,6 +1362,33 @@ object PipelineQueries {
         |    AS BIGINT) AS n_seqs,
         |  md5(rtext) AS text_md5, true AS lsh_recall_ok
         |FROM pk""".stripMargin
+
+  /** d60's oracle: the per-batch-doc first-drop-reason histogram over the
+    * same chain — the daily attrition report of the steady state. */
+  private lazy val incAttritionSql: String = incChainSql +
+      """,
+        |lin AS (SELECT a.doc_id, a.lang,
+        |  CASE WHEN q.doc_id IS NULL THEN 1
+        |       WHEN re.doc_id IS NULL THEN 16
+        |       WHEN l.doc_id IS NULL THEN 32
+        |       WHEN p_o.new_id IS NOT NULL THEN 2
+        |       WHEN p_n.new_id IS NOT NULL THEN 128
+        |       WHEN r.doc_id IS NULL THEN 4
+        |       WHEN c.doc_id IS NULL THEN 8
+        |       WHEN se.doc_id IS NULL THEN 64 ELSE 0 END AS drop_reason
+        | FROM au a
+        |  LEFT JOIN q ON q.doc_id = a.doc_id
+        |  LEFT JOIN rep re ON re.doc_id = a.doc_id
+        |  LEFT JOIN ld l ON l.doc_id = a.doc_id
+        |  LEFT JOIN po p_o ON p_o.new_id = a.doc_id
+        |  LEFT JOIN pn p_n ON p_n.new_id = a.doc_id
+        |  LEFT JOIN rw2 r ON r.doc_id = a.doc_id
+        |  LEFT JOIN cln c ON c.doc_id = a.doc_id
+        |  LEFT JOIN sem se ON se.doc_id = a.doc_id
+        | WHERE a.side = 'b')
+        |SELECT CAST(drop_reason AS BIGINT) AS drop_reason, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM lin GROUP BY drop_reason, lang""".stripMargin
 
   /** Packing appended at the store stream's tail: base offset + the d36
     * bucketed exclusive prefix sum over the kept batch docs — the final

@@ -1748,9 +1748,12 @@ object TextQueries {
 
     // ---- BPE-TOKENIZED sequence packing (d54): d36's packing composed
     // with the REAL tokenizer chain the repo already owns — d22's
-    // regex pre-tokenizer and d28's corpus-derived merge table, applied
-    // in rank order — so the pack offsets are in BPE-token space, the
-    // unit a dataloader actually consumes. Whitespace-token packing
+    // regex pre-tokenizer and the 4-EPOCH ITERATED merge table
+    // (32 merges, bpeIterate; r13 — epoch e ranks pairs on the merged
+    // sequences of epochs 1..e-1, so later merges contain earlier
+    // merged tokens, PipelineSpec pins it), applied in order — so the
+    // pack offsets are in BPE-token space, the unit a dataloader
+    // actually consumes. Whitespace-token packing
     // (d36) produces sequence boundaries no dataloader would see:
     // merges shrink each doc by a content-dependent amount, so the two
     // packings diverge on almost every cut point. The merge-table md5
@@ -1944,13 +1947,21 @@ object TextQueries {
     }
   )
 
-  /** Per-doc BPE token counts under the corpus-derived merge table —
-    * d22's pre-tokenizer (with its augmentation tail, so every token
-    * class appears) + d28's top-8 merge loop applied in rank order via
-    * the boundary-marked replace chain. Returns (doc_id, n_bpe, mtm)
-    * where mtm is the merge-table md5 (the tokenizer identity). The
-    * merge table reaches each row as a 1-row broadcast (d16 pattern). */
-  private def bpeTokenCounts(s: SparkSession, dir: String): DataFrame = {
+  /** ITERATED BPE (r13, d28 v2): run the merge loop `epochs` rounds of 8
+    * merges each, where round e counts adjacent pairs on the sequences
+    * AFTER rounds 1..e-1's merges applied — so later rounds merge tokens
+    * MADE by earlier rounds, the canonical-BPE property a single-epoch
+    * table lacks (packed boundaries converge toward a real tokenizer's).
+    * Ranking stays (count DESC, pair ASC), unique, so both engines build
+    * the SAME table; a pair left unmerged by the non-overlapping replace
+    * may legitimately re-rank in a later round. Each round's sequences
+    * are EAGERLY localCheckpointed (the d10 fixpoint discipline — an
+    * unsevered 4-round replace chain re-analyzes per consumer). Returns
+    * (per-doc boundary-marked sequences after all rounds, per-round
+    * 1-row merge-list frames). Scale shape per round: one explode + one
+    * bounded-vocabulary shuffle + a zero-shuffle replace projection. */
+  private[operators] def bpeIterate(s: SparkSession, dir: String,
+      epochs: Int): (DataFrame, Seq[DataFrame]) = {
     val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
     val tok = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
@@ -1959,33 +1970,84 @@ object TextQueries {
           col("doc_id").cast("string"), lit(" (you'll see 42%)!")).as("t"))
       .select(col("doc_id"),
         regexp_extract_all(col("t"), lit(pat), lit(0)).as("bt"))
-    val top8 = tok
-      .select(explode(expr(
-        """IF(size(bt) >= 2,
-          |  transform(sequence(1, size(bt) - 1),
-          |    i -> concat(element_at(bt, i), chr(1), element_at(bt, i + 1))),
-          |  CAST(array() AS ARRAY<STRING>))""".stripMargin)).as("m"))
-      .groupBy("m").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("m"))
-      .limit(8)
-    val merges = top8.agg(expr(
-      "transform(sort_array(collect_list(struct(-cnt AS nc, m AS m))), p -> p.m)")
-      .as("merges"))
-    tok.crossJoin(broadcast(merges))
-      .withColumn("merged", expr(
-        """aggregate(merges,
-          |  concat(chr(1), concat_ws(chr(1), bt), chr(1)),
-          |  (acc, mm) -> replace(acc,
-          |    concat(chr(1), mm, chr(1)),
-          |    concat(chr(1), replace(mm, chr(1), ''), chr(1))))""".stripMargin))
+    var seqs = tok.select(col("doc_id"),
+      expr("concat(chr(1), concat_ws(chr(1), bt), chr(1))").as("ms"))
+      .localCheckpoint(true)
+    val ems = (1 to epochs).map { _ =>
+      val top8 = seqs
+        .withColumn("mt", expr(
+          "slice(split(ms, chr(1)), 2, greatest(size(split(ms, chr(1))) - 2, 0))"))
+        .select(explode(expr(
+          """IF(size(mt) >= 2,
+            |  transform(sequence(1, size(mt) - 1),
+            |    i -> concat(element_at(mt, i), chr(1), element_at(mt, i + 1))),
+            |  CAST(array() AS ARRAY<STRING>))""".stripMargin)).as("m"))
+        .groupBy("m").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("m"))
+        .limit(8)
+      val em = top8.agg(expr(
+        "transform(sort_array(collect_list(struct(-cnt AS nc, m AS m))), p -> p.m)")
+        .as("em")).localCheckpoint(true)
+      seqs = seqs.crossJoin(broadcast(em))
+        .withColumn("ms", expr(
+          """aggregate(em, ms, (acc, mm) -> replace(acc,
+            |  concat(chr(1), mm, chr(1)),
+            |  concat(chr(1), replace(mm, chr(1), ''), chr(1))))""".stripMargin))
+        .select(col("doc_id"), col("ms"))
+        .localCheckpoint(true)
+      em
+    }
+    (seqs, ems)
+  }
+
+  /** Per-doc BPE token counts under the 4-epoch ITERATED merge table
+    * (32 merges, [[bpeIterate]]) over d22's pre-tokenizer. Returns
+    * (doc_id, n_bpe, mtm) where mtm is the md5 of the full 32-entry
+    * table in application order (the tokenizer identity riding as
+    * data). The merge lists reach each row as 1-row broadcasts (d16
+    * pattern). */
+  private def bpeTokenCounts(s: SparkSession, dir: String): DataFrame = {
+    val (seqs, ems) = bpeIterate(s, dir, 4)
+    val mergesAll = ems.zipWithIndex
+      .map { case (df, i) => df.select(col("em").as(s"em$i")) }
+      .reduce(_.crossJoin(_))
+      .select(expr(s"concat(${ems.indices.map("em" + _).mkString(",")})")
+        .as("merges"))
+    seqs.crossJoin(broadcast(mergesAll))
       .select(col("doc_id"),
-        (size(split(col("merged"), "\u0001")) - 2).cast("long").as("n_bpe"),
+        (size(split(col("ms"), "\u0001")) - 2).cast("long").as("n_bpe"),
         md5(concat_ws("\u0002", col("merges"))).as("mtm"))
   }
 
-  /** Shared oracle prefix for d54/d55: d28's proven aug/tok/merge-table
-    * CTEs plus the per-doc merged count. MATERIALIZED where referenced
-    * via multiple downstream CTEs (DuckDB inlines plain CTEs). */
+  /** One iterated-BPE epoch's oracle CTEs: adjacent-pair counts on the
+    * PREVIOUS epoch's merged sequences, the top-8 merge list, and the
+    * sequences after applying it — the DuckDB replay of one
+    * [[bpeIterate]] round. Unrolled + MATERIALIZED per the bounded-
+    * recursion discipline (plain CTEs inline exponentially). */
+  private def bpeEpochSql(e: Int): String = {
+    val prev = s"s${e - 1}"
+    s"""
+       |p$e AS MATERIALIZED (
+       |  SELECT unnest(list_transform(
+       |           range(2, len(string_split(ms, chr(1))) - 1),
+       |           i -> string_split(ms, chr(1))[CAST(i AS INT)] || chr(1) ||
+       |                string_split(ms, chr(1))[CAST(i+1 AS INT)])) AS m
+       |  FROM $prev),
+       |t$e AS MATERIALIZED (
+       |  SELECT m, count(*) AS cnt FROM p$e GROUP BY m
+       |  ORDER BY cnt DESC, m LIMIT 8),
+       |m$e AS MATERIALIZED (SELECT list(m ORDER BY cnt DESC, m) AS em FROM t$e),
+       |s$e AS MATERIALIZED (
+       |  SELECT doc_id, list_reduce(list_prepend(ms, em),
+       |    (acc, mm) -> replace(acc, chr(1) || mm || chr(1),
+       |                 chr(1) || replace(mm, chr(1), '') || chr(1))) AS ms
+       |  FROM $prev, m$e)""".stripMargin
+  }
+
+  /** Shared oracle prefix for d54/d55: d22's aug/tok CTEs + the FOUR
+    * unrolled iterated-BPE epochs + the per-doc merged count under the
+    * full 32-merge table. MATERIALIZED where referenced via multiple
+    * downstream CTEs (DuckDB inlines plain CTEs). */
   // lazy: referenced by `defs` above, which initializes first
   private lazy val bpeCountSql: String =
     """WITH aug AS MATERIALIZED (
@@ -1998,24 +2060,16 @@ object TextQueries {
       |    regexp_extract_all(t,
       |      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+') AS bt
       |  FROM aug),
-      |pairs AS MATERIALIZED (
-      |  SELECT unnest(list_transform(range(1, len(bt)),
-      |           i -> bt[CAST(i AS INT)] || chr(1) || bt[CAST(i+1 AS INT)])) AS m
-      |  FROM tok),
-      |top8 AS MATERIALIZED (
-      |  SELECT m, count(*) AS cnt FROM pairs GROUP BY m
-      |  ORDER BY cnt DESC, m LIMIT 8),
-      |mt AS MATERIALIZED (SELECT list(m ORDER BY cnt DESC, m) AS merges FROM top8),
-      |app AS MATERIALIZED (
-      |  SELECT doc_id, merges,
-      |    list_reduce(
-      |      list_prepend(chr(1) || array_to_string(bt, chr(1)) || chr(1), merges),
-      |      (acc, mm) -> replace(acc,
-      |        chr(1) || mm || chr(1),
-      |        chr(1) || replace(mm, chr(1), '') || chr(1))) AS merged
-      |  FROM tok, mt),
+      |s0 AS MATERIALIZED (
+      |  SELECT doc_id, chr(1) || array_to_string(bt, chr(1)) || chr(1) AS ms
+      |  FROM tok),""".stripMargin +
+    (1 to 4).map(bpeEpochSql).mkString(",") +
+    """,
+      |mall AS MATERIALIZED (
+      |  SELECT a.em || b.em || c.em || d.em AS merges
+      |  FROM m1 a, m2 b, m3 c, m4 d),
       |cnt AS MATERIALIZED (
-      |  SELECT doc_id, len(string_split(merged, chr(1))) - 2 AS n_bpe,
-      |    md5(array_to_string(merges, chr(2))) AS mtm
-      |  FROM app)""".stripMargin
+      |  SELECT doc_id, len(string_split(ms, chr(1))) - 2 AS n_bpe,
+      |    (SELECT md5(array_to_string(merges, chr(2))) FROM mall) AS mtm
+      |  FROM s4)""".stripMargin
 }

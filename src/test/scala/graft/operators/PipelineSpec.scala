@@ -260,6 +260,55 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no planted shared-chunk doc in the output — chunk stage unexercised")
   }
 
+  test("d60 incremental attrition: all nine drop reasons flow at sf0.001; every batch doc accounted exactly once") {
+    val rows = SparkEntryQueries("d60_incremental_attrition").collect()
+    val byReason = rows.groupBy(_.getAs[Long]("drop_reason"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    // non-vacuity dial: the planted devices (re-crawls -> 2, compilation
+    // cells -> 128 and 4, verbatim first-sentence -> 8) plus organic flow
+    // must light every reason — a silently dead plant fails here, not in
+    // the hash gate (which would agree on the dead histogram)
+    val want = Set(0L, 1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L)
+    assert(want.subsetOf(byReason.keySet),
+      s"drop reasons with zero flow: ${(want -- byReason.keySet).toSeq.sorted}")
+    // conservation: totals = batch inputs + planted re-crawls, each
+    // exactly once (disjoint first-drop reasons partition the batch)
+    val docs = Tables.load(spark, dir, "documents")
+    val batchN = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0 &&
+      pmod(col("doc_id"), lit(4)) === 0).count()
+    val twinsN = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0 &&
+      pmod(col("doc_id"), lit(4)) =!= 0 &&
+      pmod(col("doc_id"), lit(9)) === 5).count()
+    assert(byReason.values.sum == batchN + twinsN,
+      s"histogram total ${byReason.values.sum} != batch $batchN + twins $twinsN")
+    // survivors (reason 0) are exactly the packed output of d57
+    val packed = SparkEntryQueries("d57_incremental_pipeline").count()
+    assert(byReason(0L) == packed,
+      s"reason-0 count ${byReason(0L)} != d57 packed rows $packed")
+  }
+
+  test("iterated BPE: every epoch ranks 8 merges, and epoch-2+ merges fire on tokens MADE by earlier epochs") {
+    val (_, ems) = TextQueries.bpeIterate(spark, dir, 4)
+    val epochMerges: Seq[Seq[String]] =
+      ems.map(_.collect()(0).getSeq[String](0).toSeq)
+    assert(epochMerges.forall(_.size == 8),
+      s"epoch sizes: ${epochMerges.map(_.size)}")
+    // the iterated property: some later-epoch merge has a side that IS a
+    // token produced by an earlier epoch's merge — a static single-epoch
+    // ranking (r12's table) can never produce such an entry
+    var priorTokens = Set.empty[String]
+    var fired = 0
+    epochMerges.zipWithIndex.foreach { case (ms, e) =>
+      if (e > 0) fired += ms.count { m =>
+        val side = m.split("", 2)
+        priorTokens.contains(side(0)) || priorTokens.contains(side(1))
+      }
+      priorTokens ++= ms.map(_.replace("", ""))
+    }
+    assert(fired > 0,
+      "no epoch-2+ merge involves an earlier epoch's merged token — the iteration is vacuous")
+  }
+
   test("d55 BPE manifest: interior sequences fill to exactly 128 BPE tokens; BPE counts genuinely diverge from whitespace counts") {
     val rows = SparkEntryQueries("d55_bpe_manifest").collect()
     assert(rows.nonEmpty)

@@ -77,10 +77,13 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // d56: 1-row count frames (est/exact/edge totals) cross-joined into
     // the single-row contract output
     "d56_triangle_estimate",
-    // d57/d59: the 1-row store base-offset, |bench| count, and
+    // d57/d59/d60: the 1-row store base-offset, |bench| count, and
     // lsh_recall_ok contract frames cross-joined into the manifest (the
-    // q31 shape); d59 reads base-offset from the persisted manifest
+    // q31 shape); d59 reads base-offset from the persisted manifest;
+    // d60 shares the chain (plus the 1-row |bench| broadcast in the
+    // verbatim-plant input synthesis)
     "d57_incremental_pipeline", "d59_store_handoff",
+    "d60_incremental_attrition",
     // e22: the aggregate-sized benchmark side broadcast against the
     // train corpus — the e01/e14 unconditioned-broadcast shape
     "e22_semantic_decontam",
