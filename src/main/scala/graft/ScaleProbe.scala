@@ -55,6 +55,17 @@ object ScaleProbe {
       // source tile's rows (vec_id < 2000). The gate's uncapped formula
       // on a ScaleGen corpus grows BOTH sides (bench ∝ n → quadratic
       // work) — that regime is the tiling artifact, not the operator.
+      // e24's PRODUCTION day job: assign the batch to the existing
+      // centroids, probe the merged index, compute the drift contract —
+      // WITHOUT the exact arm (gate-only truth target). Store-side
+      // terms (training sample, store assignment for the merged index
+      // and drift baseline) are reconstructed in-run, the d57-class
+      // honesty cost; a deployment reads them from bootstrap artifacts.
+      "e24_maintenance_only" -> { (s, d) =>
+        import org.apache.spark.sql.functions._
+        val (_, ivf, _, drift) = operators.VectorQueries.incIvfArms(s, d)
+        ivf.crossJoin(broadcast(drift))
+      },
       "e22_fixed_bench" -> { (s, d) =>
         import org.apache.spark.sql.functions._
         val e = operators.Tables.load(s, d, "embeddings")

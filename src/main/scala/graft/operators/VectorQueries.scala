@@ -1119,8 +1119,121 @@ object VectorQueries {
           .select(col("t"), col("vec_id"),
             round(col("rel0"), 4).as("rel"), round(col("mmr0"), 4).as("mmr"))
       }
+    },
+
+    // ---- INCREMENTAL IVF maintenance (e24): the e-tier's d49. Every
+    // other e-tier gate trains its index from scratch; at 100 TB the
+    // index is MAINTAINED — today's embeddings (vec_id % 4 == 0) are
+    // assigned to the centroids trained on the EXISTING corpus
+    // (vec_id % 4 != 0), no retrain, and probes search the merged
+    // index. Emitted rows are the exact top-5 over the full corpus
+    // (oracle recomputes brute-force); two contracts ride in-band:
+    // inc_recall_ok (merged-index recall@5 >= 0.5 vs exact — measured
+    // 0.64-0.84 at the three SFs, the e08 band, so assigning a quarter
+    // of the corpus to stale centroids holds recall) and drift_ok, THE
+    // maintenance statistic: assignment-distance p90 ratio (new/train)
+    // <= 1.5 AND cell-occupancy L1 divergence <= 0.8 — the signal that
+    // says when to retrain (IncIvfSpec's dial proves a mean-shifted
+    // batch flips it false; measured margins in incIvfArms). At 100 TB:
+    // assignment is
+    // one map-side codegen pass over the batch under a broadcast
+    // centroid handle; the store is never rescanned or retrained. ----
+    QueryDef("e24_incremental_ivf",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM q, c)
+        |SELECT qid, cid, round(cos, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk,
+        |       true AS inc_recall_ok, true AS drift_ok
+        |FROM (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |  FROM s) t WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val (exact, _, recall, drift) = incIvfArms(s, dir)
+      exact
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"),
+          col("rnk"))
+        .crossJoin(broadcast(recall))
+        .crossJoin(broadcast(drift))
     }
   )
+
+  /** e24's four arms (exact truth target, merged-index IVF top-5, the
+    * in-band recall flag, the drift flag), parameterized so IncIvfSpec
+    * can perturb the NEW batch and prove the drift statistic detects a
+    * distribution shift (the non-vacuity dial). Centroids are trained on
+    * the OLD corpus only — the new batch is assigned, never trained on. */
+  private[graft] def incIvfArms(s: org.apache.spark.sql.SparkSession,
+      dir: String, newTransform: Column => Column = identity)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val k = 16; val nprobe = 8
+    val base = Tables.load(s, dir, "embeddings")
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val old = base.filter(col("vec_id") >= 10 &&
+        pmod(col("vec_id"), lit(4)) =!= 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .persist()
+    val newB = base.filter(col("vec_id") >= 10 &&
+        pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id").as("cid"), newTransform(col("embedding")).as("ce"))
+    val corpus = old.unionByName(newB)
+    val exact = exactTop5(probes, corpus)
+      .persist() // three consumers: recall hits / total / emitted rows
+    // the EXISTING index: centroids from the old corpus only
+    val cents = kmeansCentroids(
+      old.select(col("cid").as("vec_id"), col("ce").as("embedding")),
+      k, iters = 2, trainTargetRows = 1000L)
+    val bc = graft.functions.VectorOps.broadcastCentroids(s, cents)
+    import s.implicits._
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toDF("cell", "cvec")
+    val oldA = old.withColumn("cell",
+      graft.functions.VectorOps.nearestCentroidCol(col("ce"), bc))
+    val newA = newB.withColumn("cell",
+      graft.functions.VectorOps.nearestCentroidCol(col("ce"), bc))
+    // merged index = stored assignments ∪ the batch's new assignments
+    val ivf = oldA.unionByName(newA)
+      .join(broadcast(probes.withColumn("cell", explode(
+        graft.functions.VectorOps.nearestCentroidsCol(col("qe"), bc, nprobe)))),
+        Seq("cell"))
+      .withColumn("cos", cos(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("cos"))
+      .withColumn("rnk", row_number().over(top5Window).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"))
+    val recall = recallFlag(exact, ivf, 0.5, "inc_recall_ok")
+    // drift, two statistics over the SAME assignment pass (1-row
+    // aggregates, broadcast-joined — the q31 shape):
+    //  - assignment-distance p90 ratio (new/train) <= 1.5 — the textbook
+    //    statistic; measured 1.03-1.15 on an unshifted batch, but nearly
+    //    BLIND on this diffuse corpus (a +0.3 mean shift moves it < 3%)
+    //  - cell-occupancy L1 divergence <= 0.8 — the statistic with teeth:
+    //    unshifted 0.17-0.36 across SFs, +0.3-shifted 1.39-1.83 (max 2),
+    //    >= 2x margin on both sides of the threshold
+    def p90(df: DataFrame) = df.join(broadcast(centDf), Seq("cell"))
+      .select((lit(1.0) -
+        graft.functions.VectorOps.cosineSim(col("ce"), col("cvec"))).as("dist"))
+      .agg(expr("percentile(dist, 0.9D)").as("p"))
+    val l1 = oldA.groupBy("cell").agg(count(lit(1)).as("no"))
+      .join(newA.groupBy("cell").agg(count(lit(1)).as("nn")),
+        Seq("cell"), "full_outer")
+      .crossJoin(broadcast(oldA.agg(count(lit(1)).as("to"))))
+      .crossJoin(broadcast(newA.agg(count(lit(1)).as("tn"))))
+      .agg(sum(abs(
+        coalesce(col("no"), lit(0L)).cast("double") / col("to") -
+        coalesce(col("nn"), lit(0L)).cast("double") / col("tn"))).as("l1"))
+    val drift = p90(newA).select(col("p").as("pn"))
+      .crossJoin(broadcast(p90(oldA).select(col("p").as("po"))))
+      .crossJoin(broadcast(l1))
+      .select((col("pn") <= col("po") * 1.5 && col("l1") <= 0.8)
+        .as("drift_ok"))
+    (exact, ivf, recall, drift)
+  }
 
   /** e12's two arms (exact truth target + truncated-prefix shortlist →
     * full-width rerank), parameterized so MrlRecallSpec can chart recall
