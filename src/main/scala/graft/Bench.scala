@@ -176,6 +176,28 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
         })
       },
+      "d56_op" -> { () =>
+        // The DOULION production arm ALONE (r12 verdict housekeeping:
+        // the d56 gate re-pays d41's exact arm for its in-band error
+        // contract; a real corpus runs only the estimator). Canonical
+        // edge list + the deterministic p=1/4 sample are materialized
+        // OUTSIDE the clock (persisted artifacts at 100 TB); the timed
+        // region is the sampled orientation + wedge close + scale.
+        Seq.fill(3) {
+          val es = operators.GraphQueries.canonicalEdges(spark, sfDir)
+            .filter(org.apache.spark.sql.functions
+              .expr("(a * 100003L + b * 7919L) % 1000000L") < 250000L)
+            .persist()
+          es.count()
+          timeOnce("d56_op") {
+            operators.GraphQueries.trianglesOf(es)
+              .agg((org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)) * 64)
+                .as("est_triangles"))
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+      },
       "e10_op" -> { () =>
         // Quantized-retrieval scoring arm alone: the e10 gate number is
         // dominated by the exact float truth arm + recall contract; this
@@ -204,6 +226,52 @@ object Bench {
       val reps = run()
       val t = if (reps.exists(_ < 0)) -1.0 else median3(reps(0), reps(1), reps(2))
       opName -> t
+    }
+
+    // ---- shared-materialization lane (round 13): the composed-pipeline
+    // family priced as a PIPELINE — each chain built ONCE per rep with
+    // its outputs attributed separately, the way a production run pays
+    // for it. The per-gate numbers above deliberately price each query's
+    // full chain (per-query costing policy); by r12 that policy made the
+    // family 46% of warm wall-clock and the suite total a
+    // measurement-policy artifact (r12 verdict "What's wrong" #2). The
+    // artifact carries BOTH: `queries` stays per-gate for the hash-gate
+    // cost record; `shared` is the regression signal tools/regression.py
+    // reads for this family. Chain time = the eager stage seams
+    // (checkpoint materialization); output times = each output's
+    // residual work against the shared frames. Median of 3 reps, one
+    // PinScope per rep (pins swept between reps, never mid-chain).
+    val sharedTimes: Seq[(String, Double)] = {
+      def t(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def rep(): Seq[(String, Double)] =
+        try PinScope.run(spark) {
+          var bst: operators.PipelineQueries.Stages = null
+          var ist: operators.PipelineQueries.IncStages = null
+          Seq(
+            "d47_chain" -> t { bst = operators.PipelineQueries.build(spark, sfDir) },
+            "d47_pack" -> t { noop(operators.PipelineQueries.packBoot(bst)) },
+            "d48_attrition" -> t { noop(operators.PipelineQueries.attritionBoot(bst)) },
+            "d57_chain" -> t { ist = operators.PipelineQueries.buildInc(spark, sfDir) },
+            "d57_pack" -> t { noop(operators.PipelineQueries.packInc(ist)) },
+            "d60_attrition" -> t { noop(operators.PipelineQueries.attritionInc(ist)) })
+        } catch { case e: Throwable =>
+          if (!failed.contains("shared_lane")) {
+            failed += "shared_lane"
+            Console.err.println(
+              s"BENCH FAILURE in shared_lane: ${e.getClass.getName}: ${e.getMessage}")
+          }
+          Nil
+        }
+      val reps = Seq.fill(3)(rep()).filter(_.nonEmpty)
+      if (reps.size < 3) Nil
+      else reps.head.map(_._1).map { k =>
+        val vs = reps.map(_.toMap.apply(k))
+        k -> median3(vs(0), vs(1), vs(2))
+      }
     }
 
     // ---- concurrent arm (round 9): mirror the reference's stress
@@ -249,6 +317,8 @@ object Bench {
 
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val opsJson = opTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val sharedJson = sharedTimes.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
     // ---- compact artifact line, LAST so the tail capture keeps it ----
     val qs = names.zip(shortIds).zip(warm).map { case ((_, sid), (_, _, md, _)) =>
       f""""$sid":$md%.2f"""
@@ -267,7 +337,7 @@ object Bench {
       f"""{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size},"times":$canarySeq}"""
     val seedsJson = orderSeeds.mkString("[", ",", "]")
     val artifact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"ops":$opsJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"ops":$opsJson,"shared":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(artifact)
     // Totals-only compact line, printed AFTER the full artifact: the
     // driver keeps only the last ~2000 chars of output, and the 157-entry
@@ -277,7 +347,7 @@ object Bench {
     // self-sufficient; tools/regression.py recovers per-query values from
     // the big line's surviving "queries" fragment.
     val totalsOnly =
-      f"""{"metric":"totals_only","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"canary":{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size}},"conc":$concJson,"failed":$failedJson,"n_queries":${names.size},"sf":"$sfDir"}"""
+      f"""{"metric":"totals_only","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"canary":{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size}},"conc":$concJson,"failed":$failedJson,"shared":$sharedJson,"n_queries":${names.size},"sf":"$sfDir"}"""
     println(totalsOnly)
     // The r8 driver artifact carried `parsed: null` — its parser sees
     // sbt's "[info] " prefix on stdout lines. Emit the same lines on

@@ -152,7 +152,7 @@ object PipelineQueries {
   /** The d52 boilerplate plant: a 3-variant subscribe header on
     * doc_id % 7 == 0 and a 2-variant rights footer on doc_id % 5 == 0 —
     * shared by the bootstrap (d47) and incremental (d57) chains. */
-  private def headerFooter(docs: DataFrame): DataFrame =
+  private[graft] def headerFooter(docs: DataFrame): DataFrame =
     docs.withColumn("text", concat(
       when(pmod(col("doc_id"), lit(7)) === 0,
         concat(lit("subscribe to the newsletter edition "),
@@ -166,7 +166,7 @@ object PipelineQueries {
 
   /** Stage 1 — d19's quality chain (all four integer rules), keeping the
     * token array for the downstream stages. */
-  private def qualityDocs(aug: DataFrame): DataFrame = {
+  private[graft] def qualityDocs(aug: DataFrame): DataFrame = {
     val base = aug
       .withColumn("tk", expr(tokens))
       .withColumn("n_tok", size(col("tk")).cast("long"))
@@ -193,7 +193,7 @@ object PipelineQueries {
   /** Stage 1b — d53's Gopher repetition ceilings (top-bigram ≤ 50‰,
     * duplicated-bigram mass ≤ 120‰), applied only at ≥ 20 bigrams (see
     * class scaladoc). Two doc-keyed map-side-combined aggregations. */
-  private def repetitionDocs(q: DataFrame): DataFrame = {
+  private[graft] def repetitionDocs(q: DataFrame): DataFrame = {
     val per = q.select(col("doc_id"), explode(expr(
         """CASE WHEN size(tk) < 2 THEN array()
           |ELSE transform(sequence(1, size(tk) - 1),
@@ -212,7 +212,7 @@ object PipelineQueries {
   /** Per-doc exploded sentence lines of a (doc_id, ..., text) frame —
     * the d52 axis, shared by the bootstrap (d47) and incremental (d57)
     * line-dedup stages. */
-  private def linesOf(docs: DataFrame): DataFrame =
+  private[graft] def linesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         posexplode(expr(
           "filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)")))
@@ -257,12 +257,12 @@ object PipelineQueries {
     * warm cost (measured on d57, same class as SCALE.md's componentsOf
     * plan-doubling; severing cut d47 18.2->12.9, d48 20.4->13.2, and
     * d57 37.3->12.8 s warm at sf0.1). */
-  private final case class Stages(
+  private[graft] final case class Stages(
       aug: DataFrame, q: DataFrame, rep: DataFrame, ld: DataFrame,
       edges: DataFrame, surv: DataFrame, rw2: DataFrame, clean: DataFrame,
       sem: DataFrame, sp: DataFrame, lshOk: DataFrame)
 
-  private def build(s: SparkSession, dir: String): Stages = {
+  private[graft] def build(s: SparkSession, dir: String): Stages = {
     val aug = augmented(s, dir)
     val q = qualityDocs(aug).localCheckpoint(true) // consumers: repetition agg + join
     val rep = repetitionDocs(q)
@@ -414,7 +414,7 @@ object PipelineQueries {
     "array_join(transform(sequence(1, 60), " +
       "i -> concat('w', cast(doc_id AS string), 'x', cast(i AS string))), ' ')"))
 
-  private[operators] final case class IncStages(
+  private[graft] final case class IncStages(
       batAug: DataFrame, qB: DataFrame, repB: DataFrame, ldBat: DataFrame,
       poDrop: DataFrame, pnDrop: DataFrame, rw: DataFrame, clean: DataFrame,
       sem: DataFrame, base: DataFrame, lshOk: DataFrame)
@@ -803,7 +803,7 @@ object PipelineQueries {
       rw, clean, sem, baseCk, lshOkCk)
   }
 
-  private def buildInc(s: SparkSession, dir: String): IncStages =
+  private[graft] def buildInc(s: SparkSession, dir: String): IncStages =
     incChain(s, dir, storeFramesInMemory(s, dir))
 
   // ------------------------------------------------------------- oracle
@@ -996,36 +996,7 @@ object PipelineQueries {
         |    AS BIGINT) AS n_seqs,
         |  md5(rtext) AS text_md5, true AS lsh_recall_ok
         |FROM pk""".stripMargin) { (s, dir) =>
-      val st = build(s, dir)
-      // Stage 6 — d36's packing over the train stream in doc_id order:
-      // bucketed exclusive prefix sum (per-bucket totals roll up to an
-      // aggregate-sized broadcast offset table; the within-bucket running
-      // sum is bucket-partitioned — nothing row-scale in one partition).
-      val w = Window
-      val toks = st.sp.filter(col("split") === "train")
-        .select(col("doc_id"), col("comp"), col("rtext"),
-          size(col("rtk")).cast("long").as("n_tok"))
-        .withColumn("bucket", expr("doc_id div 100L"))
-        .persist()
-      val offsets = toks.groupBy("bucket").agg(sum("n_tok").as("btotal"))
-        .withColumn("off", coalesce(
-          sum("btotal").over(w.orderBy(col("bucket").asc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val byBucket = w.partitionBy("bucket").orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      toks
-        .join(broadcast(offsets.select(col("bucket"), col("off"))), Seq("bucket"))
-        .withColumn("tok_start",
-          (col("off") + coalesce(sum("n_tok").over(byBucket), lit(0L)))
-            .cast("long"))
-        .select(col("doc_id"), col("comp"), col("n_tok").as("n_tokens"),
-          col("tok_start").as("token_start"),
-          expr("tok_start div 128L").as("seq_id"),
-          pmod(col("tok_start"), lit(128L)).as("seq_offset"),
-          expr("(tok_start + n_tok - 1) div 128L - tok_start div 128L + 1")
-            .cast("long").as("n_seqs"),
-          md5(col("rtext")).as("text_md5"))
-        .crossJoin(broadcast(st.lshOk))
+      packBoot(build(s, dir))
     },
 
     // ---- per-stage attrition with a drop_reason bitmask (d48): every
@@ -1063,27 +1034,7 @@ object PipelineQueries {
         |SELECT CAST(drop_reason AS BIGINT) AS drop_reason, split,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM lin GROUP BY drop_reason, split""".stripMargin) { (s, dir) =>
-      val st = build(s, dir)
-      st.aug.select("doc_id")
-        .join(st.q.select(col("doc_id"), lit(1L).as("in_q")), Seq("doc_id"), "left")
-        .join(st.rep.select(col("doc_id"), lit(1L).as("in_rep")), Seq("doc_id"), "left")
-        .join(st.ld.select(col("doc_id"), lit(1L).as("in_ld")), Seq("doc_id"), "left")
-        .join(st.surv.select(col("doc_id"), lit(1L).as("in_surv")), Seq("doc_id"), "left")
-        .join(st.rw2.select(col("doc_id"), lit(1L).as("in_rw")), Seq("doc_id"), "left")
-        .join(st.clean.select(col("doc_id"), lit(1L).as("in_clean")), Seq("doc_id"), "left")
-        .join(st.sem.select(col("doc_id"), lit(1L).as("in_sem")), Seq("doc_id"), "left")
-        .join(st.sp.select(col("doc_id"), col("split")), Seq("doc_id"), "left")
-        .withColumn("drop_reason",
-          when(col("in_q").isNull, 1L)
-            .when(col("in_rep").isNull, 16L)
-            .when(col("in_ld").isNull, 32L)
-            .when(col("in_surv").isNull, 2L)
-            .when(col("in_rw").isNull, 4L)
-            .when(col("in_clean").isNull, 8L)
-            .when(col("in_sem").isNull, 64L)
-            .otherwise(0L))
-        .groupBy(col("drop_reason"), coalesce(col("split"), lit("dropped")).as("split"))
-        .agg(count(lit(1)).as("n_docs"))
+      attritionBoot(build(s, dir))
     },
 
     // ---- INCREMENTAL composed pipeline (d57): the d47 chain in d49's
@@ -1134,30 +1085,93 @@ object PipelineQueries {
     // re-crawls (2), the compilation plant's same-cell later docs (128),
     // and its earliest-per-cell survivors (4) — see incInputs. ----
     QueryDef("d60_incremental_attrition", incAttritionSql) { (s, dir) =>
-      val st = buildInc(s, dir)
-      st.batAug.select("doc_id", "lang")
-        .join(st.qB.select(col("doc_id"), lit(1L).as("in_q")), Seq("doc_id"), "left")
-        .join(st.repB.select(col("doc_id"), lit(1L).as("in_rep")), Seq("doc_id"), "left")
-        .join(st.ldBat.select(col("doc_id"), lit(1L).as("in_ld")), Seq("doc_id"), "left")
-        .join(st.poDrop.select(col("doc_id"), lit(1L).as("in_po")), Seq("doc_id"), "left")
-        .join(st.pnDrop.select(col("doc_id"), lit(1L).as("in_pn")), Seq("doc_id"), "left")
-        .join(st.rw.select(col("doc_id"), lit(1L).as("in_rw")), Seq("doc_id"), "left")
-        .join(st.clean.select(col("doc_id"), lit(1L).as("in_clean")), Seq("doc_id"), "left")
-        .join(st.sem.select(col("doc_id"), lit(1L).as("in_sem")), Seq("doc_id"), "left")
-        .withColumn("drop_reason",
-          when(col("in_q").isNull, 1L)
-            .when(col("in_rep").isNull, 16L)
-            .when(col("in_ld").isNull, 32L)
-            .when(col("in_po").isNotNull, 2L)
-            .when(col("in_pn").isNotNull, 128L)
-            .when(col("in_rw").isNull, 4L)
-            .when(col("in_clean").isNull, 8L)
-            .when(col("in_sem").isNull, 64L)
-            .otherwise(0L))
-        .groupBy("drop_reason", "lang")
-        .agg(count(lit(1)).as("n_docs"))
+      attritionInc(buildInc(s, dir))
     }
   )
+
+  /** Stage 6 — d36's packing over the train stream in doc_id order:
+    * bucketed exclusive prefix sum (per-bucket totals roll up to an
+    * aggregate-sized broadcast offset table; the within-bucket running
+    * sum is bucket-partitioned — nothing row-scale in one partition).
+    * Factored out (r13) so Bench's shared-materialization lane can price
+    * the chain once and attribute this output separately. */
+  private[graft] def packBoot(st: Stages): DataFrame = {
+    val w = Window
+    val toks = st.sp.filter(col("split") === "train")
+      .select(col("doc_id"), col("comp"), col("rtext"),
+        size(col("rtk")).cast("long").as("n_tok"))
+      .withColumn("bucket", expr("doc_id div 100L"))
+      .persist()
+    val offsets = toks.groupBy("bucket").agg(sum("n_tok").as("btotal"))
+      .withColumn("off", coalesce(
+        sum("btotal").over(w.orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val byBucket = w.partitionBy("bucket").orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .join(broadcast(offsets.select(col("bucket"), col("off"))), Seq("bucket"))
+      .withColumn("tok_start",
+        (col("off") + coalesce(sum("n_tok").over(byBucket), lit(0L)))
+          .cast("long"))
+      .select(col("doc_id"), col("comp"), col("n_tok").as("n_tokens"),
+        col("tok_start").as("token_start"),
+        expr("tok_start div 128L").as("seq_id"),
+        pmod(col("tok_start"), lit(128L)).as("seq_offset"),
+        expr("(tok_start + n_tok - 1) div 128L - tok_start div 128L + 1")
+          .cast("long").as("n_seqs"),
+        md5(col("rtext")).as("text_md5"))
+      .crossJoin(broadcast(st.lshOk))
+  }
+
+  /** d48's (reason, split) histogram over the bootstrap chain's stage
+    * frames — one pass of left joins, aggregate-sized output. */
+  private[graft] def attritionBoot(st: Stages): DataFrame =
+    st.aug.select("doc_id")
+      .join(st.q.select(col("doc_id"), lit(1L).as("in_q")), Seq("doc_id"), "left")
+      .join(st.rep.select(col("doc_id"), lit(1L).as("in_rep")), Seq("doc_id"), "left")
+      .join(st.ld.select(col("doc_id"), lit(1L).as("in_ld")), Seq("doc_id"), "left")
+      .join(st.surv.select(col("doc_id"), lit(1L).as("in_surv")), Seq("doc_id"), "left")
+      .join(st.rw2.select(col("doc_id"), lit(1L).as("in_rw")), Seq("doc_id"), "left")
+      .join(st.clean.select(col("doc_id"), lit(1L).as("in_clean")), Seq("doc_id"), "left")
+      .join(st.sem.select(col("doc_id"), lit(1L).as("in_sem")), Seq("doc_id"), "left")
+      .join(st.sp.select(col("doc_id"), col("split")), Seq("doc_id"), "left")
+      .withColumn("drop_reason",
+        when(col("in_q").isNull, 1L)
+          .when(col("in_rep").isNull, 16L)
+          .when(col("in_ld").isNull, 32L)
+          .when(col("in_surv").isNull, 2L)
+          .when(col("in_rw").isNull, 4L)
+          .when(col("in_clean").isNull, 8L)
+          .when(col("in_sem").isNull, 64L)
+          .otherwise(0L))
+      .groupBy(col("drop_reason"), coalesce(col("split"), lit("dropped")).as("split"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** d60's (reason, lang) histogram over the incremental chain's stage
+    * frames — the store-specific reasons split out (2 vs-store, 128
+    * in-batch, 4 chunk-emptied-by-store). */
+  private[graft] def attritionInc(st: IncStages): DataFrame =
+    st.batAug.select("doc_id", "lang")
+      .join(st.qB.select(col("doc_id"), lit(1L).as("in_q")), Seq("doc_id"), "left")
+      .join(st.repB.select(col("doc_id"), lit(1L).as("in_rep")), Seq("doc_id"), "left")
+      .join(st.ldBat.select(col("doc_id"), lit(1L).as("in_ld")), Seq("doc_id"), "left")
+      .join(st.poDrop.select(col("doc_id"), lit(1L).as("in_po")), Seq("doc_id"), "left")
+      .join(st.pnDrop.select(col("doc_id"), lit(1L).as("in_pn")), Seq("doc_id"), "left")
+      .join(st.rw.select(col("doc_id"), lit(1L).as("in_rw")), Seq("doc_id"), "left")
+      .join(st.clean.select(col("doc_id"), lit(1L).as("in_clean")), Seq("doc_id"), "left")
+      .join(st.sem.select(col("doc_id"), lit(1L).as("in_sem")), Seq("doc_id"), "left")
+      .withColumn("drop_reason",
+        when(col("in_q").isNull, 1L)
+          .when(col("in_rep").isNull, 16L)
+          .when(col("in_ld").isNull, 32L)
+          .when(col("in_po").isNotNull, 2L)
+          .when(col("in_pn").isNotNull, 128L)
+          .when(col("in_rw").isNull, 4L)
+          .when(col("in_clean").isNull, 8L)
+          .when(col("in_sem").isNull, 64L)
+          .otherwise(0L))
+      .groupBy("drop_reason", "lang")
+      .agg(count(lit(1)).as("n_docs"))
 
   /** d57/d59 shared oracle — the global-batch DuckDB replay of the
     * incremental chain (store side recomputed from `documents`; the
@@ -1393,7 +1407,7 @@ object PipelineQueries {
   /** Packing appended at the store stream's tail: base offset + the d36
     * bucketed exclusive prefix sum over the kept batch docs — the final
     * stage shared by d57 and d59. */
-  private[operators] def packInc(st: IncStages): DataFrame = {
+  private[graft] def packInc(st: IncStages): DataFrame = {
     val w = Window
     val toks = st.sem
       .select(col("doc_id"), col("rtext"),

@@ -247,6 +247,126 @@ object StreamingQueries {
         |  true AS batches_ok
         |FROM c""".stripMargin) { (s, dir) =>
       EventStreams.streamQuota(s, dir)
+    },
+
+    // Streaming curation COMPOSITION (s15): quality → repetition →
+    // causal line-clean vs the accumulated hot-line store → near-dup vs
+    // the accumulated gram store (s13) → per-lang quota (s14), as ONE
+    // micro-batch pipeline with three external batch_id-keyed stores.
+    // Every rule is causal (lower-id = already arrived), so the
+    // composed per-doc outcome is batch-boundary independent and the
+    // oracle is one global replay assembled from the stages' proven
+    // formulations (d19/d53 quality-rep, d52's line axis with the
+    // streaming first-3-keep rule, s13's lower-id jaccard, s14's
+    // lower-id prefix quota over the CLEANED kept stream). batches_ok
+    // pins the 4-batch shape in-band; StreamRetrySpec drives
+    // re-delivery idempotency.
+    QueryDef("s15_stream_curation",
+      """WITH base0 AS MATERIALIZED (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN doc_id % 101 = 17 AND doc_id % 6 <> 2
+        |      THEN 'subscribe to the newsletter edition ' ||
+        |           CAST(doc_id % 3 AS VARCHAR) ||
+        |           '. all rights reserved form ' ||
+        |           CAST(doc_id % 2 AS VARCHAR)
+        |      ELSE text END AS text
+        |  FROM documents),
+        |inp0 AS MATERIALIZED (
+        |  SELECT doc_id, lang, source, text FROM base0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, lang, source,
+        |         text || ' is ' || (doc_id % 97) AS text
+        |  FROM base0 WHERE doc_id % 6 = 2),
+        |inp AS MATERIALIZED (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'subscribe to the newsletter edition ' ||
+        |      CAST(doc_id % 3 AS VARCHAR) || '. ' ELSE '' END || text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '. all rights reserved form ' ||
+        |      CAST(doc_id % 2 AS VARCHAR) ELSE '' END AS text
+        |  FROM inp0),
+        |bud AS MATERIALIZED (
+        |  SELECT sum(len(regexp_extract_all(text, '\S+'))) // 16 AS budget
+        |  FROM inp),
+        |f AS MATERIALIZED (SELECT doc_id, lang, source, text,
+        |   regexp_extract_all(text,'\S+') AS tk,
+        |   length(regexp_extract_all(text,'\S+')) AS n_tok,
+        |   list_sum(list_transform(regexp_extract_all(text,'\S+'),
+        |     t->length(t))) AS tok_chars,
+        |   length(list_filter(regexp_extract_all(text,'\S+'),
+        |     t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop
+        |  FROM inp),
+        |g AS MATERIALIZED (SELECT *, greatest(n_tok-2,0) AS n_tri,
+        |   length(list_distinct(list_transform(
+        |     range(1, greatest(n_tok-2,0)+1),
+        |     i -> concat(tk[i],' ',tk[i+1],' ',tk[i+2])))) AS n_tri_distinct
+        |  FROM f),
+        |q AS MATERIALIZED (SELECT doc_id, lang, source, text, tk FROM g
+        |  WHERE n_tok BETWEEN 10 AND 1000
+        |    AND 2*n_tok <= tok_chars AND tok_chars <= 12*n_tok
+        |    AND n_stop >= 2
+        |    AND (n_tri = 0 OR 10*n_tri_distinct >= 4*n_tri)),
+        |rep0 AS MATERIALIZED (SELECT doc_id, g2, count(*) AS k FROM (
+        |   SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g2
+        |   FROM q, unnest(range(1, greatest(len(tk)-1,0)+1)) r(i))
+        |  GROUP BY doc_id, g2),
+        |rep1 AS MATERIALIZED (SELECT doc_id, max(k) AS top_k,
+        |   sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS dup_k, sum(k) AS n_g
+        |  FROM rep0 GROUP BY doc_id),
+        |rep AS MATERIALIZED (SELECT q.* FROM q JOIN rep1 USING (doc_id)
+        |  WHERE n_g < 20 OR (top_k*1000 <= 50*n_g AND dup_k*1000 <= 120*n_g)),
+        |ls0 AS MATERIALIZED (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+        |     x -> length(trim(x)) > 0) AS ls FROM rep),
+        |lns AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos, ls[i] AS line
+        |  FROM ls0, unnest(range(1, len(ls)+1)) r(i)),
+        |dl AS MATERIALIZED (SELECT DISTINCT doc_id, line FROM lns),
+        |rnk AS MATERIALIZED (SELECT doc_id, line,
+        |   row_number() OVER (PARTITION BY line ORDER BY doc_id) - 1 AS prior
+        |  FROM dl),
+        |hotfor AS MATERIALIZED (SELECT doc_id, line FROM rnk WHERE prior >= 3),
+        |ld0 AS MATERIALIZED (SELECT l.doc_id,
+        |   string_agg(l.line, ' ' ORDER BY l.pos) AS ltext
+        |  FROM lns l WHERE NOT EXISTS (SELECT 1 FROM hotfor h
+        |    WHERE h.doc_id = l.doc_id AND h.line = l.line)
+        |  GROUP BY l.doc_id),
+        |ld AS MATERIALIZED (SELECT r.doc_id, r.lang, r.source,
+        |   l.ltext AS text, regexp_extract_all(l.ltext,'\S+') AS tk
+        |  FROM rep r JOIN ld0 l USING (doc_id)),
+        |sh AS MATERIALIZED (SELECT doc_id, lang, source,
+        |   list_distinct(list_transform(range(1, greatest(len(tk)-2,0)+1),
+        |     i->concat(tk[i],' ',tk[i+1],' ',tk[i+2]))) AS grams FROM ld),
+        |p AS MATERIALIZED (SELECT b.doc_id AS id, count(*) AS c
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |      AND a.doc_id < b.doc_id
+        |  WHERE length(list_intersect(a.grams,b.grams)) > 0
+        |    AND round(CAST(length(list_intersect(a.grams,b.grams)) AS DOUBLE) /
+        |      (length(a.grams)+length(b.grams)
+        |       -length(list_intersect(a.grams,b.grams))),3) >= 0.3
+        |  GROUP BY b.doc_id),
+        |keptq AS MATERIALIZED (SELECT d.doc_id, d.lang, len(d.tk) AS n_tok
+        |  FROM ld d LEFT JOIN p ON p.id = d.doc_id
+        |  WHERE COALESCE(p.c, 0) = 0),
+        |cq AS MATERIALIZED (SELECT doc_id,
+        |   coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS arrived_before
+        |  FROM keptq)
+        |SELECT i.doc_id, i.lang,
+        |  CASE WHEN q.doc_id IS NULL THEN 'quality'
+        |       WHEN re.doc_id IS NULL THEN 'repetition'
+        |       WHEN d.doc_id IS NULL THEN 'line_emptied'
+        |       WHEN COALESCE(p.c, 0) > 0 THEN 'dup'
+        |       WHEN cq.arrived_before >= (SELECT budget FROM bud) THEN 'quota'
+        |       ELSE 'admitted' END AS outcome,
+        |  true AS batches_ok
+        |FROM inp i
+        |  LEFT JOIN q ON q.doc_id = i.doc_id
+        |  LEFT JOIN rep re ON re.doc_id = i.doc_id
+        |  LEFT JOIN ld d ON d.doc_id = i.doc_id
+        |  LEFT JOIN p ON p.id = i.doc_id
+        |  LEFT JOIN cq ON cq.doc_id = i.doc_id""".stripMargin) { (s, dir) =>
+      EventStreams.streamCuration(s, dir)
     }
   )
 }

@@ -58,6 +58,30 @@ object EventStreams {
   /** 30-minute inactivity gap used by [[sessionize]] (microseconds). */
   val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 
+  /** Write `input` as id-ordered single-file arrival slices under
+    * `$base/in/slice-<i>.parquet` with strictly increasing mtimes, so
+    * FileStreamSource's (mtime, path) order replays arrival order
+    * deterministically — the slice scaffolding shared by s13/s14/s15.
+    * `bounds` are half-open [lo, hi) doc_id ranges, one slice each. */
+  private def writeIdSlices(spark: SparkSession, input: DataFrame,
+      base: String, bounds: Seq[Long]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .getLocal(spark.sparkContext.hadoopConfiguration)
+    bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val tmp = new org.apache.hadoop.fs.Path(s"$base/_slice_$i")
+      input.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"slice $i wrote no part file"))
+      val dest = new org.apache.hadoop.fs.Path(s"$base/in/slice-$i.parquet")
+      fs.mkdirs(dest.getParent)
+      fs.rename(part, dest)
+      fs.delete(tmp, true)
+      new java.io.File(dest.toUri.getPath).setLastModified(1000L * (i + 1))
+    }
+  }
+
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -679,23 +703,9 @@ object EventStreams {
         // slice 3.
         require(2 * maxId / 3 + 1 < 3000000L && maxId < 3000000L,
           s"s13 twin offset 3000000 violated: max(doc_id)=$maxId")
-        val bounds = Seq(0L, maxId / 3 + 1, 2 * maxId / 3 + 1, 3000000L,
-          Long.MaxValue)
-        val fs = org.apache.hadoop.fs.FileSystem
-          .getLocal(spark.sparkContext.hadoopConfiguration)
-        bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-          val tmp = new org.apache.hadoop.fs.Path(s"$base/_slice_$i")
-          input.filter(col("doc_id") >= lo && col("doc_id") < hi)
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = fs.listStatus(tmp).map(_.getPath)
-            .find(_.getName.startsWith("part-"))
-            .getOrElse(sys.error(s"slice $i wrote no part file"))
-          val dest = new org.apache.hadoop.fs.Path(s"$base/in/slice-$i.parquet")
-          fs.mkdirs(dest.getParent)
-          fs.rename(part, dest)
-          fs.delete(tmp, true)
-          new java.io.File(dest.toUri.getPath).setLastModified(1000L * (i + 1))
-        }
+        writeIdSlices(spark, input,
+          base, Seq(0L, maxId / 3 + 1, 2 * maxId / 3 + 1, 3000000L,
+            Long.MaxValue))
         val schema = input.schema
         val q = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
@@ -833,23 +843,9 @@ object EventStreams {
         .createTempDirectory("graft-squota-").toString
       try {
         val maxId = docs.agg(max("doc_id")).head.getLong(0)
-        val bounds = Seq(0L, maxId / 4 + 1, maxId / 2 + 1,
-          3 * maxId / 4 + 1, Long.MaxValue)
-        val fs = org.apache.hadoop.fs.FileSystem
-          .getLocal(spark.sparkContext.hadoopConfiguration)
-        bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-          val tmp = new org.apache.hadoop.fs.Path(s"$base/_slice_$i")
-          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = fs.listStatus(tmp).map(_.getPath)
-            .find(_.getName.startsWith("part-"))
-            .getOrElse(sys.error(s"slice $i wrote no part file"))
-          val dest = new org.apache.hadoop.fs.Path(s"$base/in/slice-$i.parquet")
-          fs.mkdirs(dest.getParent)
-          fs.rename(part, dest)
-          fs.delete(tmp, true)
-          new java.io.File(dest.toUri.getPath).setLastModified(1000L * (i + 1))
-        }
+        writeIdSlices(spark, docs,
+          base, Seq(0L, maxId / 4 + 1, maxId / 2 + 1,
+            3 * maxId / 4 + 1, Long.MaxValue))
         val q = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$base/in")
@@ -909,6 +905,234 @@ object EventStreams {
       .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId")
     batch.groupBy("lang").agg(sum("n_tok").as("toks"))
       .write.mode("overwrite").parquet(s"$base/store/batch_id=$batchId")
+    ()
+  }
+
+  /** Streaming curation COMPOSITION (s15): quality → repetition →
+    * line-clean vs the accumulated hot-line store → near-dup vs the
+    * accumulated gram store (s13's stage) → per-lang token-quota
+    * admission (s14's stage), run as ONE micro-batch pipeline over
+    * id-ordered arrival slices — the production ingest shape, where
+    * batch-boundary bugs compose exactly like d47's stage-order bugs.
+    * Three external batch_id-keyed stores carry the cross-batch state
+    * (per-line distinct-doc counts, cleaned-doc gram signatures,
+    * per-lang consumed tokens), all under s13's idempotency discipline.
+    *
+    * Every rule is CAUSAL (lower-id = already-arrived), so the composed
+    * output is batch-boundary independent and the oracle is one global
+    * replay: a line is hot FOR a doc iff ≥ 3 distinct admitted docs
+    * with lower ids carry it (the first three keep it — the streaming
+    * variant of d52's corpus-wide rule); a doc is a dup iff a lower-id
+    * line-CLEANED doc matches at jaccard ≥ 0.3; quota admits while the
+    * same-lang CLEANED tokens of lower-id kept docs are under budget
+    * (s14's monotonicity argument, unchanged by the upstream filters
+    * because they are quota-independent). Plants: s13's re-crawl twins
+    * (+3,000,000, the final slice — dup flow vs the store), d52's
+    * header/footer + pure-boilerplate docs (line flow incl. emptied),
+    * and the budget div picked so quota binds mid-stream per language.
+    *
+    * At 100 TB: per batch, admission is per-doc map work; the line and
+    * gram probes are batch-keyed equi-joins against bounded stores;
+    * quota is one per-lang window over the batch — the store is never
+    * rescanned pairwise, no engine-internal state. */
+  def streamCuration(spark: SparkSession, dir: String): DataFrame =
+    withStreamConf(spark) {
+      val docs = graft.operators.Tables.load(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      // pure-boilerplate replacement docs (d52's device; twin sources
+      // excluded so the dup plant keeps its organic body)
+      val base0 = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(101)) === 17 &&
+            pmod(col("doc_id"), lit(6)) =!= 2,
+          concat(lit("subscribe to the newsletter edition "),
+            pmod(col("doc_id"), lit(3)).cast("string"),
+            lit(". all rights reserved form "),
+            pmod(col("doc_id"), lit(2)).cast("string")))
+          .otherwise(col("text")))
+      val twins = base0.filter(pmod(col("doc_id"), lit(6)) === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"),
+          col("source"),
+          concat(col("text"), lit(" is "),
+            pmod(col("doc_id"), lit(97)).cast("string")).as("text"))
+      val input = graft.operators.PipelineQueries.headerFooter(
+        base0.unionByName(twins))
+      // provisioning pre-pass (s14's discipline): the budget is sized
+      // from raw feed stats, not from anything the pipeline computes
+      val budget = input
+        .agg(expr("sum(size(regexp_extract_all(text, '\\\\S+', 0))) div 16"))
+        .head.getLong(0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-scur-").toString
+      try {
+        val maxId = docs.agg(max("doc_id")).head.getLong(0)
+        require(2 * maxId / 3 + 1 < 3000000L && maxId < 3000000L,
+          s"s15 twin offset 3000000 violated: max(doc_id)=$maxId")
+        writeIdSlices(spark, input,
+          base, Seq(0L, maxId / 3 + 1, 2 * maxId / 3 + 1, 3000000L,
+            Long.MaxValue))
+        val q = spark.readStream.schema(input.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$base/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            curationBatch(base, budget, batch, batchId)
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(300000),
+          s"streaming query ${q.name} timed out at 300s")
+        finally if (q.isActive) q.stop()
+        val out = spark.read.parquet(s"$base/out").localCheckpoint(true)
+        val nBatches = out.agg(countDistinct("batch_id").as("nb"))
+          .select((col("nb") === 4).as("batches_ok"))
+        out.select(col("doc_id"), col("lang"), col("outcome"))
+          .crossJoin(broadcast(nBatches))
+      } finally {
+        org.apache.hadoop.fs.FileSystem
+          .getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(base), true)
+      }
+    }
+
+  /** One s15 micro-batch: the five composed stages against the three
+    * external stores, every output overwritten into batch_id-keyed dirs
+    * and every store read excluding the current id — idempotent under
+    * foreachBatch re-delivery (StreamRetrySpec drives s15 like s13). */
+  def curationBatch(base: String, budget: Long, batch0: DataFrame,
+      batchId: Long): Unit = {
+    val s = batch0.sparkSession
+    val batch = batch0.persist()
+    def storeDf(name: String): Option[DataFrame] = {
+      val root = new java.io.File(s"$base/$name")
+      if (root.exists() && root.listFiles() != null &&
+        root.listFiles().exists(_.getName.startsWith("batch_id=")))
+        Some(s.read.parquet(s"$base/$name").filter(col("batch_id") < batchId))
+      else None
+    }
+    // stages 1+2: per-doc admission — d19/d53's proven rule bodies
+    val adm = graft.operators.PipelineQueries.repetitionDocs(
+      graft.operators.PipelineQueries.qualityDocs(batch)).persist()
+    // stage 3: causal line-clean — a line is hot FOR a doc iff >= 3
+    // distinct lower-id admitted docs carry it (store counts + in-batch
+    // rank); all instances of a hot-for-doc line drop, docs with zero
+    // kept lines drop entirely
+    val lns = graft.operators.PipelineQueries.linesOf(adm)
+    val dl = lns.select("doc_id", "line").distinct()
+    val rnW = org.apache.spark.sql.expressions.Window
+      .partitionBy("line").orderBy("doc_id")
+    val rn0 = dl.withColumn("rn", row_number().over(rnW).cast("long") - 1L)
+    val rn = storeDf("linestore")
+      .map(_.groupBy("line").agg(sum("cnt").as("pc")))
+      .fold(rn0.withColumn("prior", col("rn")))(pl =>
+        rn0.join(pl, Seq("line"), "left")
+          .withColumn("prior", coalesce(col("pc"), lit(0L)) + col("rn")))
+    val hotFor = rn.filter(col("prior") >= 3).select("doc_id", "line")
+    val rebuilt = lns.join(hotFor, Seq("doc_id", "line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(pos, line))), x -> x.line), ' ')")
+        .as("ltext"))
+    val ld = adm.select("doc_id", "lang", "source").join(rebuilt, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("ltext").as("text"))
+      .withColumn("tk", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .persist()
+    // stage 4: near-dup vs the gram store + in-batch lower-id, over the
+    // CLEANED text (s13's mechanism on the composed stream)
+    val bsh = ld.select(col("doc_id"), col("lang"), col("source"),
+      graft.functions.TextHashes.shingleHash64Col(
+        col("text"), col("tk"), 3, emptyIfShort = true).as("ghs"))
+      .persist()
+    val bg = bsh.select(col("doc_id"), col("lang"), col("source"),
+      explode(col("ghs")).as("gh"))
+    val bn = bsh.select(col("doc_id"), size(col("ghs")).as("ng"))
+    def jacCount(pairs: DataFrame, otherN: DataFrame) = pairs
+      .join(bn, "doc_id")
+      .join(otherN, "prior_id")
+      .filter(round(col("inter").cast("double") /
+        (col("ng") + col("np") - col("inter")), 3) >= 0.3)
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val fromStore = storeDf("gramstore").map { st =>
+      val sg = st.select(col("doc_id").as("prior_id"),
+        col("lang").as("lang_p"), col("source").as("source_p"),
+        explode(col("ghs")).as("gh_p"))
+      val sn = st.select(col("doc_id").as("prior_id"),
+        size(col("ghs")).as("np"))
+      jacCount(
+        bg.join(sg, col("gh") === col("gh_p") &&
+          col("lang") === col("lang_p") &&
+          col("source") === col("source_p"))
+          .groupBy("doc_id", "prior_id")
+          .agg(count(lit(1)).as("inter")), sn)
+    }
+    val inBatch = jacCount(
+      bg.join(
+        bg.select(col("doc_id").as("prior_id"),
+          col("lang").as("lang_p"), col("source").as("source_p"),
+          col("gh").as("gh_p")),
+        col("gh") === col("gh_p") && col("lang") === col("lang_p") &&
+          col("source") === col("source_p") &&
+          col("prior_id") < col("doc_id"))
+        .groupBy("doc_id", "prior_id")
+        .agg(count(lit(1)).as("inter")),
+      bn.select(col("doc_id").as("prior_id"), col("ng").as("np")))
+    val counts = fromStore.fold(inBatch.withColumnRenamed("c", "ct"))(
+      st => inBatch.withColumnRenamed("c", "cb")
+        .join(st.withColumnRenamed("c", "cs"),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(col("cb"), lit(0L)) +
+            coalesce(col("cs"), lit(0L))).as("ct")))
+    val dupped = ld.select("doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ct"), lit(0L)).as("n_dups_prior"))
+      .persist()
+    // stage 5: per-lang quota over the kept docs' CLEANED token counts
+    val kept = ld
+      .join(dupped.filter(col("n_dups_prior") === 0).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"),
+        size(col("tk")).cast("long").as("n_tok"))
+    val prior = storeDf("quotastore")
+      .map(_.groupBy("lang").agg(sum("toks").as("base_toks")))
+      .getOrElse(s.emptyDataFrame
+        .select(lit("").as("lang"), lit(0L).as("base_toks")).limit(0))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val quota = kept.join(broadcast(prior), Seq("lang"), "left")
+      .withColumn("arrived_before",
+        coalesce(col("base_toks"), lit(0L)) +
+          coalesce(sum("n_tok").over(wq), lit(0L)))
+      .select(col("doc_id"),
+        (col("arrived_before") < budget).as("admitted"))
+    // first-failure outcome per input doc
+    batch.select("doc_id", "lang")
+      .join(graft.operators.PipelineQueries.qualityDocs(batch)
+        .select(col("doc_id"), lit(1L).as("in_q")), Seq("doc_id"), "left")
+      .join(adm.select(col("doc_id"), lit(1L).as("in_rep")), Seq("doc_id"), "left")
+      .join(ld.select(col("doc_id"), lit(1L).as("in_ld")), Seq("doc_id"), "left")
+      .join(dupped, Seq("doc_id"), "left")
+      .join(quota, Seq("doc_id"), "left")
+      .withColumn("outcome",
+        when(col("in_q").isNull, "quality")
+          .when(col("in_rep").isNull, "repetition")
+          .when(col("in_ld").isNull, "line_emptied")
+          .when(col("n_dups_prior") > 0, "dup")
+          .when(!col("admitted"), "quota")
+          .otherwise("admitted"))
+      .select(col("doc_id"), col("lang"), col("outcome"))
+      .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId")
+    // the three stores — this batch's contributions, overwrite-keyed
+    dl.groupBy("line").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$base/linestore/batch_id=$batchId")
+    bsh.write.mode("overwrite").parquet(s"$base/gramstore/batch_id=$batchId")
+    kept.groupBy("lang").agg(sum("n_tok").as("toks"))
+      .write.mode("overwrite").parquet(s"$base/quotastore/batch_id=$batchId")
+    Seq(batch, adm, ld, bsh, dupped).foreach(_.unpersist())
     ()
   }
 

@@ -195,4 +195,53 @@ class StreamRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
         .delete(new org.apache.hadoop.fs.Path(base), true)
     }
   }
+
+  test("s15 curation batch is idempotent under foreachBatch re-delivery") {
+    // the composed pipeline carries THREE stores (lines, grams, quota);
+    // a re-delivered batch must replace its own partitions in all of
+    // them and must not count its own earlier partial writes as prior
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-s15-retry-").toString
+    try {
+      val b0 = Seq(
+        (1L, "en", "web", "the quick brown fox jumps over a lazy dog near the river bank"),
+        (2L, "en", "web", "a stream of tokens flows to the sink and back again quickly"),
+        (3L, "en", "web", "the cache of a block and the scan of a file works well"))
+        .toDF("doc_id", "lang", "source", "text")
+      val b1 = Seq(
+        // near-dup of doc 1 (same text + tail): dup vs the GRAM store
+        (10L, "en", "web", "the quick brown fox jumps over a lazy dog near the river bank is 7"),
+        (11L, "en", "web", "fresh unrelated words in a calm of the morning light today here"))
+        .toDF("doc_id", "lang", "source", "text")
+      // kept b0 en tokens = 13 + 12 + 13 = 38 < 45: doc 11 admits; a
+      // double-counted quota store (76) would flip it to 'quota'
+      EventStreams.curationBatch(base, budget = 45L, b0, 0L)
+      EventStreams.curationBatch(base, budget = 45L, b1, 1L)
+      def snap() = spark.read.parquet(s"$base/out")
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("outcome"))).sorted.toSeq
+      val first = snap()
+      assert(first.contains((10L, "dup")),
+        s"doc 10 must be flagged vs the gram store: $first")
+      assert(first.contains((11L, "admitted")),
+        s"doc 11 must admit against batch-0's 38 prior tokens: $first")
+      EventStreams.curationBatch(base, budget = 45L, b1, 1L) // the retry
+      val retried = snap()
+      assert(retried == first,
+        s"re-delivered batch changed the sink: $first -> $retried")
+      Seq("gramstore" -> Seq("doc_id"), "linestore" -> Seq("line", "batch_id"),
+        "quotastore" -> Seq("lang", "batch_id")).foreach { case (st, keys) =>
+        val dups = spark.read.parquet(s"$base/$st")
+          .groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).count()
+        assert(dups == 0, s"retry duplicated $st rows")
+      }
+    } finally {
+      org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+    }
+  }
 }

@@ -68,6 +68,35 @@ def canary_note(path, canary):
     return False
 
 
+def load_shared(path):
+    """Return the shared-materialization lane dict ({"d47_chain": sec, …},
+    r13+ artifacts) from any artifact shape, or None."""
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "tail" in d:
+            if isinstance(d.get("parsed"), dict) and "shared" in d["parsed"]:
+                return d["parsed"]["shared"]
+            text = d["tail"]
+    except json.JSONDecodeError:
+        pass
+    best = None
+    for m in re.finditer(r'"shared":(\{[^{}]*\})', text):
+        try:
+            best = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            continue
+    return best or None
+
+
+# Composed-pipeline gates whose per-query medians deliberately re-price a
+# shared chain per query (per-query costing policy). When both artifacts
+# carry the r13+ "shared" lane, THAT is their regression signal and they
+# are excluded from the per-query >2x table (r12 verdict: 46% of warm
+# wall-clock was measurement policy, drowning the regression signal).
+SHARED_FAMILY = {"d47", "d48", "d57", "d60"}
+
+
 def load_queries(path):
     """Return ({short_id: median_sec}, warm_total_or_None) from a driver
     artifact, a raw bench JSON line, a bench_artifact.json, or a log.
@@ -152,8 +181,23 @@ def main():
         print(f"new queries (no prior value): {' '.join(added)}")
     if dropped:
         print(f"dropped queries: {' '.join(dropped)}")
+    prev_sh, new_sh = load_shared(sys.argv[1]), load_shared(sys.argv[2])
+    lane = bool(prev_sh and new_sh)
+    if lane:
+        print("shared lane (composed chain priced once; the family's "
+              "regression signal):")
+        for k in sorted(set(prev_sh) & set(new_sh)):
+            p, n = float(prev_sh[k]), float(new_sh[k])
+            flag = "  <-- >2x" if p > 0 and n / p > 2.0 else ""
+            ratio = n / p if p else float("nan")
+            print(f"  {k}: {p:.2f}s -> {n:.2f}s ({ratio:.2f}x){flag}")
+        print(f"  (per-query >2x table below excludes "
+              f"{' '.join(sorted(SHARED_FAMILY))} — per-gate numbers "
+              f"re-price the chain per query by policy)")
     rows = []
     for k in common:
+        if lane and k in SHARED_FAMILY:
+            continue
         p, n = prev_q[k], new_q[k]
         if p > 0 and n / p > 2.0:
             rows.append((n / p, k, p, n))
