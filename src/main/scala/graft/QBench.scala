@@ -206,7 +206,16 @@ object QBench {
       "d58_centroid_classify", "e23_mmr_select",
       // s14 (serial lane via the s prefix): per-execution scratch
       // stream dirs + the external quota store must stay disjoint
-      "s14_stream_quota")
+      "s14_stream_quota",
+      // round-13: the persisted store handoff (per-execution graft://
+      // store dir — concurrent bootstrap writes + cold reads must stay
+      // disjoint), the incremental attrition histogram, incremental IVF
+      // maintenance (per-execution k-means training + centroid
+      // broadcasts under interleaving), and the composed streaming
+      // curation chain (serial lane; three external stores per
+      // execution)
+      "d59_store_handoff", "d60_incremental_attrition",
+      "e24_incremental_ivf", "s15_stream_curation")
     val queries = SparkEntry.queries
     val expected = pool.map { n =>
       n -> PinScope.run(spark)(

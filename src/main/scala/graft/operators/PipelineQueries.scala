@@ -600,26 +600,33 @@ object PipelineQueries {
     CacheQueries.enableCacheFs(s)
     val (oldAug, _) = incInputs(s, dir)
     val oldQ = repetitionDocs(qualityDocs(oldAug))
+    // NO explicit unpersist here (r13 soak lesson): these frames'
+    // analyzed plans are IDENTICAL to d57/d60's in-memory store frames,
+    // so Spark's plan-keyed CacheManager SHARES the entries across
+    // concurrent executions — an unpersist in this job's finally raced a
+    // concurrent buildInc's eager `clean` checkpoint and the seam
+    // materialized EMPTY (concsoak caught it: d60's mismatch fingerprint
+    // byte-matched the clean-frame-empty simulation, 2 of 4 runs).
+    // Callers run under PinScope, which sweeps after the query — the
+    // same discipline every other pool query uses for its pins.
     val hotStore = hotLinesOf(linesOf(oldQ)).persist()
     val ldOld = lineCleanAgainst(oldQ, hotStore).persist()
     val osh = ghsOf(ldOld).persist()
-    try {
-      def w(df: DataFrame, name: String): Unit =
-        df.write.mode("overwrite").parquet(s"graft://$base/$name")
-      w(ldOld.select("doc_id", "lang", "source", "text"), "admitted")
-      w(hotStore, "hot_lines")
-      // at 100 TB gram_index is written bucketed by gh (the probe key)
-      // so the daily batch probe is a co-located join; band_table by
-      // (band, bh) likewise
-      w(gtab(osh, "doc_id"), "gram_index")
-      w(gsizes(osh, "doc_id", "n_grams"), "gram_sizes")
-      w(Dedup.bandedKeys(Dedup.signatures(ldOld.select("doc_id", "text"))),
-        "band_table")
-      w(ldOld.select(explode(chunksExpr("tk")).as("chunk")).distinct(),
-        "chunk_set")
-      w(ldOld.agg(coalesce(sum(size(col("tk")).cast("long")), lit(0L))
-        .as("next_token_offset")), "manifest")
-    } finally { osh.unpersist(); ldOld.unpersist(); hotStore.unpersist() }
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"graft://$base/$name")
+    w(ldOld.select("doc_id", "lang", "source", "text"), "admitted")
+    w(hotStore, "hot_lines")
+    // at 100 TB gram_index is written bucketed by gh (the probe key)
+    // so the daily batch probe is a co-located join; band_table by
+    // (band, bh) likewise
+    w(gtab(osh, "doc_id"), "gram_index")
+    w(gsizes(osh, "doc_id", "n_grams"), "gram_sizes")
+    w(Dedup.bandedKeys(Dedup.signatures(ldOld.select("doc_id", "text"))),
+      "band_table")
+    w(ldOld.select(explode(chunksExpr("tk")).as("chunk")).distinct(),
+      "chunk_set")
+    w(ldOld.agg(coalesce(sum(size(col("tk")).cast("long")), lit(0L))
+      .as("next_token_offset")), "manifest")
   }
 
   /** d59's incremental-job view of the store: COLD parquet reads of what
