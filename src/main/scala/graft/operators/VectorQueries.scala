@@ -1159,8 +1159,154 @@ object VectorQueries {
           col("rnk"))
         .crossJoin(broadcast(recall))
         .crossJoin(broadcast(drift))
+    },
+
+    // ---- PERSISTED IVF-index handoff (e25): d59's discipline on the
+    // vector tier — a bootstrap job WRITES the index artifacts a
+    // production ANN deployment persists (centroids, per-vector cell
+    // assignments, and the drift BASELINE: training-set p90 assignment
+    // distance + cell-occupancy histogram) to parquet through graft://;
+    // the incremental job reads them COLD, assigns only the batch, and
+    // compares the batch's drift statistics against the PERSISTED
+    // baseline (e24 recomputes the baseline in-run — here it crosses
+    // the serialization boundary, so a stats-contract drift breaks the
+    // flags). Emitted rows are the exact top-5 (oracle identical to
+    // e24's); StoreHandoffSpec-style canaries in IncIvfSpec prove the
+    // reads are load-bearing (a perturbed persisted p90 flips drift_ok;
+    // a renamed centroid column fails loudly). ----
+    QueryDef("e25_ivf_store_handoff",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |     s AS (SELECT qid, cid,
+        |       list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |       (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |       FROM q, c)
+        |SELECT qid, cid, round(cos, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk,
+        |       true AS inc_recall_ok, true AS drift_ok
+        |FROM (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |  FROM s) t WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val base = CacheQueries.tmpBase("graft-ivfstore", dir)
+      bootstrapIvfStore(s, dir, base) // job 1: write the index contract
+      val (exact, _, recall, drift) = ivfStoreArms(s, dir, base)
+      exact
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"),
+          col("rnk"))
+        .crossJoin(broadcast(recall))
+        .crossJoin(broadcast(drift))
     }
   )
+
+  /** e25's bootstrap JOB: train the coarse quantizer on the existing
+    * corpus and WRITE the index artifacts to parquet through graft:// —
+    * centroids (cell, cvec as ARRAY<DOUBLE>, lossless round-trip),
+    * per-vector assignments (vec_id, cell), and the drift baseline
+    * (train_p90 scalar + per-cell occupancy counts). */
+  private[graft] def bootstrapIvfStore(s: org.apache.spark.sql.SparkSession,
+      dir: String, base: String): Unit = {
+    CacheQueries.enableCacheFs(s)
+    val k = 16
+    val old = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 10 && pmod(col("vec_id"), lit(4)) =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .persist()
+    val cents = kmeansCentroids(old, k, iters = 2, trainTargetRows = 1000L)
+    val bc = graft.functions.VectorOps.broadcastCentroids(s, cents)
+    import s.implicits._
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "cvec")
+    val centF = cents.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toDF("cell", "cvecf")
+    val assigned = old.withColumn("cell",
+      graft.functions.VectorOps.nearestCentroidCol(col("embedding"), bc))
+      .persist()
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"graft://$base/$name")
+    w(centDf, "centroids")
+    w(assigned.select("vec_id", "cell"), "assignments")
+    w(assigned.groupBy("cell").agg(count(lit(1)).as("n")), "occupancy")
+    w(assigned.join(broadcast(centF), Seq("cell"))
+      .select((lit(1.0) - graft.functions.VectorOps
+        .cosineSim(col("embedding"), col("cvecf"))).as("dist"))
+      .agg(expr("percentile(dist, 0.9D)").as("train_p90")), "stats")
+  }
+
+  /** e25's incremental-job arms: COLD reads of the persisted index —
+    * centroids (one bounded k×dims collect, the Lloyd-fetch class),
+    * assignments joined back to the vector store for the merged-index
+    * search, and the drift baseline compared against the BATCH's
+    * statistics computed in-run. `newTransform` is IncIvfSpec's dial. */
+  private[graft] def ivfStoreArms(s: org.apache.spark.sql.SparkSession,
+      dir: String, base: String,
+      newTransform: Column => Column = identity)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    CacheQueries.enableCacheFs(s)
+    def r(name: String) = s.read.parquet(s"graft://$base/$name")
+    val nprobe = 8
+    val baseT = Tables.load(s, dir, "embeddings")
+    val probes = baseT.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val newB = baseT.filter(col("vec_id") >= 10 &&
+        pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id").as("cid"), newTransform(col("embedding")).as("ce"))
+    val corpus = baseT.filter(col("vec_id") >= 10 &&
+        pmod(col("vec_id"), lit(4)) =!= 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .unionByName(newB)
+    val exact = exactTop5(probes, corpus)
+      .persist() // three consumers: recall hits / total / emitted rows
+    // the persisted quantizer, fetched once (k × dims doubles)
+    // by NAME, not position: a renamed/reordered store column must fail
+    // loudly here, not silently read the wrong field (drift-canary class)
+    val cents: Seq[Seq[Double]] = r("centroids")
+      .select(col("cell"), col("cvec")).collect()
+      .map(row => row.getInt(0) -> row.getSeq[Double](1)).sortBy(_._1)
+      .map(_._2.toSeq).toSeq
+    val bc = graft.functions.VectorOps.broadcastCentroids(s, cents)
+    import s.implicits._
+    val centF = cents.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toDF("cell", "cvecf")
+    // merged index: PERSISTED old assignments (cells never recomputed)
+    // joined back to the vector store, plus today's batch assignment
+    val oldA = r("assignments")
+      .join(baseT.select(col("vec_id"), col("embedding").as("ce")), "vec_id")
+      .select(col("vec_id").as("cid"), col("ce"), col("cell"))
+    val newA = newB.withColumn("cell",
+      graft.functions.VectorOps.nearestCentroidCol(col("ce"), bc))
+    val ivf = oldA.unionByName(newA.select("cid", "ce", "cell"))
+      .join(broadcast(probes.withColumn("cell", explode(
+        graft.functions.VectorOps.nearestCentroidsCol(col("qe"), bc, nprobe)))),
+        Seq("cell"))
+      .withColumn("cos", cos(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("cos"))
+      .withColumn("rnk", row_number().over(top5Window).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"))
+    val recall = recallFlag(exact, ivf, 0.5, "inc_recall_ok")
+    // batch drift statistics vs the PERSISTED baseline
+    val batchP90 = newA.join(broadcast(centF), Seq("cell"))
+      .select((lit(1.0) - graft.functions.VectorOps
+        .cosineSim(col("ce"), col("cvecf"))).as("dist"))
+      .agg(expr("percentile(dist, 0.9D)").as("pn"))
+    val l1 = r("occupancy").withColumnRenamed("n", "no")
+      .join(newA.groupBy("cell").agg(count(lit(1)).as("nn")),
+        Seq("cell"), "full_outer")
+      .crossJoin(broadcast(r("occupancy")
+        .agg(sum("n").as("to"))))
+      .crossJoin(broadcast(newA.agg(count(lit(1)).as("tn"))))
+      .agg(sum(abs(
+        coalesce(col("no"), lit(0L)).cast("double") / col("to") -
+        coalesce(col("nn"), lit(0L)).cast("double") / col("tn"))).as("l1"))
+    val drift = batchP90
+      .crossJoin(broadcast(r("stats").select(col("train_p90").as("po"))))
+      .crossJoin(broadcast(l1))
+      .select((col("pn") <= col("po") * 1.5 && col("l1") <= 0.8)
+        .as("drift_ok"))
+    (exact, ivf, recall, drift)
+  }
 
   /** e24's four arms (exact truth target, merged-index IVF top-5, the
     * in-band recall flag, the drift flag), parameterized so IncIvfSpec

@@ -37,6 +37,35 @@ class IncIvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("e25: the persisted drift baseline is load-bearing, and store schema drift fails loudly") {
+    val dir = "/root/testdata/sf0.001"
+    val base = CacheQueries.tmpBase("graft-ivfstorespec", dir)
+    graft.PinScope.run(spark) {
+      VectorQueries.bootstrapIvfStore(spark, dir, base)
+      val (_, _, recall, drift) = VectorQueries.ivfStoreArms(spark, dir, base)
+      assert(recall.collect()(0).getBoolean(0))
+      assert(drift.collect()(0).getBoolean(0))
+    }
+    // perturb the PERSISTED baseline: a tiny train_p90 must flip
+    // drift_ok — proving the comparison reads the artifact, not an
+    // in-run recomputation
+    spark.range(1).select(lit(0.0001).as("train_p90"))
+      .write.mode("overwrite").parquet(s"graft://$base/stats")
+    graft.PinScope.run(spark) {
+      val (_, _, _, drift) = VectorQueries.ivfStoreArms(spark, dir, base)
+      assert(!drift.collect()(0).getBoolean(0),
+        "drift_ok ignored the persisted baseline")
+    }
+    // schema drift: a renamed centroid column must raise, not silently
+    // read the wrong field
+    val cks = spark.read.parquet(s"graft://$base/centroids")
+      .withColumnRenamed("cvec", "centroid_vec").localCheckpoint(true)
+    cks.write.mode("overwrite").parquet(s"graft://$base/centroids")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      VectorQueries.ivfStoreArms(spark, dir, base)
+    }
+  }
+
   test("a mean-shifted new batch flips drift_ok false — the retrain signal is live") {
     val dir = "/root/testdata/sf0.001"
     graft.PinScope.run(spark) {

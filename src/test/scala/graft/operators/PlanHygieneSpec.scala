@@ -90,9 +90,10 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // e23: the 1-row query vector broadcast into the relevance pass
     // (the q31 shape); the k argmax scans read a checkpointed frame
     "e23_mmr_select",
-    // e24: the bounded probe broadcast (exact + merged-IVF arms) plus
-    // the 1-row recall/drift contract broadcasts (e07/e10's pattern)
-    "e24_incremental_ivf")
+    // e24/e25: the bounded probe broadcast (exact + merged-IVF arms)
+    // plus the 1-row recall/drift contract broadcasts (e07/e10's
+    // pattern); e25's drift baseline rides 1-row persisted-stats frames
+    "e24_incremental_ivf", "e25_ivf_store_handoff")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[4]")
