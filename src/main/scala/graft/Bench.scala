@@ -65,6 +65,21 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val failed = scala.collection.mutable.ListBuffer[String]()
+    // Per-failure diagnostics (r13 verdict "What's wrong" #1): the c13/c14/c15
+    // full-suite failures were undiagnosable post-hoc because the exception
+    // text only went to stderr, which the driver's tail capture dropped. The
+    // FIRST exception per name is recorded here (class + message + first 3
+    // stack frames) and rides the artifact as a `failures` dict.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    def recordFailure(name: String, e: Throwable): Unit = {
+      if (!failed.contains(name)) {
+        failed += name
+        val frames = e.getStackTrace.take(3).map(_.toString).mkString(" <- ")
+        failures(name) =
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)} @ $frames"
+        Console.err.println(s"BENCH FAILURE in $name: ${failures(name)}")
+      }
+    }
 
     // Each materialization runs inside a PinScope: intermediates it
     // persists (dedup signature tables, CC label frontier, IVF training
@@ -77,10 +92,7 @@ object Bench {
       val t0 = System.nanoTime()
       try body
       catch { case e: Throwable =>
-        if (!failed.contains(name)) {
-          failed += name
-          Console.err.println(s"BENCH FAILURE in $name: ${e.getClass.getName}: ${e.getMessage}")
-        }
+        recordFailure(name, e)
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
@@ -251,19 +263,20 @@ object Bench {
         try PinScope.run(spark) {
           var bst: operators.PipelineQueries.Stages = null
           var ist: operators.PipelineQueries.IncStages = null
+          var base59: String = null
           Seq(
             "d47_chain" -> t { bst = operators.PipelineQueries.build(spark, sfDir) },
             "d47_pack" -> t { noop(operators.PipelineQueries.packBoot(bst)) },
             "d48_attrition" -> t { noop(operators.PipelineQueries.attritionBoot(bst)) },
             "d57_chain" -> t { ist = operators.PipelineQueries.buildInc(spark, sfDir) },
             "d57_pack" -> t { noop(operators.PipelineQueries.packInc(ist)) },
-            "d60_attrition" -> t { noop(operators.PipelineQueries.attritionInc(ist)) })
+            "d60_attrition" -> t { noop(operators.PipelineQueries.attritionInc(ist)) },
+            // d59's decomposition (r13 advice): the bootstrap store-write
+            // and the cold incremental consumer, priced separately
+            "d59_boot" -> t { base59 = operators.PipelineQueries.bootStoreJob(spark, sfDir) },
+            "d59_inc" -> t { noop(operators.PipelineQueries.incStoreJob(spark, sfDir, base59)) })
         } catch { case e: Throwable =>
-          if (!failed.contains("shared_lane")) {
-            failed += "shared_lane"
-            Console.err.println(
-              s"BENCH FAILURE in shared_lane: ${e.getClass.getName}: ${e.getMessage}")
-          }
+          recordFailure("shared_lane", e)
           Nil
         }
       val reps = Seq.fill(3)(rep()).filter(_.nonEmpty)
@@ -299,8 +312,11 @@ object Bench {
     (conc.mismatches ++ conc.errors).foreach { msg =>
       Console.err.println(s"BENCH FAILURE in concurrent arm: $msg")
     }
-    if (conc.mismatches.nonEmpty || conc.errors.nonEmpty)
+    if (conc.mismatches.nonEmpty || conc.errors.nonEmpty) {
       failed += "concurrent_arm"
+      failures("concurrent_arm") =
+        (conc.mismatches ++ conc.errors).take(3).mkString(" | ").take(600)
+    }
 
     // Cache hit rate over the whole run (c* queries rescan warmed files):
     // server formula = (cached + nonlocal) / all block requests
@@ -316,6 +332,14 @@ object Bench {
     }
 
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\t' => "\\t"; case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val failuresJson = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val opsJson = opTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val sharedJson = sharedTimes.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -337,7 +361,7 @@ object Bench {
       f"""{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size},"times":$canarySeq}"""
     val seedsJson = orderSeeds.mkString("[", ",", "]")
     val artifact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"ops":$opsJson,"shared":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"ops":$opsJson,"shared":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(artifact)
     // Totals-only compact line, printed AFTER the full artifact: the
     // driver keeps only the last ~2000 chars of output, and the 157-entry
@@ -347,7 +371,7 @@ object Bench {
     // self-sufficient; tools/regression.py recovers per-query values from
     // the big line's surviving "queries" fragment.
     val totalsOnly =
-      f"""{"metric":"totals_only","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"canary":{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size}},"conc":$concJson,"failed":$failedJson,"shared":$sharedJson,"n_queries":${names.size},"sf":"$sfDir"}"""
+      f"""{"metric":"totals_only","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"canary":{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size}},"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"shared":$sharedJson,"n_queries":${names.size},"sf":"$sfDir"}"""
     println(totalsOnly)
     // The r8 driver artifact carried `parsed: null` — its parser sees
     // sbt's "[info] " prefix on stdout lines. Emit the same lines on

@@ -36,12 +36,38 @@ object CacheQueries {
     scratchDirs.keys.foreach(d => rm(new java.io.File(d)))
   }
   private val execSeq = new java.util.concurrent.atomic.AtomicLong
+  /** Per-JVM tag baked into every scratch path. The r13 full-suite bench
+    * failed on exactly the three queries that Files.copy into their
+    * scratch base (c13/c14/c15, FileAlreadyExistsException): a previous
+    * JVM killed hard (no shutdown hook) leaves its -e<N> dirs behind, and
+    * because execSeq restarts at 1 the NEXT full-suite run reproduces the
+    * same numbers and collides — while any solo re-run draws different
+    * ones and passes, which is why the failure resisted solo repro (and
+    * the collision registers the stale path in scratchDirs, so the
+    * failing run's own exit hook deletes the evidence). pid + JVM start
+    * time make the path unique across JVMs including pid reuse. */
+  private val jvmTag: String = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    val pid = rt.getName.takeWhile(_ != '@')
+    s"$pid-${java.lang.Long.toHexString(rt.getStartTime & 0xffffffffL)}"
+  }
   /** Unique per call — callers derive every path of one execution from a
     * single tmpBase result. Shared with PipelineQueries' d59 store
-    * handoff (same scratch registry, same shutdown-hook cleanup). */
+    * handoff (same scratch registry, same shutdown-hook cleanup).
+    * Defensively clears any pre-existing path (belt and braces: with the
+    * jvmTag a collision should be impossible, but a stale survivor must
+    * degrade to a cleanup, never a FileAlreadyExistsException). */
   private[operators] def tmpBase(prefix: String, dir: String): String = {
     val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/$prefix/" +
-      new java.io.File(dir).getName + "-e" + execSeq.incrementAndGet()
+      new java.io.File(dir).getName + s"-j$jvmTag-e" + execSeq.incrementAndGet()
+    val f = new java.io.File(p)
+    if (f.exists()) {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
+        x.delete()
+      }
+      rm(f)
+    }
     scratchDirs.put(p, ())
     p
   }

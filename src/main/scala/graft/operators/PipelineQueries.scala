@@ -813,6 +813,19 @@ object PipelineQueries {
   private[graft] def buildInc(s: SparkSession, dir: String): IncStages =
     incChain(s, dir, storeFramesInMemory(s, dir))
 
+  /** d59's two jobs exposed for the bench shared lane (r13 advice: d59
+    * re-prices the full chain per gate execution like the rest of the
+    * composed family; the lane times bootstrap-write and cold-incremental
+    * separately so its regression signal isn't policy-dominated). */
+  private[graft] def bootStoreJob(s: SparkSession, dir: String): String = {
+    val base = CacheQueries.tmpBase("graft-store", dir)
+    bootstrapStore(s, dir, base)
+    base
+  }
+  private[graft] def incStoreJob(s: SparkSession, dir: String,
+      base: String): DataFrame =
+    packInc(incChain(s, dir, readStore(s, base)))
+
   // ------------------------------------------------------------- oracle
   /** The shared DuckDB CTE chain replaying stages 0-5; d47/d48 append
     * their final SELECT. Every CTE is the proven oracle formulation of

@@ -78,7 +78,12 @@ object EventStreams {
       fs.mkdirs(dest.getParent)
       fs.rename(part, dest)
       fs.delete(tmp, true)
-      new java.io.File(dest.toUri.getPath).setLastModified(1000L * (i + 1))
+      // mtime IS the replay order: a silently-failed set would scramble
+      // FileStreamSource's (mtime, path) ordering and surface downstream
+      // as an inscrutable hash mismatch — fail loudly here instead
+      require(new java.io.File(dest.toUri.getPath)
+          .setLastModified(1000L * (i + 1)),
+        s"failed to set mtime on slice $i at $dest")
     }
   }
 
@@ -742,6 +747,109 @@ object EventStreams {
     * appending duplicates, and the store read excludes the current
     * batch id, so a retry never counts its own earlier partial store
     * write as prior data. StreamRetrySpec drives this contract. */
+  // ---- batch-pruned cross-batch stores (r14) ----------------------------
+  // The r13 layout re-aggregated the full line/quota stores and re-exploded
+  // the full gram store EVERY micro-batch, so steady-state per-batch cost
+  // grew with corpus size x batch count. The replacements:
+  //   * FOLD stores (lines, quota): each batch writes ONE pre-aggregated
+  //     snapshot keyed by batch_id; the probe reads the latest snapshot
+  //     strictly below the current id — one partition, no re-aggregation
+  //     over history. Snapshots <= N-2 are retired (foreachBatch only ever
+  //     re-delivers the last uncommitted id, which replays from N-1), so
+  //     the store footprint stays ~2x state size.
+  //   * GRAM store: per-batch contributions stay delta-keyed (idempotent
+  //     overwrite) but land pre-EXPLODED with the owning doc's gram count
+  //     np embedded, partitioned by gbkt = pmod(gh, GramBuckets). A probe
+  //     (a) prunes store partitions to the buckets the batch's grams hash
+  //     into and (b) Bloom-prefilters rows on the batch's exact gram set
+  //     (the d37 zero-shuffle codegen expression), so the store-side
+  //     SHUFFLE carries candidates, not the corpus — the join stays exact
+  //     on gh, Bloom false positives only cost I/O.
+
+  private[streaming] val GramBuckets = 32L
+
+  private def hasBatchDirs(path: String): Boolean = {
+    val root = new java.io.File(path)
+    root.exists() && root.listFiles() != null &&
+      root.listFiles().exists(_.getName.startsWith("batch_id="))
+  }
+
+  /** Latest fold snapshot strictly before `batchId`, if any. */
+  private def latestFold(s: SparkSession, path: String,
+      batchId: Long): Option[DataFrame] = {
+    val root = new java.io.File(path)
+    Option(root.listFiles()).toSeq.flatten.map(_.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).filter(_ < batchId)
+      .sorted.lastOption
+      .map(k => s.read.parquet(s"$path/batch_id=$k"))
+  }
+
+  /** Write fold snapshot `batchId` and retire snapshots <= batchId-2
+    * (N-1 stays: a re-delivered batch N replays from it; older snapshots
+    * can never be read again). */
+  private def writeFold(df: DataFrame, path: String, batchId: Long): Unit = {
+    df.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
+      x.delete()
+    }
+    val root = new java.io.File(path)
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("batch_id=") &&
+        f.getName.stripPrefix("batch_id=").toLong <= batchId - 2)
+      .foreach(rm)
+  }
+
+  /** One batch's gram contributions: pre-exploded, np embedded,
+    * bucket-partitioned (layout above). Multiplicity is preserved — a
+    * gram repeated in a doc's shingle array lands once per instance,
+    * exactly what the packed-array explode produced, so `inter` counts
+    * are bit-identical to the r13 layout. */
+  private def writeGramStore(sigs: DataFrame, path: String,
+      batchId: Long): Unit =
+    sigs.select(col("doc_id"), col("lang"), col("source"),
+        size(col("ghs")).as("np"), explode(col("ghs")).as("gh"))
+      .withColumn("gbkt", pmod(col("gh"), lit(GramBuckets)))
+      .write.mode("overwrite").partitionBy("gbkt")
+      .parquet(s"$path/batch_id=$batchId")
+
+  /** Probe prior grams with this batch's exploded grams `bg`
+    * (doc_id, lang, source, gh): bucket-pruned, Bloom-prefiltered scan,
+    * then the exact same-lang/source gh equi-join. Returns
+    * (doc_id, prior_id, inter, np) pairs, or None when no prior batch
+    * has written yet. */
+  private def gramStoreProbe(s: SparkSession, path: String, batchId: Long,
+      bg: DataFrame): Option[DataFrame] = {
+    if (!hasBatchDirs(path)) None
+    else {
+      // bounded driver fetch: <= GramBuckets rows
+      val bkts = bg.select(pmod(col("gh"), lit(GramBuckets)).as("gbkt"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      // sized for a generous batch; an undersized Bloom only raises the
+      // false-positive rate (more candidate I/O), never wrong results
+      val bloom = graft.functions.BloomExprs.broadcastBloom(
+        s, bg.select("gh"), "gh", 1L << 20, 0.01)
+      // explicit schema (incl. partition cols): a zero-gram batch writes
+      // no part files under partitionBy, and schema inference over an
+      // all-empty store would otherwise fail
+      val st = s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, source STRING, np INT, gh BIGINT, " +
+            "gbkt BIGINT, batch_id BIGINT"))
+        .parquet(path)
+        .filter(col("batch_id") < batchId && col("gbkt").isin(bkts: _*) &&
+          graft.functions.BloomExprs.mightContainCol(col("gh"), bloom))
+      Some(bg.join(st.select(col("doc_id").as("prior_id"),
+          col("lang").as("lang_p"), col("source").as("source_p"),
+          col("np"), col("gh").as("gh_p")),
+        col("gh") === col("gh_p") && col("lang") === col("lang_p") &&
+          col("source") === col("source_p"))
+        .groupBy("doc_id", "prior_id")
+        .agg(count(lit(1)).as("inter"), max("np").as("np")))
+    }
+  }
+  // -----------------------------------------------------------------------
+
   def ingestDedupBatch(base: String, batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val b = batch
@@ -753,31 +861,15 @@ object EventStreams {
     val bg = b.select(col("doc_id"), col("lang"), col("source"),
       explode(col("ghs")).as("gh"))
     val bn = b.select(col("doc_id"), size(col("ghs")).as("ng"))
-    def jacCount(pairs: DataFrame, otherN: DataFrame) = pairs
+    // pairsNp: (doc_id, prior_id, inter, np) -> per-doc dup count
+    def jacTail(pairsNp: DataFrame) = pairsNp
       .join(bn, "doc_id")
-      .join(otherN, "prior_id")
       .filter(round(col("inter").cast("double") /
         (col("ng") + col("np") - col("inter")), 3) >= 0.3)
       .groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val storeRoot = new java.io.File(s"$base/store")
     val fromStore =
-      if (storeRoot.exists() && storeRoot.listFiles() != null &&
-        storeRoot.listFiles().exists(_.getName.startsWith("batch_id="))) {
-        val st = s.read.parquet(s"$base/store")
-          .filter(col("batch_id") < batchId)
-        val sg = st.select(col("doc_id").as("prior_id"),
-          col("lang").as("lang_p"), col("source").as("source_p"),
-          explode(col("ghs")).as("gh_p"))
-        val sn = st.select(col("doc_id").as("prior_id"),
-          size(col("ghs")).as("np"))
-        Some(jacCount(
-          bg.join(sg, col("gh") === col("gh_p") &&
-            col("lang") === col("lang_p") &&
-            col("source") === col("source_p"))
-            .groupBy("doc_id", "prior_id")
-            .agg(count(lit(1)).as("inter")), sn))
-      } else None
-    val inBatch = jacCount(
+      gramStoreProbe(s, s"$base/store", batchId, bg).map(jacTail)
+    val inBatch = jacTail(
       bg.join(
         bg.select(col("doc_id").as("prior_id"),
           col("lang").as("lang_p"), col("source").as("source_p"),
@@ -786,8 +878,9 @@ object EventStreams {
           col("source") === col("source_p") &&
           col("prior_id") < col("doc_id"))
         .groupBy("doc_id", "prior_id")
-        .agg(count(lit(1)).as("inter")),
-      bn.select(col("doc_id").as("prior_id"), col("ng").as("np")))
+        .agg(count(lit(1)).as("inter"))
+        .join(bn.select(col("doc_id").as("prior_id"), col("ng").as("np")),
+          "prior_id"))
     val counts = fromStore.fold(inBatch.withColumnRenamed("c", "ct"))(
       st => inBatch.withColumnRenamed("c", "cb")
         .join(st.withColumnRenamed("c", "cs"),
@@ -800,7 +893,7 @@ object EventStreams {
       .select(col("doc_id"),
         coalesce(col("ct"), lit(0L)).as("n_dups_prior"))
       .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId")
-    b.write.mode("overwrite").parquet(s"$base/store/batch_id=$batchId")
+    writeGramStore(b, s"$base/store", batchId)
     b.unpersist()
     ()
   }
@@ -932,9 +1025,12 @@ object EventStreams {
     * and the budget div picked so quota binds mid-stream per language.
     *
     * At 100 TB: per batch, admission is per-doc map work; the line and
-    * gram probes are batch-keyed equi-joins against bounded stores;
-    * quota is one per-lang window over the batch — the store is never
-    * rescanned pairwise, no engine-internal state. */
+    * quota probes read ONE pre-aggregated fold snapshot each (never a
+    * re-aggregation over history — snapshots <= N-2 are retired, so the
+    * store footprint is ~2x state); the gram probe is a bucket-pruned,
+    * Bloom-prefiltered scan whose shuffle carries candidates, not the
+    * corpus — the store is never rescanned pairwise, no engine-internal
+    * state. */
   def streamCuration(spark: SparkSession, dir: String): DataFrame =
     withStreamConf(spark) {
       val docs = graft.operators.Tables.load(spark, dir, "documents")
@@ -996,20 +1092,15 @@ object EventStreams {
     }
 
   /** One s15 micro-batch: the five composed stages against the three
-    * external stores, every output overwritten into batch_id-keyed dirs
-    * and every store read excluding the current id — idempotent under
-    * foreachBatch re-delivery (StreamRetrySpec drives s15 like s13). */
+    * external stores (line/quota FOLD snapshots + the bucketed gram
+    * delta store — layout notes above [[ingestDedupBatch]]), every
+    * output overwritten into batch_id-keyed dirs and every store read
+    * strictly below the current id — idempotent under foreachBatch
+    * re-delivery (StreamRetrySpec drives s15 like s13). */
   def curationBatch(base: String, budget: Long, batch0: DataFrame,
       batchId: Long): Unit = {
     val s = batch0.sparkSession
     val batch = batch0.persist()
-    def storeDf(name: String): Option[DataFrame] = {
-      val root = new java.io.File(s"$base/$name")
-      if (root.exists() && root.listFiles() != null &&
-        root.listFiles().exists(_.getName.startsWith("batch_id=")))
-        Some(s.read.parquet(s"$base/$name").filter(col("batch_id") < batchId))
-      else None
-    }
     // stages 1+2: per-doc admission — d19/d53's proven rule bodies
     val adm = graft.operators.PipelineQueries.repetitionDocs(
       graft.operators.PipelineQueries.qualityDocs(batch)).persist()
@@ -1022,11 +1113,20 @@ object EventStreams {
     val rnW = org.apache.spark.sql.expressions.Window
       .partitionBy("line").orderBy("doc_id")
     val rn0 = dl.withColumn("rn", row_number().over(rnW).cast("long") - 1L)
-    val rn = storeDf("linestore")
-      .map(_.groupBy("line").agg(sum("cnt").as("pc")))
-      .fold(rn0.withColumn("prior", col("rn")))(pl =>
+    // prior per-line counts: ONE pre-aggregated fold snapshot (never a
+    // re-aggregation over all batches), Bloom-shrunk to ~this batch's
+    // lines before the probe join so AQE can build-side it
+    val priorLines = latestFold(s, s"$base/linefold", batchId)
+    val rn = priorLines
+      .fold(rn0.withColumn("prior", col("rn"))) { pf =>
+        val lb = graft.functions.BloomExprs.broadcastBloom(
+          s, dl.select(xxhash64(col("line")).as("lh")), "lh", 1L << 20, 0.01)
+        val pl = pf.filter(graft.functions.BloomExprs.mightContainCol(
+            xxhash64(col("line")), lb))
+          .select(col("line"), col("cnt").as("pc"))
         rn0.join(pl, Seq("line"), "left")
-          .withColumn("prior", coalesce(col("pc"), lit(0L)) + col("rn")))
+          .withColumn("prior", coalesce(col("pc"), lit(0L)) + col("rn"))
+      }
     val hotFor = rn.filter(col("prior") >= 3).select("doc_id", "line")
     val rebuilt = lns.join(hotFor, Seq("doc_id", "line"), "left_anti")
       .groupBy("doc_id")
@@ -1047,26 +1147,14 @@ object EventStreams {
     val bg = bsh.select(col("doc_id"), col("lang"), col("source"),
       explode(col("ghs")).as("gh"))
     val bn = bsh.select(col("doc_id"), size(col("ghs")).as("ng"))
-    def jacCount(pairs: DataFrame, otherN: DataFrame) = pairs
+    def jacTail(pairsNp: DataFrame) = pairsNp
       .join(bn, "doc_id")
-      .join(otherN, "prior_id")
       .filter(round(col("inter").cast("double") /
         (col("ng") + col("np") - col("inter")), 3) >= 0.3)
       .groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val fromStore = storeDf("gramstore").map { st =>
-      val sg = st.select(col("doc_id").as("prior_id"),
-        col("lang").as("lang_p"), col("source").as("source_p"),
-        explode(col("ghs")).as("gh_p"))
-      val sn = st.select(col("doc_id").as("prior_id"),
-        size(col("ghs")).as("np"))
-      jacCount(
-        bg.join(sg, col("gh") === col("gh_p") &&
-          col("lang") === col("lang_p") &&
-          col("source") === col("source_p"))
-          .groupBy("doc_id", "prior_id")
-          .agg(count(lit(1)).as("inter")), sn)
-    }
-    val inBatch = jacCount(
+    val fromStore =
+      gramStoreProbe(s, s"$base/gramstore", batchId, bg).map(jacTail)
+    val inBatch = jacTail(
       bg.join(
         bg.select(col("doc_id").as("prior_id"),
           col("lang").as("lang_p"), col("source").as("source_p"),
@@ -1075,8 +1163,9 @@ object EventStreams {
           col("source") === col("source_p") &&
           col("prior_id") < col("doc_id"))
         .groupBy("doc_id", "prior_id")
-        .agg(count(lit(1)).as("inter")),
-      bn.select(col("doc_id").as("prior_id"), col("ng").as("np")))
+        .agg(count(lit(1)).as("inter"))
+        .join(bn.select(col("doc_id").as("prior_id"), col("ng").as("np")),
+          "prior_id"))
     val counts = fromStore.fold(inBatch.withColumnRenamed("c", "ct"))(
       st => inBatch.withColumnRenamed("c", "cb")
         .join(st.withColumnRenamed("c", "cs"),
@@ -1095,8 +1184,10 @@ object EventStreams {
         Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"),
         size(col("tk")).cast("long").as("n_tok"))
-    val prior = storeDf("quotastore")
-      .map(_.groupBy("lang").agg(sum("toks").as("base_toks")))
+    // prior per-lang totals: the fold snapshot IS the aggregate
+    val priorQuota = latestFold(s, s"$base/quotafold", batchId)
+    val prior = priorQuota
+      .map(_.select(col("lang"), col("toks").as("base_toks")))
       .getOrElse(s.emptyDataFrame
         .select(lit("").as("lang"), lit(0L).as("base_toks")).limit(0))
     val wq = org.apache.spark.sql.expressions.Window
@@ -1126,12 +1217,23 @@ object EventStreams {
           .otherwise("admitted"))
       .select(col("doc_id"), col("lang"), col("outcome"))
       .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId")
-    // the three stores — this batch's contributions, overwrite-keyed
-    dl.groupBy("line").agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(s"$base/linestore/batch_id=$batchId")
-    bsh.write.mode("overwrite").parquet(s"$base/gramstore/batch_id=$batchId")
-    kept.groupBy("lang").agg(sum("n_tok").as("toks"))
-      .write.mode("overwrite").parquet(s"$base/quotastore/batch_id=$batchId")
+    // the three stores — folds absorb this batch's contributions into
+    // fresh snapshots (prior snapshot + batch, overwrite-keyed at this
+    // id, so a re-delivery recomputes the identical snapshot); the gram
+    // store appends its bucketed delta
+    val batchLineCnt = dl.groupBy("line").agg(count(lit(1)).as("cnt"))
+    writeFold(priorLines
+        .map(_.unionByName(batchLineCnt)
+          .groupBy("line").agg(sum("cnt").as("cnt")))
+        .getOrElse(batchLineCnt),
+      s"$base/linefold", batchId)
+    writeGramStore(bsh, s"$base/gramstore", batchId)
+    val batchQuota = kept.groupBy("lang").agg(sum("n_tok").as("toks"))
+    writeFold(priorQuota
+        .map(_.unionByName(batchQuota)
+          .groupBy("lang").agg(sum("toks").as("toks")))
+        .getOrElse(batchQuota),
+      s"$base/quotafold", batchId)
     Seq(batch, adm, ld, bsh, dupped).foreach(_.unpersist())
     ()
   }

@@ -28,13 +28,14 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("compaction collapses the shattered layout bytes-proportionally") {
     graft.SparkEntry.queries("c06_compaction")(spark, dir).collect()
-    // scratch dirs carry a per-execution -e<N> suffix (r10 concurrency
-    // isolation): inspect the newest execution of this run
+    // scratch dirs carry a per-JVM -j<tag> plus per-execution -e<N>
+    // suffix (r10 concurrency isolation; r14 cross-JVM uniqueness):
+    // inspect the newest execution of this run
     val root = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-compact")
     val sfName = new java.io.File(dir).getName
     val base = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(sfName + "-e"))
+      .filter(f => f.isDirectory && f.getName.startsWith(sfName + "-"))
       .maxBy(_.lastModified).getPath
     val before = parquetFiles(s"$base/shattered").length
     val after = parquetFiles(s"$base/compacted").length

@@ -28,18 +28,25 @@ class StoreHandoffSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def tokenStarts(base: String): Map[Long, Long] =
+  // bootstrapStore/incChain persist frames WITHOUT unpersisting (the r13
+  // soak fix: shared-plan cache entries must never vanish mid-flight);
+  // production callers run under PinScope, so this spec does too — bare
+  // calls would accumulate pinned RDDs across tests in the local[4] JVM
+  private def pinned[T](body: => T): T = graft.PinScope.run(spark)(body)
+
+  private def tokenStarts(base: String): Map[Long, Long] = pinned {
     PipelineQueries.packInc(
       PipelineQueries.incChain(spark, dir,
         PipelineQueries.readStore(spark, base)))
       .select("doc_id", "token_start").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
 
   test("perturbing the manifest offset shifts every token_start by " +
       "exactly the delta — the packed output rides the ARTIFACT, not an " +
       "in-run recomputation") {
     val base = CacheQueries.tmpBase("graft-storespec", dir)
-    PipelineQueries.bootstrapStore(spark, dir, base)
+    pinned(PipelineQueries.bootstrapStore(spark, dir, base))
     val before = tokenStarts(base)
     assert(before.nonEmpty, "incremental chain produced no packed docs")
 
@@ -55,7 +62,7 @@ class StoreHandoffSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("a renamed store schema field fails LOUDLY, not silently") {
     val base = CacheQueries.tmpBase("graft-storespec", dir)
-    PipelineQueries.bootstrapStore(spark, dir, base)
+    pinned(PipelineQueries.bootstrapStore(spark, dir, base))
 
     // manifest column drift: readStore's projection breaks immediately
     val m = spark.read.parquet(s"graft://$base/manifest")
@@ -75,8 +82,8 @@ class StoreHandoffSpec extends AnyFunSuite with BeforeAndAfterAll {
       .localCheckpoint(true)
     gi.write.mode("overwrite").parquet(s"graft://$base/gram_index")
     intercept[AnalysisException] {
-      PipelineQueries.incChain(spark, dir,
-        PipelineQueries.readStore(spark, base))
+      pinned(PipelineQueries.incChain(spark, dir,
+        PipelineQueries.readStore(spark, base)))
     }
   }
 }

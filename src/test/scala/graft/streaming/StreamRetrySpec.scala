@@ -138,6 +138,16 @@ class StreamRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getAs[Long]("n_dups_prior"))).sorted.toSeq
       assert(first.contains((10L, 1L)),
         s"doc 10 must see its batch-0 near-dup as prior: $first")
+      // gram store is exploded (one row per gram INSTANCE, multiplicity
+      // is load-bearing for inter counts): snapshot it before the retry
+      def storeSnap() = spark.read.parquet(s"$base/store")
+        .groupBy("doc_id").agg(count(lit(1)).as("rows"), max("np").as("np"))
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("rows"), r.getAs[Int]("np"))).sorted.toSeq
+      val storeFirst = storeSnap()
+      storeFirst.foreach { case (id, rows, np) =>
+        assert(rows == np, s"doc $id holds $rows gram rows but np=$np")
+      }
       // re-deliver batch 1 (the retry): outputs must be UNCHANGED
       EventStreams.ingestDedupBatch(base, b1, 1L)
       val retried = spark.read.parquet(s"$base/out")
@@ -145,10 +155,8 @@ class StreamRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getAs[Long]("n_dups_prior"))).sorted.toSeq
       assert(retried == first,
         s"re-delivered batch changed the sink: $first -> $retried")
-      // store must hold each doc exactly once (no duplicate signatures)
-      val storeIds = spark.read.parquet(s"$base/store")
-        .groupBy("doc_id").count().filter(col("count") > 1).count()
-      assert(storeIds == 0, "retry duplicated signature-store rows")
+      assert(storeSnap() == storeFirst,
+        "retry changed the signature store's rows")
     } finally {
       org.apache.hadoop.fs.FileSystem
         .getLocal(spark.sparkContext.hadoopConfiguration)
@@ -227,16 +235,25 @@ class StreamRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"doc 10 must be flagged vs the gram store: $first")
       assert(first.contains((11L, "admitted")),
         s"doc 11 must admit against batch-0's 38 prior tokens: $first")
+      // fold snapshots aggregate per key; the gram store is exploded
+      // per instance — snapshot all three before the retry
+      def stores() = Seq("gramstore", "linefold", "quotafold").map { st =>
+        st -> spark.read.parquet(s"$base/$st")
+          .collect().map(_.toString).sorted.toSeq
+      }
+      val storesFirst = stores()
       EventStreams.curationBatch(base, budget = 45L, b1, 1L) // the retry
       val retried = snap()
       assert(retried == first,
         s"re-delivered batch changed the sink: $first -> $retried")
-      Seq("gramstore" -> Seq("doc_id"), "linestore" -> Seq("line", "batch_id"),
-        "quotastore" -> Seq("lang", "batch_id")).foreach { case (st, keys) =>
+      assert(stores() == storesFirst,
+        "retry changed a store's rows")
+      Seq("linefold" -> Seq("line", "batch_id"),
+        "quotafold" -> Seq("lang", "batch_id")).foreach { case (st, keys) =>
         val dups = spark.read.parquet(s"$base/$st")
           .groupBy(keys.map(col): _*).count()
           .filter(col("count") > 1).count()
-        assert(dups == 0, s"retry duplicated $st rows")
+        assert(dups == 0, s"$st fold snapshot holds duplicate keys")
       }
     } finally {
       org.apache.hadoop.fs.FileSystem

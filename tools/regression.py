@@ -94,7 +94,10 @@ def load_shared(path):
 # carry the r13+ "shared" lane, THAT is their regression signal and they
 # are excluded from the per-query >2x table (r12 verdict: 46% of warm
 # wall-clock was measurement policy, drowning the regression signal).
-SHARED_FAMILY = {"d47", "d48", "d57", "d60"}
+# d59 joined in r14 (its lane entries are d59_boot/d59_inc; pre-r14
+# artifacts lack them, in which case d59 falls back to the per-query
+# table like any other query).
+SHARED_FAMILY = {"d47", "d48", "d57", "d59", "d60"}
 
 
 def load_queries(path):
@@ -194,6 +197,25 @@ def main():
         print(f"  (per-query >2x table below excludes "
               f"{' '.join(sorted(SHARED_FAMILY))} — per-gate numbers "
               f"re-price the chain per query by policy)")
+        # BOTH views of the composed family (r13 verdict #6): the
+        # per-gate sums (each gate rebuilds its chain — the hash-gate
+        # cost record) and the shared-lane sums (chain priced once —
+        # what a production pipeline pays; the regression headline).
+        fam = sorted(k for k in common if k in SHARED_FAMILY)
+        lane_common = sorted(set(prev_sh) & set(new_sh))
+        if fam and lane_common:
+            pf = sum(prev_q[k] for k in fam)
+            nf = sum(new_q[k] for k in fam)
+            pl = sum(float(prev_sh[k]) for k in lane_common)
+            nl = sum(float(new_sh[k]) for k in lane_common)
+            print(f"  family views — per-gate (policy): {pf:.2f}s -> "
+                  f"{nf:.2f}s ({nf / pf if pf else float('nan'):.2f}x); "
+                  f"shared-lane (headline): {pl:.2f}s -> {nl:.2f}s "
+                  f"({nl / pl if pl else float('nan'):.2f}x)")
+            px, nx = prev_sum - pf, new_sum - nf
+            print(f"  common-set ratio excluding the family: "
+                  f"{px:.2f}s -> {nx:.2f}s "
+                  f"({nx / px if px else float('nan'):.2f}x)")
     rows = []
     for k in common:
         if lane and k in SHARED_FAMILY:
