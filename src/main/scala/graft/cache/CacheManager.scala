@@ -55,8 +55,33 @@ final class CacheManager(val conf: CacheConfig,
       // is still live, never delete its files then.
       if (n.getCause == com.google.common.cache.RemovalCause.REPLACED) return
       if (n.wasEvicted()) metrics.evictions.incrementAndGet()
-      // Invalidation already deleted files; eviction must delete here.
-      if (n.getValue != null && !n.getValue.isDeleted) n.getValue.deleteFiles()
+      val old = n.getValue
+      if (old == null) return
+      // Serialized with metadata() construction (r14 stress-gate find):
+      // Guava runs this listener AFTER the map removal, outside segment
+      // locks — a reload racing into that window used to construct a new
+      // instance at the SAME generation, restore the old mdfile's bitmap,
+      // and then lose its files to this very deletion; a later warm
+      // re-created the sparse data file and cached reads served ZEROS
+      // that passed the covers re-validation (StressGateSpec byte
+      // mismatch). Under the manager lock: bump the generation first so
+      // any later reload starts COLD at gen+1 (the evictor's decision
+      // sticks; cross-JVM warm restore is untouched — a fresh JVM seeds
+      // generations from the disk layout), retire any same-generation
+      // racer that already slipped in, then delete the files.
+      CacheManager.this.synchronized {
+        if (n.wasEvicted())
+          generations.compute(n.getKey, (_, g) =>
+            Integer.valueOf(if (g == null) 2 else g.intValue + 1))
+        val cur = registry.getIfPresent(n.getKey)
+        if (cur != null && !(cur eq old) && cur.generation == old.generation
+          && !cur.isDeleted) {
+          cur.deleteFiles()
+          registry.invalidate(n.getKey)
+        }
+        // Invalidation already deleted files; eviction must delete here.
+        if (!old.isDeleted) old.deleteFiles()
+      }
     }
   }
 
@@ -91,6 +116,15 @@ final class CacheManager(val conf: CacheConfig,
         invalidate(path)
       }
       this.synchronized {
+        // Drain pending removal notifications FIRST (r14 stress-gate
+        // find): an eviction's map-removal precedes its listener, so a
+        // miss observed here can mean "evicted, deletion pending". The
+        // drain runs those listeners on THIS thread under the manager
+        // lock (re-entrant), so the generation bump and file deletion
+        // happen-before the construction below — the new instance can
+        // never restore a bitmap whose files a pending eviction is about
+        // to unlink.
+        registry.cleanUp()
         // re-run the SAME mismatch check under the lock: two racing opens
         // that both saw a stale entry must not install metadata objects
         // with different fileLen/mtime for one generation (they would
@@ -151,8 +185,10 @@ final class CacheManager(val conf: CacheConfig,
   }
 
   /** Drop metadata + delete cache files + bump generation
-    * (BookKeeper.invalidateFileMetadata:749-756). */
-  def invalidate(path: String): Unit = {
+    * (BookKeeper.invalidateFileMetadata:749-756). Serialized with
+    * metadata() construction so a concurrent reload can never restore a
+    * bitmap mid-deletion (same hazard class as the eviction listener). */
+  def invalidate(path: String): Unit = this.synchronized {
     metrics.invalidations.incrementAndGet()
     val m = registry.getIfPresent(path)
     if (m != null) {

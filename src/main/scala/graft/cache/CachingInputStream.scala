@@ -445,6 +445,13 @@ final class CachingInputStream(
         manager.metrics.warmupBytes.addAndGet(span.toLong)
       }
     } catch {
+      // the entry was retired between the guard and the write (eviction/
+      // invalidation): a lost warm, never an error — the user's data was
+      // already delivered from the source, strict or not
+      case _: Exception if {
+          val cur = manager.metadataFor(path)
+          cur.isEmpty || cur.exists(x => x.isDeleted || x.generation != generation)
+        } => // benign: cache miss persists
       case e: Exception if !conf.strict => // data already delivered; cache miss persists
       case e: Exception => throw e
     }

@@ -86,8 +86,13 @@ final class FileMetadata(
 
   def dataFile: File = CacheFileLayout.dataFile(conf.cacheDir, remotePath, generation)
 
-  /** Ensure the sparse data file exists with full logical length. */
+  /** Ensure the sparse data file exists with full logical length. A
+    * retired instance must never re-create files its deletion already
+    * unlinked (the r14 stress-gate corruption vector: a fresh sparse
+    * file under a bitmap that still claims blocks cached). */
   def ensureDataFile(): File = synchronized {
+    if (deleted)
+      throw new java.io.IOException(s"cache entry deleted for $remotePath")
     val f = dataFile
     if (!f.exists() || f.length() != fileLen) {
       CacheFileLayout.ensureParent(f)

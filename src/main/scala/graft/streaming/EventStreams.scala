@@ -965,24 +965,24 @@ object EventStreams {
       }
     }
 
-  /** One s14 micro-batch: prior per-lang totals from the store (batch_id
-    * < current), a within-batch prefix window, the admission flag, and
-    * this batch's per-lang totals appended to the store — idempotent
-    * under re-delivery (s13's overwrite discipline). */
+  /** One s14 micro-batch: prior per-lang totals from the latest FOLD
+    * snapshot strictly below the current id (r14 layout — one
+    * pre-aggregated read, snapshots <= N-2 retired), a within-batch
+    * prefix window, the admission flag, and a fresh fold snapshot
+    * absorbing this batch — idempotent under re-delivery (s13's
+    * overwrite discipline: a retry recomputes the identical snapshot
+    * from N-1). */
   def quotaBatch(base: String, budget: Long, batch: DataFrame,
       batchId: Long): Unit = {
     val s = batch.sparkSession
-    val storeRoot = new java.io.File(s"$base/store")
-    val prior =
-      if (storeRoot.exists() && storeRoot.listFiles() != null &&
-        storeRoot.listFiles().exists(_.getName.startsWith("batch_id="))) {
-        s.read.parquet(s"$base/store")
-          .filter(col("batch_id") < batchId)
-          .groupBy("lang").agg(sum("toks").as("base_toks"))
-      } else {
-        s.emptyDataFrame
-          .select(lit("").as("lang"), lit(0L).as("base_toks")).limit(0)
-      }
+    // prior per-lang totals from the FOLD snapshot (r14 layout, same as
+    // s15's quotafold): one pre-aggregated read, never a re-aggregation
+    // over all prior batch partitions
+    val priorQuota = latestFold(s, s"$base/store", batchId)
+    val prior = priorQuota
+      .map(_.select(col("lang"), col("toks").as("base_toks")))
+      .getOrElse(s.emptyDataFrame
+        .select(lit("").as("lang"), lit(0L).as("base_toks")).limit(0))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -996,8 +996,12 @@ object EventStreams {
         col("arrived_before").cast("long").as("arrived_before"),
         (col("arrived_before") < budget).as("admitted"))
       .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId")
-    batch.groupBy("lang").agg(sum("n_tok").as("toks"))
-      .write.mode("overwrite").parquet(s"$base/store/batch_id=$batchId")
+    val batchQuota = batch.groupBy("lang").agg(sum("n_tok").as("toks"))
+    writeFold(priorQuota
+        .map(_.unionByName(batchQuota)
+          .groupBy("lang").agg(sum("toks").as("toks")))
+        .getOrElse(batchQuota),
+      s"$base/store", batchId)
     ()
   }
 
