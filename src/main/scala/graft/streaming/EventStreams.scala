@@ -833,10 +833,7 @@ object EventStreams {
       // explicit schema (incl. partition cols): a zero-gram batch writes
       // no part files under partitionBy, and schema inference over an
       // all-empty store would otherwise fail
-      val st = s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id BIGINT, lang STRING, source STRING, np INT, gh BIGINT, " +
-            "gbkt BIGINT, batch_id BIGINT"))
-        .parquet(path)
+      val st = s.read.schema(gramStoreSchema).parquet(path)
         .filter(col("batch_id") < batchId && col("gbkt").isin(bkts: _*) &&
           graft.functions.BloomExprs.mightContainCol(col("gh"), bloom))
       Some(bg.join(st.select(col("doc_id").as("prior_id"),
@@ -848,6 +845,70 @@ object EventStreams {
         .agg(count(lit(1)).as("inter"), max("np").as("np")))
     }
   }
+  /** Offline gram-store compaction (the LSM half the delta layout needs
+    * at scale): fold every delta dir present into ONE bucketed base dir
+    * keyed `batch_id=<maxId>`. A probe is equivalence-preserving by
+    * construction — gram rows are facts (no aggregation), and the probe
+    * only tests `batch_id < current`, which every folded row (stamped
+    * maxId, a COMMITTED id strictly below any future batch) satisfies
+    * exactly when its original id did. Run QUIESCED (single writer, the
+    * production maintenance-window shape); the one Structured-Streaming
+    * interaction to respect is re-delivery: fold only ever covers
+    * committed ids, and Spark never re-delivers a committed batch.
+    *
+    * Crash-safe by roll-forward, not atomicity: (1) merged rows land in
+    * a dot-dir `.compact-upto-<maxId>` (invisible to partition
+    * discovery) with Spark's _SUCCESS marker; (2) the input dirs
+    * `batch_id <= maxId` are deleted; (3) one POSIX dir rename publishes
+    * the dot-dir as `batch_id=<maxId>`. A rerun after a crash at any
+    * point finds the complete dot-dir and resumes at (2)/(3) without
+    * recomputation; an incomplete dot-dir (no _SUCCESS — crash during
+    * (1), inputs untouched) is discarded and rebuilt. Idempotent when
+    * nothing needs folding. At 100 TB this bounds the store at O(1)
+    * dirs x GramBuckets files between maintenance windows instead of
+    * one dir per micro-batch forever. */
+  def compactGramStore(s: SparkSession, path: String): Unit = {
+    val root = new java.io.File(path)
+    def deltaIds = Option(root.listFiles()).toSeq.flatten.map(_.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
+      x.delete()
+    }
+    // roll-forward: adopt a complete pending fold, discard a torn one
+    val pending = Option(root.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith(".compact-upto-"))
+    val adopted = pending.find(d => new java.io.File(d, "_SUCCESS").exists())
+    pending.filterNot(adopted.contains).foreach(rm)
+    val fold: Option[(java.io.File, Long)] = adopted match {
+      case Some(d) =>
+        Some(d -> d.getName.stripPrefix(".compact-upto-").toLong)
+      case None =>
+        val ids = deltaIds
+        if (ids.size < 2) None
+        else {
+          val maxId = ids.max
+          val tmp = new java.io.File(root, s".compact-upto-$maxId")
+          s.read.schema(gramStoreSchema).parquet(path)
+            .drop("batch_id") // re-stamped by the published dir name
+            .write.mode("overwrite").partitionBy("gbkt")
+            .parquet(tmp.getPath)
+          Some(tmp -> maxId)
+        }
+    }
+    fold.foreach { case (tmp, maxId) =>
+      deltaIds.filter(_ <= maxId).foreach(i =>
+        rm(new java.io.File(root, s"batch_id=$i")))
+      val dest = new java.io.File(root, s"batch_id=$maxId")
+      require(tmp.renameTo(dest), s"compaction publish failed: $tmp -> $dest")
+    }
+  }
+
+  private val gramStoreSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, lang STRING, source STRING, np INT, gh BIGINT, " +
+      "gbkt BIGINT, batch_id BIGINT")
+
   // -----------------------------------------------------------------------
 
   def ingestDedupBatch(base: String, batch: DataFrame, batchId: Long): Unit = {

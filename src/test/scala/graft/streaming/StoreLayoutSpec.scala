@@ -35,24 +35,40 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getName).toSet
   }
 
-  test("fold snapshots retire to the last two; gram deltas accumulate " +
-      "bucketed") {
+  // docs built to pass EVERY stage: 14 tokens (>= 10 for quality, 13
+  // bigrams < 20 waives the repetition ceilings), >= 2 stopwords, all
+  // trigrams distinct, content tokens id-unique at every 3rd position so
+  // no two docs share a single trigram (dup stage sees Jaccard 0)
+  private def docText(id: Long): String =
+    s"the a${id}b0 of the a${id}b1 and some a${id}b2 " +
+      s"near which a${id}b3 holds the a${id}b4"
+
+  private def mkBatch(b: Int) = {
     val s = spark
     import s.implicits._
+    (0 until 3).map { i =>
+      val id = b * 10L + i
+      (id, "en", "web", docText(id))
+    }.toDF("doc_id", "lang", "source", "text")
+  }
+
+  private def copyTree(src: String, dst: String): Unit = {
+    val sp = java.nio.file.Paths.get(src)
+    val dp = java.nio.file.Paths.get(dst)
+    val st = java.nio.file.Files.walk(sp)
+    try st.forEach { p =>
+      val t = dp.resolve(sp.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    } finally st.close()
+  }
+
+  test("fold snapshots retire to the last two; gram deltas accumulate " +
+      "bucketed") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-storelayout-").toString
     try {
-      // four batches of docs built to pass EVERY stage: 14 tokens
-      // (>= 10 for quality, 13 bigrams < 20 waives the repetition
-      // ceilings), >= 2 stopwords, all trigrams distinct, and the
-      // content tokens id-unique at every 3rd position so no two docs
-      // share a single trigram (dup stage sees Jaccard 0)
-      def mkBatch(b: Int) = (0 until 3).map { i =>
-        val id = b * 10L + i
-        (id, "en", "web",
-          s"the a${id}b0 of the a${id}b1 and some a${id}b2 " +
-            s"near which a${id}b3 holds the a${id}b4")
-      }.toDF("doc_id", "lang", "source", "text")
       (0 until 4).foreach { b =>
         EventStreams.curationBatch(base, budget = 1L << 40, mkBatch(b),
           b.toLong)
@@ -97,6 +113,80 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.hadoop.fs.FileSystem
         .getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(base), true)
+    }
+  }
+
+  test("gram-store compaction is probe-equivalent and rolls forward " +
+      "through a simulated crash") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-storecompact-").toString
+    val base2 = java.nio.file.Files
+      .createTempDirectory("graft-storecompact2-").toString + "/copy"
+    try {
+      (0 until 4).foreach { b =>
+        EventStreams.curationBatch(base, budget = 1L << 40, mkBatch(b),
+          b.toLong)
+      }
+      copyTree(base, base2) // the uncompacted control replica
+
+      EventStreams.compactGramStore(spark, s"$base/gramstore")
+      assert(dirs(s"$base/gramstore") == Set("batch_id=3"),
+        s"compaction must fold to one base dir: ${dirs(s"$base/gramstore")}")
+      assert(dirs(s"$base/gramstore/batch_id=3")
+          .forall(_.startsWith("gbkt=")),
+        "the folded base must keep the bucket partitioning")
+      // row multiset preserved (batch_id re-stamped, everything else
+      // bit-identical between folded and unfolded stores)
+      def rows(p: String) = spark.read.parquet(p)
+        .drop("batch_id").collect().map(_.toString).sorted.toSeq
+      assert(rows(s"$base/gramstore") == rows(s"$base2/gramstore"),
+        "compaction changed the gram row multiset")
+
+      // batch 4 carries a near-dup of batch-0's doc 0 (shared grams) plus
+      // a fresh doc: outcomes must be IDENTICAL against the compacted
+      // store and the uncompacted replica
+      val b4 = Seq(
+        (40L, "en", "web", docText(0L) + " is 7"),
+        (41L, "en", "web", docText(41L)))
+        .toDF("doc_id", "lang", "source", "text")
+      EventStreams.curationBatch(base, budget = 1L << 40, b4, 4L)
+      EventStreams.curationBatch(base2, budget = 1L << 40, b4, 4L)
+      def out4(p: String) = spark.read.parquet(s"$p/out")
+        .where("batch_id = 4").select("doc_id", "outcome")
+        .collect().map(_.toString).sorted.toSeq
+      val got = out4(base)
+      assert(got == out4(base2),
+        s"compacted vs uncompacted outcomes diverged: $got")
+      assert(got.exists(r => r.contains("40") && r.contains("dup")),
+        s"the planted near-dup must be flagged via the folded store: $got")
+
+      // roll-forward: simulate a crash after the input deletes but
+      // before the publish rename — re-running the compactor must
+      // complete the fold without recomputation
+      EventStreams.compactGramStore(spark, s"$base/gramstore") // folds 3+4
+      val published = new java.io.File(s"$base/gramstore/batch_id=4")
+      val tmp = new java.io.File(s"$base/gramstore/.compact-upto-4")
+      assert(published.renameTo(tmp), "crash-simulation rename failed")
+      EventStreams.compactGramStore(spark, s"$base/gramstore")
+      assert(dirs(s"$base/gramstore") == Set("batch_id=4"),
+        s"roll-forward must publish the pending fold: ${dirs(s"$base/gramstore")}")
+
+      // a TORN tmp (no _SUCCESS) is discarded, never adopted
+      val torn = new java.io.File(s"$base/gramstore/.compact-upto-99")
+      torn.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(torn.getPath, "junk"), "torn")
+      EventStreams.compactGramStore(spark, s"$base/gramstore")
+      assert(!torn.exists(), "a torn fold tmp must be discarded")
+      assert(dirs(s"$base/gramstore") == Set("batch_id=4"))
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        new java.io.File(base2).getParent), true)
     }
   }
 }
