@@ -13,15 +13,22 @@ import org.apache.spark.sql.functions._
   * fold size growing with the corpus, not with partition count).
   *
   * Usage: runMain graft.StoreScaleProbe <sfDir> <nBatches> <batchRows>
+  *   [compactAt]
+  * With `compactAt` = k, runs compactGramStore after batch k completes —
+  * the maintenance-window shape — and reports the gram-store file count
+  * before/after plus the post-compaction batches' times (they must stay
+  * on the ladder: compaction is probe-equivalent).
   * Prints one JSON line:
   *   {"metric":"s15_batch_ladder","n_batches":K,"batch_rows":B,
-  *    "times":[sec,...],"sf":...}
+  *    "times":[sec,...],("compact_at":k,"files_before":F0,
+  *    "files_after":F1,"compact_sec":s,)"sf":...}
   */
 object StoreScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val nBatches = args(1).toInt
     val batchRows = args(2).toLong
+    val compactAt = if (args.length > 3) Some(args(3).toInt) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
@@ -44,6 +51,16 @@ object StoreScaleProbe {
       // budget far above the corpus so quota math runs but never zeroes
       // later batches' downstream work
       val budget = Long.MaxValue / 4
+      def gramFiles(): Long = {
+        val root = java.nio.file.Paths.get(s"$base/gramstore")
+        if (!java.nio.file.Files.exists(root)) 0L
+        else {
+          val st = java.nio.file.Files.walk(root)
+          try st.filter(java.nio.file.Files.isRegularFile(_)).count()
+          finally st.close()
+        }
+      }
+      var compactNote = ""
       val times = (0 until nBatches).map { b =>
         val bd = seqd
           .filter(col("seq") >= b * batchRows &&
@@ -51,12 +68,21 @@ object StoreScaleProbe {
           .drop("seq")
         val t0 = System.nanoTime()
         streaming.EventStreams.curationBatch(base, budget, bd, b.toLong)
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (compactAt.contains(b)) {
+          val f0 = gramFiles()
+          val c0 = System.nanoTime()
+          streaming.EventStreams.compactGramStore(spark, s"$base/gramstore")
+          val cs = (System.nanoTime() - c0) / 1e9
+          compactNote = f""""compact_at":$b,"files_before":$f0,""" +
+            f""""files_after":${gramFiles()},"compact_sec":$cs%.2f,"""
+        }
+        t
       }
       val ts = times.map(t => f"$t%.2f").mkString("[", ",", "]")
       val line =
         s"""{"metric":"s15_batch_ladder","n_batches":$nBatches,""" +
-          s""""batch_rows":$batchRows,"times":$ts,"sf":"$dir"}"""
+          s""""batch_rows":$batchRows,"times":$ts,$compactNote"sf":"$dir"}"""
       println(line)
       Console.err.println(line)
     } finally {

@@ -892,6 +892,9 @@ object EventStreams {
           val tmp = new java.io.File(root, s".compact-upto-$maxId")
           s.read.schema(gramStoreSchema).parquet(path)
             .drop("batch_id") // re-stamped by the published dir name
+            // one file per bucket: the point of compaction is a bounded
+            // file count, and an un-clustered write fans out per task
+            .repartition(col("gbkt"))
             .write.mode("overwrite").partitionBy("gbkt")
             .parquet(tmp.getPath)
           Some(tmp -> maxId)
