@@ -768,12 +768,6 @@ object EventStreams {
 
   private[streaming] val GramBuckets = 32L
 
-  private def hasBatchDirs(path: String): Boolean = {
-    val root = new java.io.File(path)
-    root.exists() && root.listFiles() != null &&
-      root.listFiles().exists(_.getName.startsWith("batch_id="))
-  }
-
   /** Latest fold snapshot strictly before `batchId`, if any. */
   private def latestFold(s: SparkSession, path: String,
       batchId: Long): Option[DataFrame] = {
@@ -820,9 +814,8 @@ object EventStreams {
     * (doc_id, prior_id, inter, np) pairs, or None when no prior batch
     * has written yet. */
   private def gramStoreProbe(s: SparkSession, path: String, batchId: Long,
-      bg: DataFrame): Option[DataFrame] = {
-    if (!hasBatchDirs(path)) None
-    else {
+      bg: DataFrame): Option[DataFrame] =
+    readGramStore(s, path).map { store =>
       // bounded driver fetch: <= GramBuckets rows
       val bkts = bg.select(pmod(col("gh"), lit(GramBuckets)).as("gbkt"))
         .distinct().collect().map(_.getLong(0)).toSeq
@@ -830,87 +823,194 @@ object EventStreams {
       // false-positive rate (more candidate I/O), never wrong results
       val bloom = graft.functions.BloomExprs.broadcastBloom(
         s, bg.select("gh"), "gh", 1L << 20, 0.01)
-      // explicit schema (incl. partition cols): a zero-gram batch writes
-      // no part files under partitionBy, and schema inference over an
-      // all-empty store would otherwise fail
-      val st = s.read.schema(gramStoreSchema).parquet(path)
+      val st = store
         .filter(col("batch_id") < batchId && col("gbkt").isin(bkts: _*) &&
           graft.functions.BloomExprs.mightContainCol(col("gh"), bloom))
-      Some(bg.join(st.select(col("doc_id").as("prior_id"),
+      bg.join(st.select(col("doc_id").as("prior_id"),
           col("lang").as("lang_p"), col("source").as("source_p"),
           col("np"), col("gh").as("gh_p")),
         col("gh") === col("gh_p") && col("lang") === col("lang_p") &&
           col("source") === col("source_p"))
         .groupBy("doc_id", "prior_id")
-        .agg(count(lit(1)).as("inter"), max("np").as("np")))
+        .agg(count(lit(1)).as("inter"), max("np").as("np"))
+    }
+
+  // ---- gram-store manifest commit (r15) ---------------------------------
+  // r14's compaction published by POSIX dir rename; on the object stores
+  // this store would live on at 100 TB (S3/ABFS), a dir rename is neither
+  // atomic nor cheap, and a reader listing batch_id= dirs could observe
+  // the swap mid-flight. The r15 protocol publishes by atomically swapping
+  // ONE small manifest file instead (a single-object PUT on any store —
+  // the mdfile generation-publish discipline, reference
+  // CacheUtil.java:162-182): folded rows land under a `base-<upto>` dir
+  // (never `batch_id=`-prefixed, so partition discovery and pre-manifest
+  // readers can't half-see it), and the reader resolves base + live
+  // deltas FROM the manifest, not from a listing race with the compactor.
+
+  private val ManifestName = "_graft_manifest"
+
+  private def baseComplete(d: java.io.File): Boolean =
+    new java.io.File(d, "_SUCCESS").exists()
+
+  /** The store's published base (`base-<upto>` dir, upto) — from the
+    * manifest when it names a complete dir, else recovered as the newest
+    * COMPLETE base dir present (a torn manifest cannot happen under the
+    * atomic-move publish, but a reader must never brick on one; and a
+    * complete-but-unpublished base — crash between fold and publish — is
+    * safe to adopt early: its source deltas are still on disk, so reading
+    * it merely swaps equivalent rows). Largest upto wins. */
+  private[streaming] def resolveGramBase(
+      root: java.io.File): Option[(java.io.File, Long)] = {
+    val named = try {
+      val mf = new java.io.File(root, ManifestName)
+      if (!mf.exists()) None
+      else {
+        val kv = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+            "UTF-8").linesIterator
+          .flatMap(_.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }).toMap
+        val d = new java.io.File(root, kv("base"))
+        if (baseComplete(d)) Some(d -> kv("upto").toLong) else None
+      }
+    } catch { case _: Exception => None }
+    val listed = Option(root.listFiles()).toSeq.flatten
+      .filter(d => d.getName.startsWith("base-") && baseComplete(d))
+      .flatMap(d => scala.util.Try(
+        d.getName.stripPrefix("base-").toLong).toOption.map(d -> _))
+    (named.toSeq ++ listed).sortBy(_._2).lastOption
+  }
+
+  private def gramDeltaDirs(root: java.io.File): Seq[(java.io.File, Long)] =
+    Option(root.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("batch_id="))
+      .map(d => d -> d.getName.stripPrefix("batch_id=").toLong)
+      .sortBy(_._2)
+
+  /** The live gram store as one frame — the published base (rows
+    * re-stamped `batch_id = upto`, a committed id, preserving the probe's
+    * `batch_id < current` semantics exactly) unioned with the delta dirs
+    * above it — or None when nothing has been written yet. Explicit
+    * schemas throughout: a zero-gram batch writes no part files under
+    * partitionBy, and inference over an all-empty store would fail. */
+  private[streaming] def readGramStore(s: SparkSession, path: String):
+      Option[DataFrame] = {
+    val root = new java.io.File(path)
+    val base = resolveGramBase(root)
+    val upto = base.map(_._2).getOrElse(Long.MinValue)
+    val deltas = gramDeltaDirs(root).filter(_._2 > upto)
+    val deltaDf =
+      if (deltas.isEmpty) None
+      else Some(s.read.schema(gramStoreSchema).option("basePath", path)
+        .parquet(deltas.map(_._1.getPath): _*))
+    val baseDf = base.map { case (d, u) =>
+      s.read.schema(gramBaseSchema).parquet(d.getPath)
+        .withColumn("batch_id", lit(u))
+    }
+    (baseDf, deltaDf) match {
+      case (Some(b), Some(d)) => Some(b.unionByName(d))
+      case (b, d)             => b.orElse(d)
     }
   }
   /** Offline gram-store compaction (the LSM half the delta layout needs
-    * at scale): fold every delta dir present into ONE bucketed base dir
-    * keyed `batch_id=<maxId>`. A probe is equivalence-preserving by
-    * construction — gram rows are facts (no aggregation), and the probe
-    * only tests `batch_id < current`, which every folded row (stamped
-    * maxId, a COMMITTED id strictly below any future batch) satisfies
-    * exactly when its original id did. Run QUIESCED (single writer, the
-    * production maintenance-window shape); the one Structured-Streaming
-    * interaction to respect is re-delivery: fold only ever covers
-    * committed ids, and Spark never re-delivers a committed batch.
+    * at scale): fold the published base plus every COMMITTED delta into
+    * one fresh bucketed `base-<upto>` dir and publish it with the atomic
+    * manifest swap (layout notes above [[resolveGramBase]]). Committed
+    * means strictly below the newest delta present: foreachBatch can only
+    * re-deliver the LAST batch id, so everything below ids.max is
+    * provably checkpoint-committed, and the newest delta always stays a
+    * delta — folding it would let a post-crash re-delivery of that batch
+    * probe `batch_id < maxId`, miss the entire folded history, and then
+    * overwrite it (r14 advice). A probe is equivalence-preserving by
+    * construction — gram rows are facts (no aggregation), and folded
+    * rows re-stamped `upto` satisfy `batch_id < current` exactly when
+    * their original ids did.
     *
-    * Crash-safe by roll-forward, not atomicity: (1) merged rows land in
-    * a dot-dir `.compact-upto-<maxId>` (invisible to partition
-    * discovery) with Spark's _SUCCESS marker; (2) the input dirs
-    * `batch_id <= maxId` are deleted; (3) one POSIX dir rename publishes
-    * the dot-dir as `batch_id=<maxId>`. A rerun after a crash at any
-    * point finds the complete dot-dir and resumes at (2)/(3) without
-    * recomputation; an incomplete dot-dir (no _SUCCESS — crash during
-    * (1), inputs untouched) is discarded and rebuilt. Idempotent when
-    * nothing needs folding. At 100 TB this bounds the store at O(1)
-    * dirs x GramBuckets files between maintenance windows instead of
-    * one dir per micro-batch forever. */
+    * Crash-safe by roll-forward, not multi-file atomicity:
+    * (1) merged rows land under `base-<upto>` with Spark's _SUCCESS
+    * marker; (2) ONE small manifest file is atomically swapped in to
+    * name it; (3) retired deltas (`batch_id <= upto`), superseded bases
+    * and stray tmp files are garbage-collected. A rerun after a crash at
+    * any point adopts the newest complete base without recomputation
+    * (the repair step below), discards torn folds (no _SUCCESS — inputs
+    * untouched), and finishes the GC; a torn or stale manifest is
+    * re-published from the same resolution. Idempotent when nothing
+    * needs folding.
+    *
+    * Trigger policy (r15, from the 24x200-doc StoreScaleProbe ladder in
+    * SCALE.md): run when the store holds ~12+ delta dirs (~400 files at
+    * GramBuckets=32) — the ladder shows probe cost flat through ~800
+    * delta files and the fold itself costs ~1-2 s at that size, so a
+    * delta-count trigger in the 12-24 range amortizes compaction to
+    * noise while bounding the file count the probe's pruned listing
+    * touches. At 100 TB this keeps the store at O(1) dirs x GramBuckets
+    * files between maintenance windows instead of one dir per
+    * micro-batch forever. */
   def compactGramStore(s: SparkSession, path: String): Unit = {
     val root = new java.io.File(path)
-    def deltaIds = Option(root.listFiles()).toSeq.flatten.map(_.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong).sorted
     def rm(x: java.io.File): Unit = {
       if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
       x.delete()
     }
-    // roll-forward: adopt a complete pending fold, discard a torn one
-    val pending = Option(root.listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith(".compact-upto-"))
-    val adopted = pending.find(d => new java.io.File(d, "_SUCCESS").exists())
-    pending.filterNot(adopted.contains).foreach(rm)
-    val fold: Option[(java.io.File, Long)] = adopted match {
-      case Some(d) =>
-        Some(d -> d.getName.stripPrefix(".compact-upto-").toLong)
-      case None =>
-        val ids = deltaIds
-        if (ids.size < 2) None
-        else {
-          val maxId = ids.max
-          val tmp = new java.io.File(root, s".compact-upto-$maxId")
-          s.read.schema(gramStoreSchema).parquet(path)
-            .drop("batch_id") // re-stamped by the published dir name
-            // one file per bucket: the point of compaction is a bounded
-            // file count, and an un-clustered write fans out per task
-            .repartition(col("gbkt"))
-            .write.mode("overwrite").partitionBy("gbkt")
-            .parquet(tmp.getPath)
-          Some(tmp -> maxId)
-        }
+    def publish(baseName: String, upto: Long): Unit = {
+      val tmp = new java.io.File(root, s".manifest-tmp-${System.nanoTime()}")
+      java.nio.file.Files.write(tmp.toPath,
+        s"upto=$upto\nbase=$baseName\n".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(root, ManifestName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    fold.foreach { case (tmp, maxId) =>
-      deltaIds.filter(_ <= maxId).foreach(i =>
-        rm(new java.io.File(root, s"batch_id=$i")))
-      val dest = new java.io.File(root, s"batch_id=$maxId")
-      require(tmp.renameTo(dest), s"compaction publish failed: $tmp -> $dest")
+    def gc(keepBase: String, upto: Long): Unit =
+      Option(root.listFiles()).toSeq.flatten.foreach { f =>
+        val n = f.getName
+        val retired =
+          (n.startsWith("batch_id=") &&
+            n.stripPrefix("batch_id=").toLong <= upto) ||
+            (n.startsWith("base-") && n != keepBase) ||
+            n.startsWith(".manifest-tmp-")
+        if (retired) rm(f)
+      }
+    // repair/roll-forward: drop torn folds, then re-publish + GC around
+    // whatever resolution says is current (no-op when already current)
+    Option(root.listFiles()).toSeq.flatten
+      .filter(d => d.getName.startsWith("base-") && !baseComplete(d))
+      .foreach(rm)
+    resolveGramBase(root).foreach { case (d, upto) =>
+      publish(d.getName, upto)
+      gc(d.getName, upto)
     }
+    // fold: base + committed deltas (strictly below the newest delta)
+    val base = resolveGramBase(root)
+    val upto0 = base.map(_._2).getOrElse(Long.MinValue)
+    val committed = gramDeltaDirs(root).filter(_._2 > upto0).dropRight(1)
+    if (committed.size + (if (base.isDefined) 1 else 0) < 2)
+      return // nothing to merge
+    val newUpto = committed.last._2
+    val deltaDf = s.read.schema(gramStoreSchema).option("basePath", path)
+      .parquet(committed.map(_._1.getPath): _*)
+      .drop("batch_id") // re-stamped from the manifest's upto at read
+    val all = base
+      .map { case (d, _) =>
+        s.read.schema(gramBaseSchema).parquet(d.getPath).unionByName(deltaDf)
+      }
+      .getOrElse(deltaDf)
+    val newBase = new java.io.File(root, s"base-$newUpto")
+    // one file per bucket: the point of compaction is a bounded file
+    // count, and an un-clustered write fans out per task
+    all.repartition(col("gbkt"))
+      .write.mode("overwrite").partitionBy("gbkt").parquet(newBase.getPath)
+    publish(newBase.getName, newUpto)
+    gc(newBase.getName, newUpto)
   }
 
   private val gramStoreSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, lang STRING, source STRING, np INT, gh BIGINT, " +
       "gbkt BIGINT, batch_id BIGINT")
+  private val gramBaseSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, lang STRING, source STRING, np INT, gh BIGINT, " +
+      "gbkt BIGINT")
 
   // -----------------------------------------------------------------------
 

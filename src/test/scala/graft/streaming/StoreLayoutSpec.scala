@@ -116,14 +116,19 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("gram-store compaction is probe-equivalent and rolls forward " +
-      "through a simulated crash") {
+  test("gram-store compaction is probe-equivalent, never folds the " +
+      "newest delta, and rolls forward through crash + torn manifest") {
     val s = spark
     import s.implicits._
     val base = java.nio.file.Files
       .createTempDirectory("graft-storecompact-").toString
     val base2 = java.nio.file.Files
       .createTempDirectory("graft-storecompact2-").toString + "/copy"
+    val gram = s"$base/gramstore"
+    def store = EventStreams.readGramStore(spark, gram)
+      .getOrElse(fail("gram store must resolve"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .drop("batch_id").collect().map(_.toString).sorted.toSeq
     try {
       (0 until 4).foreach { b =>
         EventStreams.curationBatch(base, budget = 1L << 40, mkBatch(b),
@@ -131,17 +136,20 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       copyTree(base, base2) // the uncompacted control replica
 
-      EventStreams.compactGramStore(spark, s"$base/gramstore")
-      assert(dirs(s"$base/gramstore") == Set("batch_id=3"),
-        s"compaction must fold to one base dir: ${dirs(s"$base/gramstore")}")
-      assert(dirs(s"$base/gramstore/batch_id=3")
-          .forall(_.startsWith("gbkt=")),
+      EventStreams.compactGramStore(spark, gram)
+      // the NEWEST delta is never folded (r14 advice: a re-delivered last
+      // batch must still see all prior history below its own id) — the
+      // committed ids 0..2 fold into base-2, delta 3 stays a delta
+      assert(dirs(gram) == Set("base-2", "batch_id=3"),
+        s"compaction must fold committed ids only: ${dirs(gram)}")
+      assert(new java.io.File(s"$gram/_graft_manifest").exists(),
+        "publish must land the manifest")
+      assert(dirs(s"$gram/base-2").forall(_.startsWith("gbkt=")),
         "the folded base must keep the bucket partitioning")
       // row multiset preserved (batch_id re-stamped, everything else
       // bit-identical between folded and unfolded stores)
-      def rows(p: String) = spark.read.parquet(p)
-        .drop("batch_id").collect().map(_.toString).sorted.toSeq
-      assert(rows(s"$base/gramstore") == rows(s"$base2/gramstore"),
+      assert(rows(store) ==
+          rows(EventStreams.readGramStore(spark, s"$base2/gramstore").get),
         "compaction changed the gram row multiset")
 
       // batch 4 carries a near-dup of batch-0's doc 0 (shared grams) plus
@@ -153,34 +161,69 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
         .toDF("doc_id", "lang", "source", "text")
       EventStreams.curationBatch(base, budget = 1L << 40, b4, 4L)
       EventStreams.curationBatch(base2, budget = 1L << 40, b4, 4L)
-      def out4(p: String) = spark.read.parquet(s"$p/out")
-        .where("batch_id = 4").select("doc_id", "outcome")
+      def outN(p: String, n: Int) = spark.read.parquet(s"$p/out")
+        .where(s"batch_id = $n").select("doc_id", "outcome")
         .collect().map(_.toString).sorted.toSeq
-      val got = out4(base)
-      assert(got == out4(base2),
+      val got = outN(base, 4)
+      assert(got == outN(base2, 4),
         s"compacted vs uncompacted outcomes diverged: $got")
       assert(got.exists(r => r.contains("40") && r.contains("dup")),
         s"the planted near-dup must be flagged via the folded store: $got")
 
-      // roll-forward: simulate a crash after the input deletes but
-      // before the publish rename — re-running the compactor must
-      // complete the fold without recomputation
-      EventStreams.compactGramStore(spark, s"$base/gramstore") // folds 3+4
-      val published = new java.io.File(s"$base/gramstore/batch_id=4")
-      val tmp = new java.io.File(s"$base/gramstore/.compact-upto-4")
-      assert(published.renameTo(tmp), "crash-simulation rename failed")
-      EventStreams.compactGramStore(spark, s"$base/gramstore")
-      assert(dirs(s"$base/gramstore") == Set("batch_id=4"),
-        s"roll-forward must publish the pending fold: ${dirs(s"$base/gramstore")}")
+      // second fold: base-2 + committed delta 3 -> base-3; delta 4 stays
+      EventStreams.compactGramStore(spark, gram)
+      assert(dirs(gram) == Set("base-3", "batch_id=4"),
+        s"re-compaction must advance the base: ${dirs(gram)}")
 
-      // a TORN tmp (no _SUCCESS) is discarded, never adopted
-      val torn = new java.io.File(s"$base/gramstore/.compact-upto-99")
+      // crash between fold and publish, simulated by deleting the
+      // manifest: the reader recovers via the newest complete base and a
+      // compactor rerun re-publishes without recomputation
+      val preCrash = rows(store)
+      assert(new java.io.File(s"$gram/_graft_manifest").delete())
+      assert(rows(store) == preCrash,
+        "reader must recover from a missing manifest")
+      EventStreams.compactGramStore(spark, gram)
+      assert(new java.io.File(s"$gram/_graft_manifest").exists(),
+        "rerun must re-publish the manifest")
+      assert(dirs(gram) == Set("base-3", "batch_id=4"))
+
+      // a TORN manifest (garbage bytes) must never brick the reader or
+      // the compactor — both fall back to base resolution and repair it
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(gram, "_graft_manifest"),
+        "upto=".getBytes("UTF-8"))
+      assert(rows(store) == preCrash,
+        "reader must recover from a torn manifest")
+      // a stale complete base from an interrupted older run is GC'd, a
+      // TORN fold (no _SUCCESS) is discarded, and the torn manifest is
+      // repaired — all by one compactor pass
+      val stale = new java.io.File(s"$gram/base-1")
+      stale.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(stale.getPath, "_SUCCESS"),
+        Array.emptyByteArray)
+      val torn = new java.io.File(s"$gram/base-99")
       torn.mkdirs()
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(torn.getPath, "junk"), "torn")
-      EventStreams.compactGramStore(spark, s"$base/gramstore")
-      assert(!torn.exists(), "a torn fold tmp must be discarded")
-      assert(dirs(s"$base/gramstore") == Set("batch_id=4"))
+      EventStreams.compactGramStore(spark, gram)
+      assert(!stale.exists(), "a superseded base must be GC'd")
+      assert(!torn.exists(), "a torn fold must be discarded")
+      assert(dirs(gram) == Set("base-3", "batch_id=4"))
+      assert(rows(store) == preCrash, "repair must preserve the store")
+
+      // and the repaired store still probes correctly: one more batch
+      // with a near-dup of doc 0 sees identical outcomes on both replicas
+      val b5 = Seq(
+        (50L, "en", "web", docText(0L) + " is 9"),
+        (51L, "en", "web", docText(51L)))
+        .toDF("doc_id", "lang", "source", "text")
+      EventStreams.curationBatch(base, budget = 1L << 40, b5, 5L)
+      EventStreams.curationBatch(base2, budget = 1L << 40, b5, 5L)
+      val got5 = outN(base, 5)
+      assert(got5 == outN(base2, 5) &&
+          got5.exists(r => r.contains("50") && r.contains("dup")),
+        s"post-repair probe diverged: $got5")
     } finally {
       val fs = org.apache.hadoop.fs.FileSystem
         .getLocal(spark.sparkContext.hadoopConfiguration)
