@@ -15,13 +15,29 @@ import org.scalatest.funsuite.AnyFunSuite
   * accidentally depends on shared-JVM state, and that killing the owner
   * process mid-session degrades to the direct-read fallback, never an
   * error or wrong bytes. */
+object TwoProcessPeerSpec {
+  /** Child-JVM classpath for the owner processes: the compiled classes
+    * plus the Hadoop/Spark jars, located from the PARENT's own loaded
+    * spark-core jar (sbt's layered classloaders make java.class.path
+    * useless here, and hardcoding /opt/spark/jars broke any other
+    * machine layout — r14 advice). GRAFT_SPARK_JARS overrides. */
+  def childClasspath: String = {
+    val root = new java.io.File("target/scala-2.13").getAbsolutePath
+    val sparkJars = sys.env.get("GRAFT_SPARK_JARS").orElse {
+      Option(classOf[org.apache.spark.SparkContext]
+          .getProtectionDomain.getCodeSource)
+        .map(_.getLocation.toURI)
+        .filter(_.getScheme == "file")
+        .map(u => new java.io.File(u).getParent + "/*")
+    }.getOrElse("/opt/spark/jars/*")
+    s"$root/classes:$root/test-classes:$sparkJars"
+  }
+}
+
 class TwoProcessPeerSpec extends AnyFunSuite with CacheFixture {
   val content: Array[Byte] = TestFiles.alphabetContent(1, 100) // 2600 bytes
 
-  private def childClasspath: String = {
-    val root = new java.io.File("target/scala-2.13").getAbsolutePath
-    s"$root/classes:$root/test-classes:/opt/spark/jars/*"
-  }
+  private def childClasspath: String = TwoProcessPeerSpec.childClasspath
 
   private def startOwner(file: String, cacheDir: String):
       (Process, Int, StringBuilder) = {
