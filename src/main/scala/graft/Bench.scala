@@ -28,10 +28,14 @@ import org.apache.spark.sql.functions.col
   *    environmental noise window taxes three different neighborhoods
   *    instead of the same queries three times. The max over queries of
   *    (max-min)/median across the passes is reported as `rep_spread_max`.
-  *    A fixed CANARY query (lineitem scan + groupBy agg, never part of
-  *    the suite) runs every 20 queries; its times ride the artifact
-  *    (`canary`), so a noise window is visible post-hoc —
-  *    tools/regression.py flags runs whose canary drift exceeds 2x.
+  *    TWO fixed CANARY queries (never suite members) run every 20
+  *    queries: a scan shape (lineitem scan + groupBy agg) and, since
+  *    r15, a driver-synchronized iterative shape (3-round
+  *    localCheckpoint fixpoint) — the r14 window doubled d30 and
+  *    stalled a q39 rep while the scan canary read quiet, so the stall
+  *    class that only bites at driver-sync boundaries needs its own
+  *    sensor. Times ride the artifact (`canary`, `canary_iter`);
+  *    tools/regression.py flags runs where either drifts beyond 2x.
   * 3. RAW-OPERATOR timings (`ops` dict): the d06/d07 gate bodies conflate
   *    operator cost with their oracle-verification arm (exact-Jaccard
   *    recomputation / planted-twin doubling). `d06_op` times ONLY
@@ -114,6 +118,14 @@ object Bench {
     // windows (CPU steal, page-cache eviction) that would otherwise be
     // indistinguishable from query regressions.
     val canaryTimes = scala.collection.mutable.ListBuffer[Double]()
+    // SECOND canary (r15, from the r14 verdict): driver-synchronized /
+    // iterative shape — a 3-round mini-fixpoint with an eager
+    // localCheckpoint barrier per round, mirroring d30/q39's execution
+    // pattern. The r14 driver window doubled d30's median and put a
+    // 24.9 s rep on q39 while the scan canary read QUIET: the scan shape
+    // is blind to stalls that only bite at driver-sync boundaries
+    // (scheduler pauses, GC at collect points). Never a suite member.
+    val canaryIterTimes = scala.collection.mutable.ListBuffer[Double]()
     def runCanary(record: Boolean): Unit = {
       val t = timeOnce("canary") {
         operators.Tables.load(spark, sfDir, "lineitem")
@@ -124,6 +136,19 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
       if (record && t >= 0) canaryTimes += t
+      val t2 = timeOnce("canary_iter") {
+        val c = operators.Tables.load(spark, sfDir, "customer")
+          .select(col("c_custkey").as("k"), col("c_nationkey").as("v"))
+        var cur = c.localCheckpoint(true)
+        (0 until 3).foreach { _ =>
+          val reps = cur.groupBy("v")
+            .agg(org.apache.spark.sql.functions.min("k").as("k"))
+          cur = c.join(reps.select("k"), Seq("k"), "left_semi")
+            .localCheckpoint(true)
+        }
+        cur.write.format("noop").mode("overwrite").save()
+      }
+      if (record && t2 >= 0) canaryIterTimes += t2
     }
 
     // ---- cold pass (1 rep) ----
@@ -155,14 +180,24 @@ object Bench {
     val ok = warm.filter(_._3 >= 0)
     val total = ok.map(_._3).sum
     // noise floor, ATTRIBUTED (r8 verdict nit: a bare rep_spread_max of
-    // 3.41 couldn't say which query breathed): carry the worst query's
-    // name + its min/med/max in the compact artifact
+    // 3.41 couldn't say which query breathed): carry the TOP-3 spread
+    // queries' name + min/med/max in the compact artifact (r15, from the
+    // r14 verdict: q39's 24.9 s rep survived only because it was the
+    // single worst — if two queries stall in one window, the second was
+    // lost). spread_worst stays for artifact-schema compatibility.
+    val spreadTop: Seq[(String, Double, Double, Double)] = ok
+      .sortBy { case (_, mn, md, mx) =>
+        if (md > 0) -(mx - mn) / md else 0.0 }
+      .take(3)
     val (spreadName, spreadMin, spreadMed, spreadMax, repSpreadMax) =
-      if (ok.isEmpty) ("none", 0.0, 0.0, 0.0, 0.0)
-      else {
-        val w = ok.maxBy { case (_, mn, md, mx) => if (md > 0) (mx - mn) / md else 0.0 }
-        (w._1, w._2, w._3, w._4, if (w._3 > 0) (w._4 - w._2) / w._3 else 0.0)
+      spreadTop.headOption match {
+        case None => ("none", 0.0, 0.0, 0.0, 0.0)
+        case Some((n, mn, md, mx)) =>
+          (n, mn, md, mx, if (md > 0) (mx - mn) / md else 0.0)
       }
+    val spreadTopJson = spreadTop.map { case (n, mn, md, mx) =>
+      f"""{"q":"$n","min":$mn%.2f,"med":$md%.2f,"max":$mx%.2f}"""
+    }.mkString("[", ",", "]")
 
     // ---- raw-operator timings: operator cost WITHOUT the oracle arm ----
     val docs = operators.Tables.load(spark, sfDir, "documents")
@@ -353,15 +388,20 @@ object Bench {
     // canary summary + the full interleaved sequence (pass boundaries are
     // every ceil(n/20)+1 entries); med/max alone suffice for the drift
     // flag, the sequence localizes WHICH window was noisy
-    val (canMed, canMax) =
-      if (canaryTimes.isEmpty) (0.0, 0.0)
-      else (canaryTimes.sorted.apply(canaryTimes.size / 2), canaryTimes.max)
-    val canarySeq = canaryTimes.map(t => f"$t%.2f").mkString("[", ",", "]")
-    val canaryJson =
-      f"""{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size},"times":$canarySeq}"""
+    def canarySummary(ts: Seq[Double]): (Double, Double) =
+      if (ts.isEmpty) (0.0, 0.0) else (ts.sorted.apply(ts.size / 2), ts.max)
+    def canaryJsonOf(ts: Seq[Double]): String = {
+      val (med, mx) = canarySummary(ts)
+      val seq = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
+      f"""{"med":$med%.3f,"max":$mx%.3f,"n":${ts.size},"times":$seq}"""
+    }
+    val (canMed, canMax) = canarySummary(canaryTimes.toSeq)
+    val canaryJson = canaryJsonOf(canaryTimes.toSeq)
+    val (canIMed, canIMax) = canarySummary(canaryIterTimes.toSeq)
+    val canaryIterJson = canaryJsonOf(canaryIterTimes.toSeq)
     val seedsJson = orderSeeds.mkString("[", ",", "]")
     val artifact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"ops":$opsJson,"shared":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"spread_top":$spreadTopJson,"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"canary_iter":$canaryIterJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"ops":$opsJson,"shared":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(artifact)
     // Totals-only compact line, printed AFTER the full artifact: the
     // driver keeps only the last ~2000 chars of output, and the 157-entry
@@ -371,7 +411,7 @@ object Bench {
     // self-sufficient; tools/regression.py recovers per-query values from
     // the big line's surviving "queries" fragment.
     val totalsOnly =
-      f"""{"metric":"totals_only","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"cache_hit_rate":$hitRate%.4f,"canary":{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size}},"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"shared":$sharedJson,"n_queries":${names.size},"sf":"$sfDir"}"""
+      f"""{"metric":"totals_only","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"spread_top":$spreadTopJson,"cache_hit_rate":$hitRate%.4f,"canary":{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size}},"canary_iter":{"med":$canIMed%.3f,"max":$canIMax%.3f,"n":${canaryIterTimes.size}},"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"shared":$sharedJson,"n_queries":${names.size},"sf":"$sfDir"}"""
     println(totalsOnly)
     // The r8 driver artifact carried `parsed: null` — its parser sees
     // sbt's "[info] " prefix on stdout lines. Emit the same lines on

@@ -17,18 +17,31 @@ import org.apache.spark.sql.functions._
   * With `compactAt` = k, runs compactGramStore after batch k completes —
   * the maintenance-window shape — and reports the gram-store file count
   * before/after plus the post-compaction batches' times (they must stay
-  * on the ladder: compaction is probe-equivalent).
+  * on the ladder: compaction is probe-equivalent). With `compactAt` =
+  * `auto` or `auto:N`, runs compaction whenever the store holds >= N
+  * delta dirs (default 12 — the trigger policy the compactGramStore
+  * scaladoc recommends from the r14 24-batch ladder), reporting every
+  * firing — the production GC-policy shape rather than a one-shot
+  * maintenance window.
   * Prints one JSON line:
   *   {"metric":"s15_batch_ladder","n_batches":K,"batch_rows":B,
-  *    "times":[sec,...],("compact_at":k,"files_before":F0,
-  *    "files_after":F1,"compact_sec":s,)"sf":...}
+  *    "times":[sec,...],("compactions":[{"after_batch":k,
+  *    "files_before":F0,"files_after":F1,"sec":s},...],)"sf":...}
   */
 object StoreScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val nBatches = args(1).toInt
     val batchRows = args(2).toLong
-    val compactAt = if (args.length > 3) Some(args(3).toInt) else None
+    // one-shot (Int) vs trigger mode ("auto[:N]")
+    val (compactAt, triggerN): (Option[Int], Option[Int]) =
+      args.drop(3).headOption match {
+        case None => (None, None)
+        case Some(a) if a.startsWith("auto") =>
+          (None, Some(a.split(":", 2).drop(1).headOption
+            .map(_.toInt).getOrElse(12)))
+        case Some(a) => (Some(a.toInt), None)
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
@@ -60,7 +73,20 @@ object StoreScaleProbe {
           finally st.close()
         }
       }
-      var compactNote = ""
+      def deltaDirs(): Int = {
+        val root = new java.io.File(s"$base/gramstore")
+        Option(root.listFiles()).toSeq.flatten
+          .count(_.getName.startsWith("batch_id="))
+      }
+      val compactions = scala.collection.mutable.ListBuffer[String]()
+      def compact(afterBatch: Int): Unit = {
+        val f0 = gramFiles()
+        val c0 = System.nanoTime()
+        streaming.EventStreams.compactGramStore(spark, s"$base/gramstore")
+        val cs = (System.nanoTime() - c0) / 1e9
+        compactions += f"""{"after_batch":$afterBatch,"files_before":$f0,""" +
+          f""""files_after":${gramFiles()},"sec":$cs%.2f}"""
+      }
       val times = (0 until nBatches).map { b =>
         val bd = seqd
           .filter(col("seq") >= b * batchRows &&
@@ -69,17 +95,14 @@ object StoreScaleProbe {
         val t0 = System.nanoTime()
         streaming.EventStreams.curationBatch(base, budget, bd, b.toLong)
         val t = (System.nanoTime() - t0) / 1e9
-        if (compactAt.contains(b)) {
-          val f0 = gramFiles()
-          val c0 = System.nanoTime()
-          streaming.EventStreams.compactGramStore(spark, s"$base/gramstore")
-          val cs = (System.nanoTime() - c0) / 1e9
-          compactNote = f""""compact_at":$b,"files_before":$f0,""" +
-            f""""files_after":${gramFiles()},"compact_sec":$cs%.2f,"""
-        }
+        if (compactAt.contains(b)) compact(b)
+        else if (triggerN.exists(deltaDirs() >= _)) compact(b)
         t
       }
       val ts = times.map(t => f"$t%.2f").mkString("[", ",", "]")
+      val compactNote =
+        if (compactions.isEmpty) ""
+        else s""""compactions":${compactions.mkString("[", ",", "]")},"""
       val line =
         s"""{"metric":"s15_batch_ladder","n_batches":$nBatches,""" +
           s""""batch_rows":$batchRows,"times":$ts,$compactNote"sf":"$dir"}"""

@@ -21,20 +21,23 @@ import re
 import sys
 
 
-def load_canary(path):
-    """Return the canary dict ({"med":…, "max":…, "times":[…]}) from any
-    of the artifact shapes, or None for pre-r11 artifacts."""
+def load_canary(path, key="canary"):
+    """Return a canary dict ({"med":…, "max":…, "times":[…]}) from any
+    of the artifact shapes, or None when the artifact predates that
+    canary (canary: r11+; canary_iter: r15+, the driver-synchronized /
+    iterative-shaped one the r14 verdict asked for after d30 doubled
+    while the scan canary read quiet)."""
     text = open(path).read()
     try:
         d = json.loads(text)
         if isinstance(d, dict) and "tail" in d:
-            if isinstance(d.get("parsed"), dict) and "canary" in d["parsed"]:
-                return d["parsed"]["canary"]
+            if isinstance(d.get("parsed"), dict) and key in d["parsed"]:
+                return d["parsed"][key]
             text = d["tail"]
     except json.JSONDecodeError:
         pass
     best = None
-    for m in re.finditer(r'"canary":(\{[^{}]*?\})', text):
+    for m in re.finditer('"%s":(\\{[^{}]*?\\})' % key, text):
         try:
             d = json.loads(m.group(1))
         except json.JSONDecodeError:
@@ -47,10 +50,13 @@ def load_canary(path):
     return best
 
 
-def canary_note(path, canary):
+def canary_note(path, canary, label="canary"):
     """Annotate a run whose interleaved canary drifted — per-query ratios
     computed from such a window reflect the environment, not the code
-    (r10 verdict: 5 phantom >2x entries cost a judge re-measurement)."""
+    (r10 verdict: 5 phantom >2x entries cost a judge re-measurement).
+    The iterative canary (label canary_iter) catches the stall class
+    that hits driver-synchronized/iterative queries while the scan
+    canary reads quiet (r14 verdict: d30 2.0x, q39 24.9 s rep)."""
     if not canary or not canary.get("med"):
         return False
     drift = canary.get("max", 0.0) / canary["med"]
@@ -60,12 +66,34 @@ def canary_note(path, canary):
         if times:
             med = canary["med"]
             noisy = [i for i, t in enumerate(times) if t > 2.0 * med]
-            where = f" (noisy canary slots {noisy} of {len(times)})"
-        print(f"WARNING: {path} had a NOISY measurement window — canary "
+            where = f" (noisy {label} slots {noisy} of {len(times)})"
+        print(f"WARNING: {path} had a NOISY measurement window — {label} "
               f"drift {drift:.2f}x > 2.0x{where}; treat per-query ratios "
               f"from this run as suspect")
         return True
     return False
+
+
+def load_spread_top(path):
+    """Return the spread_top list (r15+ artifacts: the top-3 rep-spread
+    entries, so multi-query stalls in one window stay attributable), or
+    None for older artifacts."""
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "tail" in d:
+            if isinstance(d.get("parsed"), dict) and "spread_top" in d["parsed"]:
+                return d["parsed"]["spread_top"]
+            text = d["tail"]
+    except json.JSONDecodeError:
+        pass
+    best = None
+    for m in re.finditer(r'"spread_top":(\[(?:[^\[\]])*\])', text):
+        try:
+            best = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            continue
+    return best
 
 
 def load_shared(path):
@@ -170,8 +198,15 @@ def main():
         raise SystemExit(__doc__)
     prev_q, prev_total = load_queries(sys.argv[1])
     new_q, new_total = load_queries(sys.argv[2])
-    noisy = any([canary_note(sys.argv[1], load_canary(sys.argv[1])),
-                 canary_note(sys.argv[2], load_canary(sys.argv[2]))])
+    noisy = any([canary_note(p, load_canary(p, k), k)
+                 for p in (sys.argv[1], sys.argv[2])
+                 for k in ("canary", "canary_iter")])
+    for p in (sys.argv[1], sys.argv[2]):
+        top = load_spread_top(p)
+        if top:
+            ent = " ".join(f"{e['q']}:{e['min']}/{e['med']}/{e['max']}"
+                           for e in top)
+            print(f"rep-spread top entries ({p}): {ent}")
     common = sorted(set(prev_q) & set(new_q))
     dropped = sorted(set(prev_q) - set(new_q))
     added = sorted(set(new_q) - set(prev_q))
@@ -186,23 +221,33 @@ def main():
         print(f"dropped queries: {' '.join(dropped)}")
     prev_sh, new_sh = load_shared(sys.argv[1]), load_shared(sys.argv[2])
     lane = bool(prev_sh and new_sh)
+    lane_common = sorted(set(prev_sh) & set(new_sh)) if lane else []
+
+    def lane_covers(k):
+        # Exclude a family member from the per-query >2x table ONLY when
+        # the common lane actually carries its entries (r14 advice: d59's
+        # lane entries are r14+; comparing an r13 artifact to an r14 one
+        # must keep d59 in the per-query table or its regression is
+        # invisible during exactly that transition).
+        return any(e.startswith(k + "_") for e in lane_common)
+
     if lane:
         print("shared lane (composed chain priced once; the family's "
               "regression signal):")
-        for k in sorted(set(prev_sh) & set(new_sh)):
+        for k in lane_common:
             p, n = float(prev_sh[k]), float(new_sh[k])
             flag = "  <-- >2x" if p > 0 and n / p > 2.0 else ""
             ratio = n / p if p else float("nan")
             print(f"  {k}: {p:.2f}s -> {n:.2f}s ({ratio:.2f}x){flag}")
+        excluded = sorted(k for k in SHARED_FAMILY if lane_covers(k))
         print(f"  (per-query >2x table below excludes "
-              f"{' '.join(sorted(SHARED_FAMILY))} — per-gate numbers "
+              f"{' '.join(excluded)} — per-gate numbers "
               f"re-price the chain per query by policy)")
         # BOTH views of the composed family (r13 verdict #6): the
         # per-gate sums (each gate rebuilds its chain — the hash-gate
         # cost record) and the shared-lane sums (chain priced once —
         # what a production pipeline pays; the regression headline).
         fam = sorted(k for k in common if k in SHARED_FAMILY)
-        lane_common = sorted(set(prev_sh) & set(new_sh))
         if fam and lane_common:
             pf = sum(prev_q[k] for k in fam)
             nf = sum(new_q[k] for k in fam)
@@ -218,7 +263,7 @@ def main():
                   f"({nx / px if px else float('nan'):.2f}x)")
     rows = []
     for k in common:
-        if lane and k in SHARED_FAMILY:
+        if lane and k in SHARED_FAMILY and lane_covers(k):
             continue
         p, n = prev_q[k], new_q[k]
         if p > 0 and n / p > 2.0:
