@@ -10,9 +10,9 @@ import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
 import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.{FileDataSourceV2, FileTable}
-import org.apache.spark.sql.execution.datasources.v2.csv.CSVTable
-import org.apache.spark.sql.execution.datasources.v2.json.JsonTable
-import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
+import org.apache.spark.sql.execution.datasources.v2.csv.{CSVScan, CSVScanBuilder, CSVTable}
+import org.apache.spark.sql.execution.datasources.v2.json.{JsonScan, JsonScanBuilder, JsonTable}
+import org.apache.spark.sql.execution.datasources.v2.orc.{OrcScan, OrcScanBuilder, OrcTable}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,9 +35,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    the pruned schema width is known exactly at build() time, and the
   *    decision ships to executors inside the scan's broadcast Hadoop conf
   *    (`graft.cache.enabled=false`), cluster-correct with
-  *    `fs.graft.impl.disable.cache=true`. (Orc/CSV/Json scans don't expose
-  *    a post-pushdown rebuild hook, so admission for those rides the
-  *    session-level CacheConfig keys the FS layer already honors.)
+  *    `fs.graft.impl.disable.cache=true`. Since r15 the orc/csv/json
+  *    paths get the same per-scan admission through their own wrapped
+  *    ScanBuilders below (hadoopConf copy for ORC; injected scan OPTIONS
+  *    for CSV/JSON, whose reader conf is built from options).
   */
 class GraftDataSource extends FileDataSourceV2 {
   // Only consulted on the V1 fallback path, which "graft" never takes
@@ -100,6 +101,9 @@ final class GraftTable(delegate: FileTable, minCols: Int)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate match {
       case p: ParquetTable => new GraftScanBuilder(p, minCols, options)
+      case t: OrcTable => new GraftOrcScanBuilder(t, minCols, options)
+      case t: CSVTable => new GraftCsvScanBuilder(t, minCols, options)
+      case t: JsonTable => new GraftJsonScanBuilder(t, minCols, options)
       case t => t.newScanBuilder(options)
     }
 }
@@ -123,5 +127,79 @@ final class GraftScanBuilder(delegate: ParquetTable, minCols: Int,
       conf2.setBoolean("fs.graft.impl.disable.cache", true)
       scan.copy(hadoopConf = conf2)
     } else scan
+  }
+}
+
+/** Per-scan admission for the NON-parquet formats (r15, SURVEY §4's last
+  * optional item): the same minColumnsSelected rule, applied where the
+  * pruned projection width is final — ScanBuilder.build(), the mechanism
+  * the parquet path above established. Two format-specific routes:
+  *
+  *  - ORC broadcasts the scan's own `hadoopConf` member to executors, so
+  *    a copy with the disable flags suffices (identical to parquet);
+  *  - CSV/JSON scans build their reader conf from the scan's OPTIONS map
+  *    (`newHadoopConfWithOptions` in createReaderFactory), so the flags
+  *    ride injected options.
+  *
+  * Why build() time and NOT a plan-time Catalyst rule (the shape SURVEY
+  * §4 originally sketched): a post-pushdown `Rule[SparkPlan]` rewriting
+  * only a scan's hadoopConf/options is silently DISCARDED by Catalyst —
+  * `transform` keeps the original node when old and new compare equal,
+  * and `FileScan.equals` (OrcScan included) excludes hadoopConf, so the
+  * conf-only copy IS equal. Measured this round: the rule visibly fired,
+  * returned the rewritten node, and the transformed tree still carried
+  * the old conf. (CSVScan.equals happens to include `options`, which
+  * would make a rule work for CSV alone — a trap, not a design.)
+  * ScanBuilder.build() hands the scan to Spark before any tree identity
+  * comparison exists, so admission lands unconditionally. */
+final class GraftOrcScanBuilder(delegate: OrcTable, minCols: Int,
+    options: CaseInsensitiveStringMap)
+  extends OrcScanBuilder(delegate.sparkSession, delegate.fileIndex,
+    delegate.schema, delegate.dataSchema, options) {
+
+  override def build(): OrcScan = {
+    val scan = super.build()
+    if (minCols > 0 && scan.readDataSchema.fields.length < minCols) {
+      val conf2 = new org.apache.hadoop.conf.Configuration(scan.hadoopConf)
+      conf2.setBoolean(graft.cache.CacheConfig.EnabledKey, false)
+      conf2.setBoolean("fs.graft.impl.disable.cache", true)
+      scan.copy(hadoopConf = conf2)
+    } else scan
+  }
+}
+
+private object AdmissionOptions {
+  /** options + the per-scan cache-disable flags (CSV/JSON reader conf is
+    * built FROM options, so this is their admission channel). */
+  def disable(options: CaseInsensitiveStringMap): CaseInsensitiveStringMap =
+    new CaseInsensitiveStringMap(
+      (options.asCaseSensitiveMap.asScala.toMap +
+        (graft.cache.CacheConfig.EnabledKey -> "false") +
+        ("fs.graft.impl.disable.cache" -> "true")).asJava)
+}
+
+final class GraftCsvScanBuilder(delegate: CSVTable, minCols: Int,
+    options: CaseInsensitiveStringMap)
+  extends CSVScanBuilder(delegate.sparkSession, delegate.fileIndex,
+    delegate.schema, delegate.dataSchema, options) {
+
+  override def build(): CSVScan = {
+    val scan = super.build()
+    if (minCols > 0 && scan.readDataSchema.fields.length < minCols)
+      scan.copy(options = AdmissionOptions.disable(scan.options))
+    else scan
+  }
+}
+
+final class GraftJsonScanBuilder(delegate: JsonTable, minCols: Int,
+    options: CaseInsensitiveStringMap)
+  extends JsonScanBuilder(delegate.sparkSession, delegate.fileIndex,
+    delegate.schema, delegate.dataSchema, options) {
+
+  override def build(): JsonScan = {
+    val scan = super.build()
+    if (minCols > 0 && scan.readDataSchema.fields.length < minCols)
+      scan.copy(options = AdmissionOptions.disable(scan.options))
+    else scan
   }
 }
