@@ -41,9 +41,20 @@ object BloomExprs {
     * sessions re-building sketches should reuse one handle per
     * reference corpus rather than re-calling this per query. */
   def broadcastBloom(spark: SparkSession, keys: DataFrame, keyCol: String,
-      expectedNumItems: Long, fpp: Double): Broadcast[BloomFilter] =
-    spark.sparkContext.broadcast(
-      keys.stat.bloomFilter(keyCol, expectedNumItems, fpp))
+      expectedNumItems: Long, fpp: Double): Broadcast[BloomFilter] = {
+    // Spark's bloomFilter aggregate yields a NULL buffer over zero rows
+    // (BloomFilter.readFrom(null) NPEs). An empty reference set is a
+    // legal state for every caller — a micro-batch can admit zero docs
+    // (found r15: a curation batch whose docs all failed quality crashed
+    // the stream) — so build the empty filter explicitly: it contains
+    // nothing and mightContain is always false, the exact semantics.
+    val bf = try keys.stat.bloomFilter(keyCol, expectedNumItems, fpp)
+      catch {
+        case _: NullPointerException if keys.isEmpty =>
+          BloomFilter.create(1, fpp)
+      }
+    spark.sparkContext.broadcast(bf)
+  }
 
   /** `bf.mightContainLong(key)` as a codegen-friendly predicate. The
     * broadcast handle rides as a reference object and is unwrapped once

@@ -116,6 +116,38 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a batch admitting zero docs neither crashes nor corrupts the " +
+      "stores (empty-reference Bloom, found r15)") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-storeempty-").toString
+    try {
+      EventStreams.curationBatch(base, budget = 1L << 40, mkBatch(0), 0L)
+      // every doc fails the quality stage (too short): the batch's line
+      // and gram frames are EMPTY while prior folds exist — the Bloom
+      // prefilters must build over zero rows without throwing
+      val dead = Seq((90L, "en", "web", "tiny"), (91L, "en", "web", "nope"))
+        .toDF("doc_id", "lang", "source", "text")
+      EventStreams.curationBatch(base, budget = 1L << 40, dead, 1L)
+      val out1 = spark.read.parquet(s"$base/out").where("batch_id = 1")
+        .select("outcome").collect().map(_.getString(0)).toSeq
+      assert(out1.size == 2 && out1.forall(_ == "quality"), out1.toString)
+      // and the store still probes correctly afterwards: a near-dup of
+      // batch-0's doc 0 planted in batch 2 must be flagged
+      val b2 = Seq((20L, "en", "web", docText(0L) + " is 7"))
+        .toDF("doc_id", "lang", "source", "text")
+      EventStreams.curationBatch(base, budget = 1L << 40, b2, 2L)
+      val got = spark.read.parquet(s"$base/out")
+        .where("batch_id = 2").select("outcome").head.getString(0)
+      assert(got == "dup", s"store probe broken after an empty batch: $got")
+    } finally {
+      org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+    }
+  }
+
   test("gram-store compaction is probe-equivalent, never folds the " +
       "newest delta, and rolls forward through crash + torn manifest") {
     val s = spark
