@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.StoreScaleProbe <sfDir> <nBatches> <batchRows>
   *   [compactAt]
+  * Ladders longer than the corpus wrap it with offset doc_ids (+10M per
+  * pass) — re-crawl batches that the store must flag dup, the heaviest
+  * probe shape.
   * With `compactAt` = k, runs compactGramStore after batch k completes —
   * the maintenance-window shape — and reports the gram-store file count
   * before/after plus the post-compaction batches' times (they must stay
@@ -49,12 +52,24 @@ object StoreScaleProbe {
 
     // deterministic fixed-size batches: dense seq over doc_id order
     // (single-partition window is probe SETUP, outside every timed
-    // region; the corpus tables fit — this is not an operator pattern)
+    // region; the corpus tables fit — this is not an operator pattern).
+    // When the requested ladder outruns the corpus, WRAP it: each extra
+    // pass replays the same docs under offset ids (+10M per pass) — a
+    // re-crawl stream, the realistic steady state, and the maximal
+    // store-probe stress (every wrapped doc must be flagged dup against
+    // the accumulated store).
     val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-    val seqd = operators.Tables.load(spark, dir, "documents")
+    val base0 = operators.Tables.load(spark, dir, "documents")
       .select("doc_id", "lang", "source", "text")
       .withColumn("seq", row_number().over(w).cast("long") - 1L)
-      .filter(col("seq") < nBatches * batchRows)
+    val corpusRows = base0.count()
+    val target = nBatches * batchRows
+    val passes = ((target + corpusRows - 1) / corpusRows).toInt
+    val seqd = (0 until passes).map { i =>
+      base0.withColumn("seq", col("seq") + lit(i * corpusRows))
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+      .filter(col("seq") < target)
       .persist()
     seqd.count()
 
