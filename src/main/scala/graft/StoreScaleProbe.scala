@@ -88,19 +88,15 @@ object StoreScaleProbe {
           finally st.close()
         }
       }
-      def deltaDirs(): Int = {
-        val root = new java.io.File(s"$base/gramstore")
-        Option(root.listFiles()).toSeq.flatten
-          .count(_.getName.startsWith("batch_id="))
-      }
       val compactions = scala.collection.mutable.ListBuffer[String]()
-      def compact(afterBatch: Int): Unit = {
+      def record(afterBatch: Int)(run: => Boolean): Unit = {
         val f0 = gramFiles()
         val c0 = System.nanoTime()
-        streaming.EventStreams.compactGramStore(spark, s"$base/gramstore")
+        val fired = run
         val cs = (System.nanoTime() - c0) / 1e9
-        compactions += f"""{"after_batch":$afterBatch,"files_before":$f0,""" +
-          f""""files_after":${gramFiles()},"sec":$cs%.2f}"""
+        if (fired)
+          compactions += f"""{"after_batch":$afterBatch,"files_before":$f0,""" +
+            f""""files_after":${gramFiles()},"sec":$cs%.2f}"""
       }
       val times = (0 until nBatches).map { b =>
         val bd = seqd
@@ -110,8 +106,13 @@ object StoreScaleProbe {
         val t0 = System.nanoTime()
         streaming.EventStreams.curationBatch(base, budget, bd, b.toLong)
         val t = (System.nanoTime() - t0) / 1e9
-        if (compactAt.contains(b)) compact(b)
-        else if (triggerN.exists(deltaDirs() >= _)) compact(b)
+        if (compactAt.contains(b)) record(b) {
+          streaming.EventStreams.compactGramStore(spark, s"$base/gramstore")
+          true
+        }
+        else triggerN.foreach(n => record(b)(
+          streaming.EventStreams.maybeCompactGramStore(
+            spark, s"$base/gramstore", n)))
         t
       }
       val ts = times.map(t => f"$t%.2f").mkString("[", ",", "]")

@@ -1005,6 +1005,20 @@ object EventStreams {
     gc(newBase.getName, newUpto)
   }
 
+  /** The documented GC trigger as an executable policy: compact iff the
+    * store holds >= `triggerDeltas` delta dirs (default 12, from the
+    * 24-batch StoreScaleProbe ladders — SCALE.md r15: a firing costs
+    * ~1-2 s, amortizes over the 11 batches before the next one, and
+    * post-compaction batches stay on their ladder). Returns whether
+    * compaction ran. Call QUIESCED between micro-batches, the same
+    * contract as [[compactGramStore]]. */
+  def maybeCompactGramStore(s: SparkSession, path: String,
+      triggerDeltas: Int = 12): Boolean = {
+    val fire = gramDeltaDirs(new java.io.File(path)).size >= triggerDeltas
+    if (fire) compactGramStore(s, path)
+    fire
+  }
+
   private val gramStoreSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, lang STRING, source STRING, np INT, gh BIGINT, " +
       "gbkt BIGINT, batch_id BIGINT")

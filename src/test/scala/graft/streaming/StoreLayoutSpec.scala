@@ -116,6 +116,31 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maybeCompactGramStore honors the delta-count trigger") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-storetrigger-").toString
+    try {
+      (0 until 4).foreach { b =>
+        EventStreams.curationBatch(base, budget = 1L << 40, mkBatch(b),
+          b.toLong)
+      }
+      // 4 deltas < trigger 5: a no-op, store untouched
+      assert(!EventStreams.maybeCompactGramStore(spark,
+        s"$base/gramstore", triggerDeltas = 5))
+      assert(dirs(s"$base/gramstore") ==
+        (0 until 4).map(b => s"batch_id=$b").toSet)
+      // 4 deltas >= trigger 4: fires, folds committed ids 0..2
+      assert(EventStreams.maybeCompactGramStore(spark,
+        s"$base/gramstore", triggerDeltas = 4))
+      assert(dirs(s"$base/gramstore") == Set("base-2", "batch_id=3"),
+        dirs(s"$base/gramstore").toString)
+    } finally {
+      org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+    }
+  }
+
   test("a batch admitting zero docs neither crashes nor corrupts the " +
       "stores (empty-reference Bloom, found r15)") {
     val s = spark
