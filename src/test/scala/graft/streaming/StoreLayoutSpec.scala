@@ -251,6 +251,15 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
         "upto=".getBytes("UTF-8"))
       assert(rows(store) == preCrash,
         "reader must recover from a torn manifest")
+      // ...same for a manifest that parses but names a MISSING base dir
+      // (a crash after publish but before the fold landed could never
+      // produce this — publish follows the fold — but an operator
+      // restoring a partial backup could)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(gram, "_graft_manifest"),
+        "upto=99\nbase=base-99\n".getBytes("UTF-8"))
+      assert(rows(store) == preCrash,
+        "reader must ignore a manifest naming a missing base")
       // a stale complete base from an interrupted older run is GC'd, a
       // TORN fold (no _SUCCESS) is discarded, and the torn manifest is
       // repaired — all by one compactor pass
