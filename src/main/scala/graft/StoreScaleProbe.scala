@@ -119,9 +119,16 @@ object StoreScaleProbe {
       val compactNote =
         if (compactions.isEmpty) ""
         else s""""compactions":${compactions.mkString("[", ",", "]")},"""
+      // outcome totals prove the ladder DID the work it claims (e.g.
+      // wrapped re-crawl batches must land as dup, not admitted)
+      val outcomes = spark.read.parquet(s"$base/out")
+        .groupBy("outcome").count().collect()
+        .map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
+        .sorted.mkString("{", ",", "}")
       val line =
         s"""{"metric":"s15_batch_ladder","n_batches":$nBatches,""" +
-          s""""batch_rows":$batchRows,"times":$ts,$compactNote"sf":"$dir"}"""
+          s""""batch_rows":$batchRows,"times":$ts,$compactNote""" +
+          s""""outcomes":$outcomes,"sf":"$dir"}"""
       println(line)
       Console.err.println(line)
     } finally {
