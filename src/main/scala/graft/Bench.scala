@@ -126,29 +126,42 @@ object Bench {
     // is blind to stalls that only bite at driver-sync boundaries
     // (scheduler pauses, GC at collect points). Never a suite member.
     val canaryIterTimes = scala.collection.mutable.ListBuffer[Double]()
+    def canaryScanOnce(): Double = timeOnce("canary") {
+      operators.Tables.load(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("qty"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def canaryIterOnce(): Double = timeOnce("canary_iter") {
+      val c = operators.Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("v"))
+      var cur = c.localCheckpoint(true)
+      (0 until 3).foreach { _ =>
+        val reps = cur.groupBy("v")
+          .agg(org.apache.spark.sql.functions.min("k").as("k"))
+        cur = c.join(reps.select("k"), Seq("k"), "left_semi")
+          .localCheckpoint(true)
+      }
+      cur.write.format("noop").mode("overwrite").save()
+    }
     def runCanary(record: Boolean): Unit = {
-      val t = timeOnce("canary") {
-        operators.Tables.load(spark, sfDir, "lineitem")
-          .groupBy(col("l_returnflag"))
-          .agg(org.apache.spark.sql.functions.sum("l_quantity").as("qty"),
-            org.apache.spark.sql.functions.count(
-              org.apache.spark.sql.functions.lit(1)).as("n"))
-          .write.format("noop").mode("overwrite").save()
-      }
+      val t = canaryScanOnce()
       if (record && t >= 0) canaryTimes += t
-      val t2 = timeOnce("canary_iter") {
-        val c = operators.Tables.load(spark, sfDir, "customer")
-          .select(col("c_custkey").as("k"), col("c_nationkey").as("v"))
-        var cur = c.localCheckpoint(true)
-        (0 until 3).foreach { _ =>
-          val reps = cur.groupBy("v")
-            .agg(org.apache.spark.sql.functions.min("k").as("k"))
-          cur = c.join(reps.select("k"), Seq("k"), "left_semi")
-            .localCheckpoint(true)
-        }
-        cur.write.format("noop").mode("overwrite").save()
-      }
+      val t2 = canaryIterOnce()
       if (record && t2 >= 0) canaryIterTimes += t2
+    }
+    // Late-phase canary brackets (r15): the ops/shared/concurrent phases
+    // run AFTER the last warm-pass canary, so a noise window there was
+    // previously only attributable by a separate focused re-run (the r15
+    // shared-lane 1.38x drift cost exactly that). One scan+iter pair at
+    // each phase boundary rides the artifact as `canary_late`.
+    val lateCanaries = scala.collection.mutable.ListBuffer[String]()
+    def markPhase(tag: String): Unit = {
+      val s = canaryScanOnce()
+      val i = canaryIterOnce()
+      lateCanaries += f"""{"at":"$tag","scan":$s%.3f,"iter":$i%.3f}"""
     }
 
     // ---- cold pass (1 rep) ----
@@ -200,6 +213,7 @@ object Bench {
     }.mkString("[", ",", "]")
 
     // ---- raw-operator timings: operator cost WITHOUT the oracle arm ----
+    markPhase("ops")
     val docs = operators.Tables.load(spark, sfDir, "documents")
     val opTimes: Seq[(String, Double)] = Seq[(String, () => Seq[Double])](
       "d06_op" -> { () =>
@@ -288,6 +302,7 @@ object Bench {
     // (checkpoint materialization); output times = each output's
     // residual work against the shared frames. Median of 3 reps, one
     // PinScope per rep (pins swept between reps, never mid-chain).
+    markPhase("shared")
     val sharedTimes: Seq[(String, Double)] = {
       def t(body: => Unit): Double = {
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
@@ -331,6 +346,7 @@ object Bench {
     // scratch dirs, checkpoints — while running concurrently with the
     // whole SQL surface; see ConcurrentHarness scaladoc). A mismatch or
     // error poisons the artifact like any other bench failure. ----
+    markPhase("conc")
     val warmMed = warm.map { case (n, _, md, _) => n -> md }.toMap
     val concPool = names
       .filter(n => warmMed.getOrElse(n, -1.0) >= 0)
@@ -353,6 +369,7 @@ object Bench {
         (conc.mismatches ++ conc.errors).take(3).mkString(" | ").take(600)
     }
 
+    markPhase("end")
     // Cache hit rate over the whole run (c* queries rescan warmed files):
     // server formula = (cached + nonlocal) / all block requests
     // (BASELINE.md "Server hit rate"; reference BookKeeper.java:213-229).
@@ -399,9 +416,10 @@ object Bench {
     val canaryJson = canaryJsonOf(canaryTimes.toSeq)
     val (canIMed, canIMax) = canarySummary(canaryIterTimes.toSeq)
     val canaryIterJson = canaryJsonOf(canaryIterTimes.toSeq)
+    val canaryLateJson = lateCanaries.mkString("[", ",", "]")
     val seedsJson = orderSeeds.mkString("[", ",", "]")
     val artifact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"spread_top":$spreadTopJson,"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"canary_iter":$canaryIterJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"ops":$opsJson,"shared":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"spread_top":$spreadTopJson,"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"canary_iter":$canaryIterJson,"canary_late":$canaryLateJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"ops":$opsJson,"shared":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(artifact)
     // Totals-only compact line, printed AFTER the full artifact: the
     // driver keeps only the last ~2000 chars of output, and the 157-entry
@@ -411,7 +429,7 @@ object Bench {
     // self-sufficient; tools/regression.py recovers per-query values from
     // the big line's surviving "queries" fragment.
     val totalsOnly =
-      f"""{"metric":"totals_only","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"spread_top":$spreadTopJson,"cache_hit_rate":$hitRate%.4f,"canary":{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size}},"canary_iter":{"med":$canIMed%.3f,"max":$canIMax%.3f,"n":${canaryIterTimes.size}},"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"shared":$sharedJson,"n_queries":${names.size},"sf":"$sfDir"}"""
+      f"""{"metric":"totals_only","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"spread_top":$spreadTopJson,"cache_hit_rate":$hitRate%.4f,"canary":{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size}},"canary_iter":{"med":$canIMed%.3f,"max":$canIMax%.3f,"n":${canaryIterTimes.size}},"canary_late":$canaryLateJson,"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"shared":$sharedJson,"n_queries":${names.size},"sf":"$sfDir"}"""
     println(totalsOnly)
     // The r8 driver artifact carried `parsed: null` — its parser sees
     // sbt's "[info] " prefix on stdout lines. Emit the same lines on

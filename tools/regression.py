@@ -74,6 +74,41 @@ def canary_note(path, canary, label="canary"):
     return False
 
 
+def late_canary_note(path):
+    """r15+ artifacts carry `canary_late` — one scan+iter canary pair at
+    each post-warm phase boundary (ops/shared/conc/end), because the
+    shared/ops/concurrent phases run after the last warm-pass canary and
+    the r15 lane drift was only attributable via a separate focused
+    re-run. Flag any late pair beyond 2x its warm-phase median."""
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "tail" in d:
+            text = d["tail"]
+    except json.JSONDecodeError:
+        pass
+    late = None
+    for m in re.finditer(r'"canary_late":(\[(?:[^\[\]])*\])', text):
+        try:
+            late = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            continue
+    if not late:
+        return False
+    med = {k: (load_canary(path, kk) or {}).get("med")
+           for k, kk in (("scan", "canary"), ("iter", "canary_iter"))}
+    noisy = [f"{e['at']}:{k}={e[k]}"
+             for e in late for k in ("scan", "iter")
+             if med.get(k) and e.get(k, 0) > 2.0 * med[k]]
+    if noisy:
+        print(f"WARNING: {path} late bench phases (post-warm) were NOISY "
+              f"— {' '.join(noisy)} vs warm canary med "
+              f"scan={med['scan']}/iter={med['iter']}; treat ops/shared/"
+              f"conc entries from this run as suspect")
+        return True
+    return False
+
+
 def load_spread_top(path):
     """Return the spread_top list (r15+ artifacts: the top-3 rep-spread
     entries, so multi-query stalls in one window stay attributable), or
@@ -201,6 +236,8 @@ def main():
     noisy = any([canary_note(p, load_canary(p, k), k)
                  for p in (sys.argv[1], sys.argv[2])
                  for k in ("canary", "canary_iter")])
+    for p in (sys.argv[1], sys.argv[2]):
+        late_canary_note(p)
     for p in (sys.argv[1], sys.argv[2]):
         top = load_spread_top(p)
         if top:
