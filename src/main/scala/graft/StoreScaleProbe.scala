@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * fold size growing with the corpus, not with partition count).
   *
   * Usage: runMain graft.StoreScaleProbe <sfDir> <nBatches> <batchRows>
-  *   [compactAt]
+  *   [compactAt] [seg[:S1,S2,...]]
   * Ladders longer than the corpus wrap it with offset doc_ids (+10M per
   * pass) — re-crawl batches that the store must flag dup, the heaviest
   * probe shape.
@@ -26,10 +26,23 @@ import org.apache.spark.sql.functions._
   * scaladoc recommends from the r14 24-batch ladder), reporting every
   * firing — the production GC-policy shape rather than a one-shot
   * maintenance window.
+  * With `seg[:S1,S2,...]` (default 1,2,4,8) as a 5th arg, runs the
+  * SEGMENT-SHARDING ladder after the batches (r16 — the third 100 TB
+  * lever from SCALE.md r15): for each segment count S, times every one
+  * of the S independent probes of the finished store with the last
+  * batch's grams ([[graft.streaming.EventStreams.gramStoreProbeSegment]])
+  * and reports per-segment seconds — the claim under measure is that the
+  * per-segment scan term drops ∝ 1/S, so max_sec approaches the
+  * constant-term floor as S grows. A parity line (total pair
+  * intersections, S=1 vs max S) rides along: sharding must never change
+  * the probe's answer.
+  *
   * Prints one JSON line:
   *   {"metric":"s15_batch_ladder","n_batches":K,"batch_rows":B,
   *    "times":[sec,...],("compactions":[{"after_batch":k,
-  *    "files_before":F0,"files_after":F1,"sec":s},...],)"sf":...}
+  *    "files_before":F0,"files_after":F1,"sec":s},...],)
+  *    ("seg_ladder":[{"s":S,"max_sec":..,"sum_sec":..,"seg_secs":[..]},
+  *    ...],"seg_parity":{...},)"sf":...}
   */
 object StoreScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -119,6 +132,55 @@ object StoreScaleProbe {
       val compactNote =
         if (compactions.isEmpty) ""
         else s""""compactions":${compactions.mkString("[", ",", "]")},"""
+      // ---- segment-sharding ladder (r16; scaladoc above) ----
+      val segNote = args.drop(4).headOption.filter(_.startsWith("seg"))
+        .map { a =>
+          val segs = a.split(":", 2).drop(1).headOption
+            .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 2, 4, 8))
+          // the last batch's grams, the ingest shape (tokenize + 3-gram
+          // shingle hashes, exploded) — persisted so every timed probe
+          // pays only the STORE side
+          val lastDocs = seqd
+            .filter(col("seq") >= (nBatches - 1).toLong * batchRows &&
+              col("seq") < nBatches.toLong * batchRows)
+            .drop("seq")
+          val bg = lastDocs
+            .withColumn("__tok", operators.Dedup.tokenCol)
+            .select(col("doc_id"), col("lang"), col("source"),
+              explode(graft.functions.TextHashes.shingleHash64Col(
+                col("text"), col("__tok"), 3, emptyIfShort = true))
+                .as("gh"))
+            .persist()
+          bg.count()
+          val gram = s"$base/gramstore"
+          def mat(df: org.apache.spark.sql.DataFrame): Double = {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val ladder = segs.map { sN =>
+            val secs = (0 until sN).map { k =>
+              streaming.EventStreams.gramStoreProbeSegment(
+                spark, gram, nBatches.toLong, bg, sN, k)
+                .map(mat).getOrElse(0.0)
+            }
+            f"""{"s":$sN,"max_sec":${secs.max}%.2f,""" +
+              f""""sum_sec":${secs.sum}%.2f,""" +
+              s""""seg_secs":[${secs.map(x => f"$x%.2f").mkString(",")}]}"""
+          }
+          // parity: sharding must not change the probe's answer
+          def tot(sN: Int): (Long, Long) = streaming.EventStreams
+            .gramStoreProbeSegmented(spark, gram, nBatches.toLong, bg, sN)
+            .map(_.agg(count(lit(1)), sum("inter")).head())
+            .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+          val (p1, i1) = tot(1)
+          val (pS, iS) = tot(segs.max)
+          require(p1 == pS && i1 == iS,
+            s"segment parity broke: S=1 ($p1,$i1) vs S=${segs.max} ($pS,$iS)")
+          bg.unpersist()
+          s""""seg_ladder":[${ladder.mkString(",")}],""" +
+            s""""seg_parity":{"pairs":$p1,"inter":$i1,"s_max":${segs.max}},"""
+        }.getOrElse("")
       // outcome totals prove the ladder DID the work it claims (e.g.
       // wrapped re-crawl batches must land as dup, not admitted)
       val outcomes = spark.read.parquet(s"$base/out")
@@ -127,7 +189,7 @@ object StoreScaleProbe {
         .sorted.mkString("{", ",", "}")
       val line =
         s"""{"metric":"s15_batch_ladder","n_batches":$nBatches,""" +
-          s""""batch_rows":$batchRows,"times":$ts,$compactNote""" +
+          s""""batch_rows":$batchRows,"times":$ts,$compactNote$segNote""" +
           s""""outcomes":$outcomes,"sf":"$dir"}"""
       println(line)
       Console.err.println(line)

@@ -169,7 +169,13 @@ class GraftFileSystem extends FileSystem {
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val ip = toInner(f)
     val st = fileInfoCache.get(ip)
-    val admit = admitted(f) && st.isFile
+    // Plan-time width hint (r16, AdmissionHints scaladoc): covers
+    // stock-format scans over graft:// under the JVM-cached FS, where
+    // projectionAdmitted above sees no requested schema. Unknown width
+    // admits; the DSv2 conf channel stays authoritative for its scans.
+    val admit = admitted(f) && st.isFile &&
+      AdmissionHints.admittedWidth(ip.toUri.getPath,
+        cacheConf.minProjectedColumns)
     if (!admit) return inner.open(ip, bufferSize)
     val stream = new CachingInputStream(
       () => inner.open(ip, bufferSize),

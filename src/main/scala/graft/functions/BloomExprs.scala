@@ -46,13 +46,16 @@ object BloomExprs {
     // (BloomFilter.readFrom(null) NPEs). An empty reference set is a
     // legal state for every caller — a micro-batch can admit zero docs
     // (found r15: a curation batch whose docs all failed quality crashed
-    // the stream) — so build the empty filter explicitly: it contains
-    // nothing and mightContain is always false, the exact semantics.
-    val bf = try keys.stat.bloomFilter(keyCol, expectedNumItems, fpp)
-      catch {
-        case _: NullPointerException if keys.isEmpty =>
-          BloomFilter.create(1, fpp)
-      }
+    // the stream) — so distinguish zero rows UP FRONT with a limit-1
+    // probe (stops at the first row; negligible next to the aggregate)
+    // and build the empty filter explicitly: it contains nothing and
+    // mightContain is always false, the exact semantics. r15 caught the
+    // NPE instead and re-checked keys.isEmpty inside the guard — brittle
+    // against Spark changing the failure mode, and it re-ran the keys
+    // plan on the failure path (r15 advice).
+    val bf =
+      if (keys.isEmpty) BloomFilter.create(1, fpp)
+      else keys.stat.bloomFilter(keyCol, expectedNumItems, fpp)
     spark.sparkContext.broadcast(bf)
   }
 

@@ -768,13 +768,42 @@ object EventStreams {
 
   private[streaming] val GramBuckets = 32L
 
+  // All store listing/GC/manifest I/O goes through
+  // org.apache.hadoop.fs.FileSystem (r16): the r15 layout used
+  // java.io.File + java.nio ATOMIC_MOVE, which made the "safe on an
+  // object store" claim unexercisable — the same code now runs over
+  // file://, graft:// and the s3a/gs/abfs shims, and StoreLayoutSpec
+  // drives a full store lifecycle through an explicit file: URI.
+  private def storeRoot(s: SparkSession, path: String):
+      (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
+
+  private def listDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    try fs.listStatus(root).toSeq
+    catch { case _: java.io.FileNotFoundException => Nil }
+
+  /** `batch_id=N` children with a PARSEABLE id, sorted; a stray
+    * `batch_id=*` entry (operator artifact, interrupted tool) is skipped
+    * rather than thrown on — r15 advice: one malformed name previously
+    * bricked every probe read and compaction via NumberFormatException. */
+  private def batchIdDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(org.apache.hadoop.fs.Path, Long)] =
+    listDirs(fs, root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("batch_id=").toLong).toOption
+        .map(st.getPath -> _))
+      .sortBy(_._2)
+
   /** Latest fold snapshot strictly before `batchId`, if any. */
   private def latestFold(s: SparkSession, path: String,
       batchId: Long): Option[DataFrame] = {
-    val root = new java.io.File(path)
-    Option(root.listFiles()).toSeq.flatten.map(_.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong).filter(_ < batchId)
+    val (fs, root) = storeRoot(s, path)
+    batchIdDirs(fs, root).map(_._2).filter(_ < batchId)
       .sorted.lastOption
       .map(k => s.read.parquet(s"$path/batch_id=$k"))
   }
@@ -784,15 +813,9 @@ object EventStreams {
     * can never be read again). */
   private def writeFold(df: DataFrame, path: String, batchId: Long): Unit = {
     df.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
-    def rm(x: java.io.File): Unit = {
-      if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
-      x.delete()
-    }
-    val root = new java.io.File(path)
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("batch_id=") &&
-        f.getName.stripPrefix("batch_id=").toLong <= batchId - 2)
-      .foreach(rm)
+    val (fs, root) = storeRoot(df.sparkSession, path)
+    batchIdDirs(fs, root).filter(_._2 <= batchId - 2)
+      .foreach { case (p, _) => fs.delete(p, true) }
   }
 
   /** One batch's gram contributions: pre-exploded, np embedded,
@@ -813,29 +836,74 @@ object EventStreams {
     * then the exact same-lang/source gh equi-join. Returns
     * (doc_id, prior_id, inter, np) pairs, or None when no prior batch
     * has written yet. */
-  private def gramStoreProbe(s: SparkSession, path: String, batchId: Long,
-      bg: DataFrame): Option[DataFrame] =
-    readGramStore(s, path).map { store =>
-      // bounded driver fetch: <= GramBuckets rows
-      val bkts = bg.select(pmod(col("gh"), lit(GramBuckets)).as("gbkt"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      // sized for a generous batch; an undersized Bloom only raises the
-      // false-positive rate (more candidate I/O), never wrong results
-      val bloom = graft.functions.BloomExprs.broadcastBloom(
-        s, bg.select("gh"), "gh", 1L << 20, 0.01)
-      val st = store
-        .filter(col("batch_id") < batchId && col("gbkt").isin(bkts: _*) &&
-          graft.functions.BloomExprs.mightContainCol(col("gh"), bloom))
-      bg.join(st.select(col("doc_id").as("prior_id"),
-          col("lang").as("lang_p"), col("source").as("source_p"),
-          col("np"), col("gh").as("gh_p")),
-        col("gh") === col("gh_p") && col("lang") === col("lang_p") &&
-          col("source") === col("source_p"))
-        .groupBy("doc_id", "prior_id")
-        .agg(count(lit(1)).as("inter"), max("np").as("np"))
+  private[graft] def gramStoreProbe(s: SparkSession, path: String,
+      batchId: Long, bg: DataFrame): Option[DataFrame] =
+    readGramStore(s, path).map(store => probeAgainst(s, store, batchId, bg))
+
+  private def probeAgainst(s: SparkSession, store: DataFrame, batchId: Long,
+      bg: DataFrame): DataFrame = {
+    // bounded driver fetch: <= GramBuckets rows
+    val bkts = bg.select(pmod(col("gh"), lit(GramBuckets)).as("gbkt"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    // sized for a generous batch; an undersized Bloom only raises the
+    // false-positive rate (more candidate I/O), never wrong results
+    val bloom = graft.functions.BloomExprs.broadcastBloom(
+      s, bg.select("gh"), "gh", 1L << 20, 0.01)
+    val st = store
+      .filter(col("batch_id") < batchId && col("gbkt").isin(bkts: _*) &&
+        graft.functions.BloomExprs.mightContainCol(col("gh"), bloom))
+    bg.join(st.select(col("doc_id").as("prior_id"),
+        col("lang").as("lang_p"), col("source").as("source_p"),
+        col("np"), col("gh").as("gh_p")),
+      col("gh") === col("gh_p") && col("lang") === col("lang_p") &&
+        col("source") === col("source_p"))
+      .groupBy("doc_id", "prior_id")
+      .agg(count(lit(1)).as("inter"), max("np").as("np"))
+  }
+
+  /** ONE SEGMENT of the gram-store probe (r16 — the third 100 TB lever
+    * SCALE.md r15 named but left unbuilt: "corpus-segment sharding of
+    * the store when a single scan stops fitting the batch cadence").
+    * Segment `k` of `segments` = the store's gbkt partition dirs with
+    * `gbkt % segments == k`; `segments` must divide [[GramBuckets]] so
+    * segments align exactly with the physical partition layout. The
+    * batch side is restricted to the segment's grams, so the probe's
+    * bucket list — and therefore the store SCAN, via partition pruning —
+    * covers only 1/segments of every base/delta dir. Segment probes are
+    * INDEPENDENT Spark jobs: at 100 TB, where SCALE.md's replay-ladder
+    * cost model (constant + α·store-bytes-scanned) says a single
+    * store-sized scan eventually outgrows the batch cadence, the S jobs
+    * can be spread across the cadence window, staggered between
+    * maintenance windows, or run on disjoint executor groups — each
+    * bounded at 1/S of the scan term (measured: StoreScaleProbe's `seg`
+    * arm, SCALE.md r16). */
+  private[graft] def gramStoreProbeSegment(s: SparkSession, path: String,
+      batchId: Long, bg: DataFrame, segments: Int, k: Int): Option[DataFrame] = {
+    require(segments > 0 && GramBuckets % segments == 0,
+      s"segments=$segments must divide GramBuckets=$GramBuckets")
+    readGramStore(s, path).map(store => probeAgainst(s, store, batchId,
+      bg.filter(pmod(pmod(col("gh"), lit(GramBuckets)), lit(segments))
+        === k)))
+  }
+
+  /** Union-of-segments probe, provably ≡ the unsegmented probe: a gram
+    * match requires equal `gh`, hence equal `gbkt`, hence the same
+    * segment — but one (doc, prior) PAIR can share grams across several
+    * segments, so the per-segment partial intersections are re-summed
+    * (`np` is a per-prior constant; max is a no-op merge). */
+  private[graft] def gramStoreProbeSegmented(s: SparkSession, path: String,
+      batchId: Long, bg: DataFrame, segments: Int): Option[DataFrame] =
+    if (segments <= 1) gramStoreProbe(s, path, batchId, bg)
+    else {
+      val parts = (0 until segments).flatMap(k =>
+        gramStoreProbeSegment(s, path, batchId, bg, segments, k))
+      parts.reduceOption(_ unionByName _).map(
+        _.groupBy("doc_id", "prior_id")
+          .agg(sum("inter").as("inter"), max("np").as("np")))
     }
 
-  // ---- gram-store manifest commit (r15) ---------------------------------
+  // ---- gram-store manifest commit (r15; FileSystem-routed + lag-one GC
+  // r16) -------------------------------------------------------------------
   // r14's compaction published by POSIX dir rename; on the object stores
   // this store would live on at 100 TB (S3/ABFS), a dir rename is neither
   // atomic nor cheap, and a reader listing batch_id= dirs could observe
@@ -846,47 +914,66 @@ object EventStreams {
   // (never `batch_id=`-prefixed, so partition discovery and pre-manifest
   // readers can't half-see it), and the reader resolves base + live
   // deltas FROM the manifest, not from a listing race with the compactor.
+  // The swap alone only makes the PUBLISH atomic; what makes it safe for
+  // an in-flight reader is the compactor's lag-one-generation GC (see
+  // compactGramStore) — the prior generation's base + deltas survive one
+  // more cycle, so a view resolved just before the swap stays readable.
+  // All of it goes through org.apache.hadoop.fs.FileSystem, so file://,
+  // graft:// and the s3a/gs/abfs shims run the identical code path.
 
   private val ManifestName = "_graft_manifest"
 
-  private def baseComplete(d: java.io.File): Boolean =
-    new java.io.File(d, "_SUCCESS").exists()
+  private def baseComplete(fs: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path): Boolean =
+    try fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))
+    catch { case _: Exception => false }
+
+  /** Complete `base-<upto>` dirs present, sorted by upto. */
+  private def listBases(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(org.apache.hadoop.fs.Path, Long)] =
+    listDirs(fs, root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("base-") &&
+        baseComplete(fs, st.getPath))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("base-").toLong).toOption
+        .map(st.getPath -> _))
+      .sortBy(_._2)
 
   /** The store's published base (`base-<upto>` dir, upto) — from the
     * manifest when it names a complete dir, else recovered as the newest
     * COMPLETE base dir present (a torn manifest cannot happen under the
-    * atomic-move publish, but a reader must never brick on one; and a
+    * single-object publish, but a reader must never brick on one; and a
     * complete-but-unpublished base — crash between fold and publish — is
     * safe to adopt early: its source deltas are still on disk, so reading
     * it merely swaps equivalent rows). Largest upto wins. */
-  private[streaming] def resolveGramBase(
-      root: java.io.File): Option[(java.io.File, Long)] = {
+  private[streaming] def resolveGramBase(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path):
+      Option[(org.apache.hadoop.fs.Path, Long)] = {
     val named = try {
-      val mf = new java.io.File(root, ManifestName)
-      if (!mf.exists()) None
+      val mf = new org.apache.hadoop.fs.Path(root, ManifestName)
+      if (!fs.exists(mf)) None
       else {
-        val kv = new String(java.nio.file.Files.readAllBytes(mf.toPath),
-            "UTF-8").linesIterator
+        val in = fs.open(mf)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          buf.toByteArray
+        } finally in.close()
+        val kv = new String(bytes, "UTF-8").linesIterator
           .flatMap(_.split("=", 2) match {
             case Array(k, v) => Some(k -> v)
             case _ => None
           }).toMap
-        val d = new java.io.File(root, kv("base"))
-        if (baseComplete(d)) Some(d -> kv("upto").toLong) else None
+        val d = new org.apache.hadoop.fs.Path(root, kv("base"))
+        if (baseComplete(fs, d)) Some(d -> kv("upto").toLong) else None
       }
     } catch { case _: Exception => None }
-    val listed = Option(root.listFiles()).toSeq.flatten
-      .filter(d => d.getName.startsWith("base-") && baseComplete(d))
-      .flatMap(d => scala.util.Try(
-        d.getName.stripPrefix("base-").toLong).toOption.map(d -> _))
-    (named.toSeq ++ listed).sortBy(_._2).lastOption
+    (named.toSeq ++ listBases(fs, root)).sortBy(_._2).lastOption
   }
 
-  private def gramDeltaDirs(root: java.io.File): Seq[(java.io.File, Long)] =
-    Option(root.listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("batch_id="))
-      .map(d => d -> d.getName.stripPrefix("batch_id=").toLong)
-      .sortBy(_._2)
+  private def gramDeltaDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(org.apache.hadoop.fs.Path, Long)] =
+    batchIdDirs(fs, root)
 
   /** The live gram store as one frame — the published base (rows
     * re-stamped `batch_id = upto`, a committed id, preserving the probe's
@@ -896,16 +983,16 @@ object EventStreams {
     * partitionBy, and inference over an all-empty store would fail. */
   private[streaming] def readGramStore(s: SparkSession, path: String):
       Option[DataFrame] = {
-    val root = new java.io.File(path)
-    val base = resolveGramBase(root)
+    val (fs, root) = storeRoot(s, path)
+    val base = resolveGramBase(fs, root)
     val upto = base.map(_._2).getOrElse(Long.MinValue)
-    val deltas = gramDeltaDirs(root).filter(_._2 > upto)
+    val deltas = gramDeltaDirs(fs, root).filter(_._2 > upto)
     val deltaDf =
       if (deltas.isEmpty) None
       else Some(s.read.schema(gramStoreSchema).option("basePath", path)
-        .parquet(deltas.map(_._1.getPath): _*))
+        .parquet(deltas.map(_._1.toString): _*))
     val baseDf = base.map { case (d, u) =>
-      s.read.schema(gramBaseSchema).parquet(d.getPath)
+      s.read.schema(gramBaseSchema).parquet(d.toString)
         .withColumn("batch_id", lit(u))
     }
     (baseDf, deltaDf) match {
@@ -930,8 +1017,18 @@ object EventStreams {
     * Crash-safe by roll-forward, not multi-file atomicity:
     * (1) merged rows land under `base-<upto>` with Spark's _SUCCESS
     * marker; (2) ONE small manifest file is atomically swapped in to
-    * name it; (3) retired deltas (`batch_id <= upto`), superseded bases
-    * and stray tmp files are garbage-collected. A rerun after a crash at
+    * name it; (3) garbage collection runs with ONE GENERATION OF LAG
+    * (r16, from the r15 advice — the reference's mdfile generation
+    * pattern, CacheUtil.java:162-182): the PREVIOUS published base and
+    * the deltas its view still needs (`prevUpto < batch_id <= upto`)
+    * stay on disk until the NEXT compaction retires them, so a reader
+    * that resolved its view from the prior manifest stays valid across
+    * one concurrent compaction — on an object store, where the swap is
+    * visible to in-flight readers, this is what actually makes the
+    * publish safe for them. The residual contract: a single READ must
+    * complete within one compaction cycle (a reader two generations
+    * behind can lose its base); WRITERS are still exclusive — run the
+    * compactor quiesced against ingest. A rerun after a crash at
     * any point adopts the newest complete base without recomputation
     * (the repair step below), discards torn folds (no _SUCCESS — inputs
     * untouched), and finishes the GC; a torn or stale manifest is
@@ -948,73 +1045,100 @@ object EventStreams {
     * files between maintenance windows instead of one dir per
     * micro-batch forever. */
   def compactGramStore(s: SparkSession, path: String): Unit = {
-    val root = new java.io.File(path)
-    def rm(x: java.io.File): Unit = {
-      if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
-      x.delete()
-    }
+    val (fs, root) = storeRoot(s, path)
     def publish(baseName: String, upto: Long): Unit = {
-      val tmp = new java.io.File(root, s".manifest-tmp-${System.nanoTime()}")
-      java.nio.file.Files.write(tmp.toPath,
-        s"upto=$upto\nbase=$baseName\n".getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath,
-        new java.io.File(root, ManifestName).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    def gc(keepBase: String, upto: Long): Unit =
-      Option(root.listFiles()).toSeq.flatten.foreach { f =>
-        val n = f.getName
-        val retired =
-          (n.startsWith("batch_id=") &&
-            n.stripPrefix("batch_id=").toLong <= upto) ||
-            (n.startsWith("base-") && n != keepBase) ||
-            n.startsWith(".manifest-tmp-")
-        if (retired) rm(f)
+      val content = s"upto=$upto\nbase=$baseName\n".getBytes("UTF-8")
+      val dst = new org.apache.hadoop.fs.Path(root, ManifestName)
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s".manifest-tmp-${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(content) finally out.close()
+      // single-object swap through the FileSystem abstraction: rename
+      // onto the manifest where the FS supports overwrite (local, HDFS);
+      // where rename is copy+delete anyway (object stores), the fallback
+      // IS the native atomic primitive there — one create-overwrite PUT
+      // of the small manifest object.
+      val renamed =
+        try fs.rename(tmp, dst) catch { case _: Exception => false }
+      if (!renamed) {
+        val o2 = fs.create(dst, true)
+        try o2.write(content) finally o2.close()
+        try fs.delete(tmp, false) catch { case _: Exception => () }
       }
+    }
+    // lag-one-generation GC (scaladoc above): keep the current base plus
+    // the newest complete base BELOW it (the previous generation) and
+    // every delta the previous generation's view still needs
+    // (batch_id > prevUpto); retire everything older, plus torn folds'
+    // leftovers and stray manifest tmp files. Unparseable batch_id=*
+    // entries are left alone — they are not ours to delete.
+    def gc(keepBase: String, upto: Long): Unit = {
+      val prevUpto = listBases(fs, root)
+        .filter { case (p, u) => u < upto && p.getName != keepBase }
+        .map(_._2).sorted.lastOption.getOrElse(Long.MinValue)
+      val prevName = if (prevUpto == Long.MinValue) "" else s"base-$prevUpto"
+      listDirs(fs, root).foreach { st =>
+        val n = st.getPath.getName
+        val deltaId =
+          if (n.startsWith("batch_id="))
+            scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+          else None
+        val retired =
+          deltaId.exists(_ <= prevUpto) ||
+            (n.startsWith("base-") && n != keepBase && n != prevName) ||
+            n.startsWith(".manifest-tmp-")
+        if (retired) fs.delete(st.getPath, true)
+      }
+    }
     // repair/roll-forward: drop torn folds, then re-publish + GC around
     // whatever resolution says is current (no-op when already current)
-    Option(root.listFiles()).toSeq.flatten
-      .filter(d => d.getName.startsWith("base-") && !baseComplete(d))
-      .foreach(rm)
-    resolveGramBase(root).foreach { case (d, upto) =>
+    listDirs(fs, root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("base-") &&
+        !baseComplete(fs, st.getPath))
+      .foreach(st => fs.delete(st.getPath, true))
+    resolveGramBase(fs, root).foreach { case (d, upto) =>
       publish(d.getName, upto)
       gc(d.getName, upto)
     }
     // fold: base + committed deltas (strictly below the newest delta)
-    val base = resolveGramBase(root)
+    val base = resolveGramBase(fs, root)
     val upto0 = base.map(_._2).getOrElse(Long.MinValue)
-    val committed = gramDeltaDirs(root).filter(_._2 > upto0).dropRight(1)
+    val committed = gramDeltaDirs(fs, root).filter(_._2 > upto0).dropRight(1)
     if (committed.size + (if (base.isDefined) 1 else 0) < 2)
       return // nothing to merge
     val newUpto = committed.last._2
     val deltaDf = s.read.schema(gramStoreSchema).option("basePath", path)
-      .parquet(committed.map(_._1.getPath): _*)
+      .parquet(committed.map(_._1.toString): _*)
       .drop("batch_id") // re-stamped from the manifest's upto at read
     val all = base
       .map { case (d, _) =>
-        s.read.schema(gramBaseSchema).parquet(d.getPath).unionByName(deltaDf)
+        s.read.schema(gramBaseSchema).parquet(d.toString).unionByName(deltaDf)
       }
       .getOrElse(deltaDf)
-    val newBase = new java.io.File(root, s"base-$newUpto")
+    val newBase = new org.apache.hadoop.fs.Path(root, s"base-$newUpto")
     // one file per bucket: the point of compaction is a bounded file
     // count, and an un-clustered write fans out per task
     all.repartition(col("gbkt"))
-      .write.mode("overwrite").partitionBy("gbkt").parquet(newBase.getPath)
+      .write.mode("overwrite").partitionBy("gbkt").parquet(newBase.toString)
     publish(newBase.getName, newUpto)
     gc(newBase.getName, newUpto)
   }
 
   /** The documented GC trigger as an executable policy: compact iff the
-    * store holds >= `triggerDeltas` delta dirs (default 12, from the
+    * store holds >= `triggerDeltas` LIVE delta dirs (those above the
+    * published base's upto — lagged deltas kept for the previous
+    * generation's readers don't count, or the lag-one GC would re-fire
+    * the trigger every batch until the next fold). Default 12, from the
     * 24-batch StoreScaleProbe ladders — SCALE.md r15: a firing costs
     * ~1-2 s, amortizes over the 11 batches before the next one, and
-    * post-compaction batches stay on their ladder). Returns whether
+    * post-compaction batches stay on their ladder. Returns whether
     * compaction ran. Call QUIESCED between micro-batches, the same
     * contract as [[compactGramStore]]. */
   def maybeCompactGramStore(s: SparkSession, path: String,
       triggerDeltas: Int = 12): Boolean = {
-    val fire = gramDeltaDirs(new java.io.File(path)).size >= triggerDeltas
+    val (fs, root) = storeRoot(s, path)
+    val upto = resolveGramBase(fs, root).map(_._2).getOrElse(Long.MinValue)
+    val fire = gramDeltaDirs(fs, root).count(_._2 > upto) >= triggerDeltas
     if (fire) compactGramStore(s, path)
     fire
   }
@@ -1278,9 +1402,16 @@ object EventStreams {
     * delta store — layout notes above [[ingestDedupBatch]]), every
     * output overwritten into batch_id-keyed dirs and every store read
     * strictly below the current id — idempotent under foreachBatch
-    * re-delivery (StreamRetrySpec drives s15 like s13). */
+    * re-delivery (StreamRetrySpec drives s15 like s13).
+    *
+    * `storeSegments` > 1 runs the near-dup store probe segment-sharded
+    * ([[gramStoreProbeSegmented]]) — identical outcomes (StoreLayoutSpec
+    * pins it), S independent 1/S-sized scans instead of one store-sized
+    * scan. Dial it up when SCALE.md's cost model says the scan term no
+    * longer fits the batch cadence; policy notes sit next to the GC
+    * trigger in SCALE.md r16. */
   def curationBatch(base: String, budget: Long, batch0: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long, storeSegments: Int = 1): Unit = {
     val s = batch0.sparkSession
     val batch = batch0.persist()
     // stages 1+2: per-doc admission — d19/d53's proven rule bodies
@@ -1335,7 +1466,8 @@ object EventStreams {
         (col("ng") + col("np") - col("inter")), 3) >= 0.3)
       .groupBy("doc_id").agg(count(lit(1)).as("c"))
     val fromStore =
-      gramStoreProbe(s, s"$base/gramstore", batchId, bg).map(jacTail)
+      gramStoreProbeSegmented(s, s"$base/gramstore", batchId, bg,
+        storeSegments).map(jacTail)
     val inBatch = jacTail(
       bg.join(
         bg.select(col("doc_id").as("prior_id"),

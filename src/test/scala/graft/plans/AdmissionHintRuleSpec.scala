@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{GraftExtensions, GraftSession}
+import graft.cache.{AdmissionHints, CacheManager}
+
+/** The plan-time admission-hint Rule (SURVEY §4's optional Catalyst-rule
+  * form, r16): a post-planner OBSERVER records every graft:// scan's
+  * pruned column count, and GraftFileSystem.open consults the hint — so
+  * STOCK-format scans (spark.read.parquet("graft://…")), which never
+  * pass through GraftScanBuilder, get projection-width admission too.
+  * Two contracts pinned here: (1) the hint lands and changes the cache
+  * decision without changing any query RESULT; (2) the rule is inert
+  * when `graft.cache.min.projected.columns` is unset — installing the
+  * extension changes no gate behavior. */
+class AdmissionHintRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private var cacheDir: String = _
+  private var data: String = _
+
+  override def beforeAll(): Unit = {
+    cacheDir = java.nio.file.Files.createTempDirectory("graft-hintcache").toString
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    CacheManager.resetForTest()
+    spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4,
+        cacheDir = Some(cacheDir))
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.hadoopConfiguration
+      .setInt(graft.cache.CacheConfig.MinColumnsKey, 3)
+    data = java.nio.file.Files.createTempDirectory("graft-hintdata").toString +
+      "/nation"
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.mode("overwrite").parquet(data)
+    AdmissionHints.clear()
+  }
+
+  override def afterAll(): Unit = {
+    AdmissionHints.clear()
+    if (spark != null) spark.stop()
+    CacheManager.resetForTest()
+  }
+
+  private def cacheFiles(): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(cacheDir)).map(_.getPath).toSet
+  }
+
+  test("the rule records pruned widths for stock graft:// scans; the FS " +
+      "denies narrow ones, admits wide ones, and results never change") {
+    val uri = s"graft://$data"
+    // explicit schema throughout: schema INFERENCE opens the parquet
+    // footers through the cache before any plan exists (so before the
+    // rule can hint), which would warm footer blocks and muddy the
+    // narrow-scan assertion below
+    val sch = spark.read.parquet(data).schema
+    // narrow: 1 projected column < floor 3. The rule must record width 1
+    // against the table root, and the open-time hint must keep the scan
+    // out of the cache — previously this stock path had NO width
+    // admission at all under the JVM-cached FS.
+    val before = cacheFiles()
+    val narrowRows = spark.read.schema(sch).parquet(uri).select("n_name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(AdmissionHints.widthFor(s"$data/part-00000.parquet")
+        .contains(1),
+      s"rule must record the pruned width: ${AdmissionHints.snapshot}")
+    assert(cacheFiles() == before,
+      "a narrow stock scan must not create cache files under the hint")
+    // result parity: the hint only changes the cache decision
+    val plainRows = spark.read.parquet(data).select("n_name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(narrowRows == plainRows, "hint admission must never change rows")
+
+    // wide: the full table schema passes the floor — hint updates to
+    // the latest plan's width and the scan warms the cache
+    spark.read.schema(sch).parquet(uri)
+      .write.format("noop").mode("overwrite").save()
+    assert(AdmissionHints.widthFor(s"$data/part-00000.parquet")
+        .contains(sch.fields.length),
+      s"latest scan's width must win: ${AdmissionHints.snapshot}")
+    assert(cacheFiles() != before,
+      "a wide stock scan must warm the cache")
+  }
+
+  test("the rule is inert without the conf floor — installing the " +
+      "extension alone changes nothing") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    AdmissionHints.clear()
+    hc.unset(graft.cache.CacheConfig.MinColumnsKey)
+    try {
+      val sch = spark.read.parquet(data).schema
+      spark.read.schema(sch).parquet(s"graft://$data").select("n_name")
+        .write.format("noop").mode("overwrite").save()
+      assert(AdmissionHints.snapshot.isEmpty,
+        "no floor configured -> the rule must record nothing")
+    } finally hc.setInt(graft.cache.CacheConfig.MinColumnsKey, 3)
+  }
+}

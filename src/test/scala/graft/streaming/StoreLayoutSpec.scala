@@ -116,9 +116,12 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("maybeCompactGramStore honors the delta-count trigger") {
+  test("maybeCompactGramStore honors the delta-count trigger, counts " +
+      "LIVE deltas only, and the lag-one GC retires a generation per " +
+      "compaction") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-storetrigger-").toString
+    val gram = s"$base/gramstore"
     try {
       (0 until 4).foreach { b =>
         EventStreams.curationBatch(base, budget = 1L << 40, mkBatch(b),
@@ -126,14 +129,53 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       // 4 deltas < trigger 5: a no-op, store untouched
       assert(!EventStreams.maybeCompactGramStore(spark,
-        s"$base/gramstore", triggerDeltas = 5))
-      assert(dirs(s"$base/gramstore") ==
-        (0 until 4).map(b => s"batch_id=$b").toSet)
-      // 4 deltas >= trigger 4: fires, folds committed ids 0..2
+        gram, triggerDeltas = 5))
+      assert(dirs(gram) == (0 until 4).map(b => s"batch_id=$b").toSet)
+      // 4 deltas >= trigger 4: fires, folds committed ids 0..2. With no
+      // PRIOR generation the lag-one GC retires nothing: every delta
+      // stays for readers that resolved the pre-manifest view
       assert(EventStreams.maybeCompactGramStore(spark,
-        s"$base/gramstore", triggerDeltas = 4))
-      assert(dirs(s"$base/gramstore") == Set("base-2", "batch_id=3"),
-        dirs(s"$base/gramstore").toString)
+        gram, triggerDeltas = 4))
+      assert(dirs(gram) ==
+        Set("base-2", "batch_id=0", "batch_id=1", "batch_id=2", "batch_id=3"),
+        dirs(gram).toString)
+      // live deltas = {3} only — the lagged 0..2 must NOT re-fire the
+      // trigger (or lag-one GC would compact every batch until the next
+      // fold)
+      assert(!EventStreams.maybeCompactGramStore(spark,
+        gram, triggerDeltas = 2))
+      // two more batches: live = {3,4,5} fires trigger 3; fold -> base-4
+      // (newest delta 5 stays); GC retires the PRE-base generation's
+      // deltas (<= prev upto 2) and keeps base-2 + deltas 3.. for
+      // readers one generation behind
+      (4 until 6).foreach { b =>
+        EventStreams.curationBatch(base, budget = 1L << 40, mkBatch(b),
+          b.toLong)
+      }
+      assert(EventStreams.maybeCompactGramStore(spark,
+        gram, triggerDeltas = 3))
+      assert(dirs(gram) == Set("base-2", "base-4",
+        "batch_id=3", "batch_id=4", "batch_id=5"), dirs(gram).toString)
+      // third compaction: live = {5,6,7}; fold -> base-6; generation
+      // base-2 (and the deltas only its view needed) is retired, base-4
+      // becomes the lagged generation
+      (6 until 8).foreach { b =>
+        EventStreams.curationBatch(base, budget = 1L << 40, mkBatch(b),
+          b.toLong)
+      }
+      assert(EventStreams.maybeCompactGramStore(spark,
+        gram, triggerDeltas = 3))
+      assert(dirs(gram) == Set("base-4", "base-6",
+        "batch_id=5", "batch_id=6", "batch_id=7"), dirs(gram).toString)
+      // a stray unparseable batch_id= entry neither bricks the probe nor
+      // gets deleted by GC (it is not ours) — r15 advice: one malformed
+      // name previously threw NumberFormatException on every read
+      val stray = new java.io.File(s"$gram/batch_id=__HIVE_DEFAULT__")
+      stray.mkdirs()
+      assert(EventStreams.readGramStore(spark, gram).get.count() > 0)
+      EventStreams.curationBatch(base, budget = 1L << 40, mkBatch(8), 8L)
+      EventStreams.compactGramStore(spark, gram)
+      assert(stray.exists(), "GC must skip unparseable batch_id entries")
     } finally {
       org.apache.hadoop.fs.FileSystem
         .getLocal(spark.sparkContext.hadoopConfiguration)
@@ -173,6 +215,86 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the full store lifecycle (ingest, probe, compaction, manifest " +
+      "publish) runs through an explicit file: URI — the FileSystem seam " +
+      "the object-store claim rests on (r16)") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-storeuri-").toString
+    val base = "file:" + tmp
+    try {
+      (0 until 4).foreach { b =>
+        EventStreams.curationBatch(base, budget = 1L << 40, mkBatch(b),
+          b.toLong)
+      }
+      assert(EventStreams.readGramStore(spark, s"$base/gramstore")
+        .get.count() > 0, "URI-addressed store must read back")
+      assert(EventStreams.maybeCompactGramStore(spark, s"$base/gramstore",
+        triggerDeltas = 4), "trigger must fire through the URI path")
+      assert(dirs(s"$tmp/gramstore").contains("base-2"),
+        s"URI compaction must land the fold: ${dirs(s"$tmp/gramstore")}")
+      assert(new java.io.File(s"$tmp/gramstore/_graft_manifest").exists(),
+        "URI publish must land the manifest")
+      // and the probe still flags a planted near-dup THROUGH the
+      // compacted URI store
+      val b4 = Seq((40L, "en", "web", docText(0L) + " is 7"))
+        .toDF("doc_id", "lang", "source", "text")
+      EventStreams.curationBatch(base, budget = 1L << 40, b4, 4L)
+      val got = spark.read.parquet(s"$base/out")
+        .where("batch_id = 4").select("outcome").head.getString(0)
+      assert(got == "dup", s"URI store probe must flag the near-dup: $got")
+    } finally {
+      org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+  }
+
+  test("the segment-sharded store probe (r16 third lever) is " +
+      "outcome-identical to the full probe") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-storeseg-").toString
+    val base2 = java.nio.file.Files
+      .createTempDirectory("graft-storeseg2-").toString + "/copy"
+    try {
+      (0 until 4).foreach { b =>
+        EventStreams.curationBatch(base, budget = 1L << 40, mkBatch(b),
+          b.toLong)
+      }
+      copyTree(base, base2)
+      // batch 4: a near-dup of batch-0's doc 0 (store-probe dup), a
+      // fresh doc, and an in-batch near-dup pair — outcomes through the
+      // segment-sharded probe (S=4, each segment 8 of the 32 buckets)
+      // must equal the unsegmented run bit-for-bit
+      val b4 = Seq(
+        (40L, "en", "web", docText(0L) + " is 7"),
+        (41L, "en", "web", docText(41L)),
+        (42L, "en", "web", docText(77L)),
+        (43L, "en", "web", docText(77L) + " is 9"))
+        .toDF("doc_id", "lang", "source", "text")
+      EventStreams.curationBatch(base, budget = 1L << 40, b4, 4L)
+      EventStreams.curationBatch(base2, budget = 1L << 40, b4, 4L,
+        storeSegments = 4)
+      def outN(p: String) = spark.read.parquet(s"$p/out")
+        .where("batch_id = 4").select("doc_id", "outcome")
+        .collect().map(_.toString).sorted.toSeq
+      val got = outN(base)
+      assert(got == outN(base2),
+        s"segmented vs full probe outcomes diverged: $got vs ${outN(base2)}")
+      assert(got.exists(r => r.contains("40") && r.contains("dup")),
+        s"the planted store near-dup must still be flagged: $got")
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        new java.io.File(base2).getParent), true)
+    }
+  }
+
   test("gram-store compaction is probe-equivalent, never folds the " +
       "newest delta, and rolls forward through crash + torn manifest") {
     val s = spark
@@ -196,8 +318,10 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       EventStreams.compactGramStore(spark, gram)
       // the NEWEST delta is never folded (r14 advice: a re-delivered last
       // batch must still see all prior history below its own id) — the
-      // committed ids 0..2 fold into base-2, delta 3 stays a delta
-      assert(dirs(gram) == Set("base-2", "batch_id=3"),
+      // committed ids 0..2 fold into base-2, delta 3 stays a delta; with
+      // no PRIOR generation the lag-one GC retires nothing yet
+      assert(dirs(gram) == Set("base-2", "batch_id=0", "batch_id=1",
+        "batch_id=2", "batch_id=3"),
         s"compaction must fold committed ids only: ${dirs(gram)}")
       assert(new java.io.File(s"$gram/_graft_manifest").exists(),
         "publish must land the manifest")
@@ -227,10 +351,22 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.exists(r => r.contains("40") && r.contains("dup")),
         s"the planted near-dup must be flagged via the folded store: $got")
 
-      // second fold: base-2 + committed delta 3 -> base-3; delta 4 stays
+      // an IN-FLIGHT READER'S view, resolved from the current manifest
+      // (base-2 generation), captured BEFORE the next compaction swaps
+      // the manifest — lag-one GC's whole point (r15 advice) is that
+      // this view stays readable across one concurrent compaction
+      val inFlight = EventStreams.readGramStore(spark, gram).get
+
+      // second fold: base-2 + committed delta 3 -> base-3; delta 4 stays;
+      // lag-one GC keeps generation base-2 (and deltas > its upto) for
+      // the in-flight reader and retires only the pre-base-2 deltas
       EventStreams.compactGramStore(spark, gram)
-      assert(dirs(gram) == Set("base-3", "batch_id=4"),
-        s"re-compaction must advance the base: ${dirs(gram)}")
+      assert(dirs(gram) == Set("base-2", "base-3", "batch_id=3",
+        "batch_id=4"),
+        s"re-compaction must advance the base with lag-one GC: ${dirs(gram)}")
+      assert(rows(inFlight) ==
+          rows(EventStreams.readGramStore(spark, s"$base2/gramstore").get),
+        "a pre-swap reader view must survive one compaction (lag-one GC)")
 
       // crash between fold and publish, simulated by deleting the
       // manifest: the reader recovers via the newest complete base and a
@@ -242,7 +378,8 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       EventStreams.compactGramStore(spark, gram)
       assert(new java.io.File(s"$gram/_graft_manifest").exists(),
         "rerun must re-publish the manifest")
-      assert(dirs(gram) == Set("base-3", "batch_id=4"))
+      assert(dirs(gram) == Set("base-2", "base-3", "batch_id=3",
+        "batch_id=4"))
 
       // a TORN manifest (garbage bytes) must never brick the reader or
       // the compactor — both fall back to base resolution and repair it
@@ -273,9 +410,11 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(torn.getPath, "junk"), "torn")
       EventStreams.compactGramStore(spark, gram)
-      assert(!stale.exists(), "a superseded base must be GC'd")
+      assert(!stale.exists(),
+        "a base older than the lagged generation must be GC'd")
       assert(!torn.exists(), "a torn fold must be discarded")
-      assert(dirs(gram) == Set("base-3", "batch_id=4"))
+      assert(dirs(gram) == Set("base-2", "base-3", "batch_id=3",
+        "batch_id=4"))
       assert(rows(store) == preCrash, "repair must preserve the store")
 
       // and the repaired store still probes correctly: one more batch

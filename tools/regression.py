@@ -97,9 +97,13 @@ def late_canary_note(path):
         return False
     med = {k: (load_canary(path, kk) or {}).get("med")
            for k, kk in (("scan", "canary"), ("iter", "canary_iter"))}
-    noisy = [f"{e['at']}:{k}={e[k]}"
-             for e in late for k in ("scan", "iter")
-             if med.get(k) and e.get(k, 0) > 2.0 * med[k]]
+    # r16: a late canary that CRASHED rides as {"at":tag,"failed":true}
+    # (never as a negative time the 2x check would read as quiet —
+    # r15 advice); flag those as loudly as drifted ones.
+    noisy = [f"{e['at']}:FAILED" for e in late if e.get("failed")]
+    noisy += [f"{e['at']}:{k}={e[k]}"
+              for e in late for k in ("scan", "iter")
+              if med.get(k) and e.get(k, 0) > 2.0 * med[k]]
     if noisy:
         print(f"WARNING: {path} late bench phases (post-warm) were NOISY "
               f"— {' '.join(noisy)} vs warm canary med "
