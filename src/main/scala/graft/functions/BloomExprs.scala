@@ -31,6 +31,13 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomExprs {
 
+  /** Sentinel unioned into every [[broadcastBloom]] input so the
+    * aggregate never sees zero rows (its null-buffer path NPEs). A fixed
+    * improbable 64-bit value; the only observable effect is
+    * `mightContain(EmptyGuardKey) == true`, which Bloom's
+    * false-positive-only contract already permits for ANY key. */
+  private[graft] val EmptyGuardKey: Long = 0x6772616674426c6dL // "graftBlm"
+
   /** Build + broadcast a Bloom filter over a LongType key column.
     * One distributed pass over `keys`; nothing else is collected.
     *
@@ -46,16 +53,21 @@ object BloomExprs {
     // (BloomFilter.readFrom(null) NPEs). An empty reference set is a
     // legal state for every caller — a micro-batch can admit zero docs
     // (found r15: a curation batch whose docs all failed quality crashed
-    // the stream) — so distinguish zero rows UP FRONT with a limit-1
-    // probe (stops at the first row; negligible next to the aggregate)
-    // and build the empty filter explicitly: it contains nothing and
-    // mightContain is always false, the exact semantics. r15 caught the
-    // NPE instead and re-checked keys.isEmpty inside the guard — brittle
-    // against Spark changing the failure mode, and it re-ran the keys
-    // plan on the failure path (r15 advice).
-    val bf =
-      if (keys.isEmpty) BloomFilter.create(1, fpp)
-      else keys.stat.bloomFilter(keyCol, expectedNumItems, fpp)
+    // the stream). Make the zero-row path UNREACHABLE by unioning one
+    // sentinel key into the aggregate's input: the filter then always
+    // builds, at the cost of a single extra bit-set entry whose only
+    // effect is that mightContain(EmptyGuardKey) reads true — Bloom
+    // semantics are false-positive-only, so one impossible key changes
+    // nothing for real probes. Rejected alternatives (both r15-advice
+    // violations or measured regressions): catching the NPE keys
+    // recovery on a Spark-internal failure mode; a keys.isEmpty
+    // pre-probe is a limit-1 JOB that re-executes the key plan's
+    // upstream shuffles — measured this round at seconds per call on
+    // the d47/d57 chain Blooms (shared-lane creep).
+    val guarded = keys.select(keys.col(keyCol))
+      .union(spark.range(1).select(
+        org.apache.spark.sql.functions.lit(EmptyGuardKey).as(keyCol)))
+    val bf = guarded.stat.bloomFilter(keyCol, expectedNumItems, fpp)
     spark.sparkContext.broadcast(bf)
   }
 
