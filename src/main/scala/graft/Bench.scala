@@ -107,8 +107,14 @@ object Bench {
   @volatile private var latestArtifact = ""
   @volatile private var latestTotals = ""
 
+  /** Median with the even-count case averaged: a deadline-skipped third
+    * pass leaves 2 reps per query, and taking the UPPER middle there
+    * would report max(a,b) — a systematic upward bias feeding phantom
+    * >2x flags into the next round's regression table (review r16). */
   private def medOf(xs: Seq[Double]): Double = {
-    val s = xs.sorted; s(s.size / 2)
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
   private def median3(a: Double, b: Double, c: Double): Double =
     medOf(Seq(a, b, c))
@@ -308,10 +314,14 @@ object Bench {
       val canaryIterJson = canaryJsonOf(canaryIterTimes.toSeq)
       val canaryLateJson = lateCanaries.mkString("[", ",", "]")
       val seedsJson = orderSeeds.mkString("[", ",", "]")
+      // reps = warm passes actually EXECUTED (a deadline skip leaves 1-
+      // or 2-rep medians; hardcoding 3 would misdocument the run's
+      // statistical basis — review r16); the shared family is always 1.
+      val reps = math.max(orderSeeds.size, 1)
       val meta =
         f""""phase":${jstr(phase)},"elapsed_sec":$elapsed%.1f,"deadline_sec":$deadline%.0f,"skipped":$skippedJson,"warm_reps_shared":1"""
       val artifact =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,$meta,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"spread_top":$spreadTopJson,"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"canary_iter":$canaryIterJson,"canary_late":$canaryLateJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"ops":$opsJson,"shared":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":$reps,$meta,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"spread_top":$spreadTopJson,"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"canary_iter":$canaryIterJson,"canary_late":$canaryLateJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"ops":$opsJson,"shared":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
       // Totals-only compact line, printed AFTER the full artifact: the
       // driver keeps only the last ~2000 chars of output, and the
       // 185-entry queries dict pushes the full line's head (value / cold
@@ -321,9 +331,17 @@ object Bench {
       // per-query values from the big line's surviving "queries"
       // fragment or the committed bench_artifact.json.
       val totalsOnly =
-        f"""{"metric":"totals_only","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":3,$meta,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"spread_top":$spreadTopJson,"cache_hit_rate":$hitRate%.4f,"canary":{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size}},"canary_iter":{"med":$canIMed%.3f,"max":$canIMax%.3f,"n":${canaryIterTimes.size}},"canary_late":$canaryLateJson,"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"shared":$sharedJson,"n_queries":${names.size},"sf":"$sfDir"}"""
+        f"""{"metric":"totals_only","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":$reps,$meta,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"spread_top":$spreadTopJson,"cache_hit_rate":$hitRate%.4f,"canary":{"med":$canMed%.3f,"max":$canMax%.3f,"n":${canaryTimes.size}},"canary_iter":{"med":$canIMed%.3f,"max":$canIMax%.3f,"n":${canaryIterTimes.size}},"canary_late":$canaryLateJson,"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"shared":$sharedJson,"n_queries":${names.size},"sf":"$sfDir"}"""
       (artifact, totalsOnly)
     }
+
+    def writeArtifactFile(file: String, a: String, t: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(file),
+        (a + "\n" + t + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        Console.err.println(s"[bench] could not write $file: $e")
+      }
 
     def flush(phase: String): Unit = {
       val (a, t) = buildArtifact(phase)
@@ -333,30 +351,34 @@ object Bench {
       // root under sbt runMain): a killed run still leaves a committed
       // bench_artifact.json carrying the complete per-query dict for
       // next round's tools/regression.py.
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_artifact.json"),
-        (a + "\n" + t + "\n").getBytes("UTF-8"))
-      catch { case e: Exception =>
-        Console.err.println(s"[bench] could not write bench_artifact.json: $e")
-      }
+      writeArtifactFile("bench_artifact.json", a, t)
     }
 
     // The shutdown hook fires on a timeout SIGTERM: quiesce the main
     // loop, give it a moment to pass its current query, REBUILD the
     // artifact (capturing warm reps accumulated since the last phase
-    // boundary), write it to bench_artifact.json — the channel that
-    // survives even when the harness's stdout pipe pump (sbt) died with
-    // the same signal and the prints go nowhere — and print it LAST so a
-    // still-alive tail capture parses. Measured on a kill -TERM drill:
-    // stdout through a dead sbt is lost; the file write is not.
+    // boundary), write it to bench_artifact_killed.json — the file
+    // channel survives even when the harness's stdout pipe pump (sbt)
+    // died with the same signal and the prints go nowhere — and print
+    // it LAST so a still-alive tail capture parses. Measured on a
+    // kill -TERM drill: stdout through a dead sbt is lost; the file
+    // write is not.
     val hook = new Thread(() => {
       if (!completed) {
         shuttingDown = true
         Thread.sleep(800)
-        // racy by construction (main may be mutating warmReps mid-query);
-        // fall back to the last phase-boundary flush on any failure
-        try flush("killed")
-        catch { case _: Throwable => () }
+        // Racy by construction (main may be mutating warmReps mid-query),
+        // so the rebuild lands in a SEPARATE file: a torn-but-non-throwing
+        // snapshot must never replace the last good phase-boundary
+        // bench_artifact.json that next round's regression.py reads
+        // (review r16). Any failure falls back to printing the last
+        // boundary flush.
+        try {
+          val (a, t) = buildArtifact("killed")
+          writeArtifactFile("bench_artifact_killed.json", a, t)
+          latestArtifact = a
+          latestTotals = t
+        } catch { case _: Throwable => () }
         val a = latestArtifact; val t = latestTotals
         if (a.nonEmpty) {
           println(a); println(t)

@@ -168,10 +168,13 @@ object StoreScaleProbe {
               f""""sum_sec":${secs.sum}%.2f,""" +
               s""""seg_secs":[${secs.map(x => f"$x%.2f").mkString(",")}]}"""
           }
-          // parity: sharding must not change the probe's answer
+          // parity: sharding must not change the probe's answer.
+          // sum() over zero rows is NULL — coalesce before getLong or a
+          // no-overlap store crashes the probe after all the ladder work
           def tot(sN: Int): (Long, Long) = streaming.EventStreams
             .gramStoreProbeSegmented(spark, gram, nBatches.toLong, bg, sN)
-            .map(_.agg(count(lit(1)), sum("inter")).head())
+            .map(_.agg(count(lit(1)),
+              coalesce(sum("inter"), lit(0L))).head())
             .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
           val (p1, i1) = tot(1)
           val (pS, iS) = tot(segs.max)

@@ -33,6 +33,13 @@ package graft.cache
   *    worth caching. Latest scan wins per root dir (hints describe the
   *    current plan's need); unknown width never refuses (reference
   *    parity — CacheUtil admits when the engine passes no column hint).
+  *  - OPT-IN consumption (`graft.cache.admission.hints`, default off):
+  *    because the registry is path-keyed and latest-wins, a narrow stock
+  *    scan's hint also vetoes a CONCURRENT wide scan's opens on the same
+  *    table — workloads that interleave both shapes on one table should
+  *    leave it off and rely on the per-scan DSv2 conf channel, which is
+  *    per-scan by construction. Recording is always on (cheap, and the
+  *    registry doubles as plan-width observability).
   *  - Bounded: an access-ordered LRU of [[MaxEntries]] root dirs.
   */
 object AdmissionHints {
@@ -47,18 +54,30 @@ object AdmissionHints {
   private def norm(p: String): String =
     if (p.length > 1 && p.endsWith("/")) p.dropRight(1) else p
 
+  /** Registry key for a URI: AUTHORITY + path, scheme-stripped. The
+    * authority matters (review r16): graft://bucketA/warehouse/t and
+    * graft://bucketB/warehouse/t are different tables, and the graft->
+    * inner mapping preserves the authority on both the record side
+    * (plan root paths) and the lookup side (inner file paths), so the
+    * key is symmetric across the scheme translation. */
+  def keyOf(u: java.net.URI): String =
+    Option(u.getAuthority).getOrElse("") + norm(
+      Option(u.getPath).getOrElse(""))
+
   /** Record a scan's pruned top-level column count against one of its
-    * root dirs (scheme-stripped path). */
-  def record(dir: String, width: Int): Unit = synchronized {
-    hints.put(norm(dir), Integer.valueOf(width))
+    * root paths' [[keyOf]] keys. */
+  def record(key: String, width: Int): Unit = synchronized {
+    hints.put(norm(key), Integer.valueOf(width))
   }
 
-  /** The hinted width for a FILE path: nearest recorded ancestor dir
-    * wins (a partitioned table records its root; files sit levels
-    * below). */
-  def widthFor(filePath: String): Option[Int] = synchronized {
-    var p = norm(filePath)
-    var out: Option[Int] = None
+  /** The hinted width for a FILE key: the key ITSELF first (a
+    * single-file read records the file as its own root — review r16:
+    * ancestor-only walking made the gate a no-op for direct-file
+    * scans), then the nearest recorded ancestor (a partitioned table
+    * records its root; files sit levels below). */
+  def widthFor(fileKey: String): Option[Int] = synchronized {
+    var p = norm(fileKey)
+    var out = Option(hints.get(p)).map(_.intValue())
     while (out.isEmpty && p.nonEmpty && p != "/") {
       val i = p.lastIndexOf('/')
       if (i < 0) p = ""
@@ -73,8 +92,8 @@ object AdmissionHints {
 
   /** The admission decision: refuse ONLY when a hint exists and sits
     * below the configured minimum; unknown width admits. */
-  def admittedWidth(filePath: String, minCols: Int): Boolean =
-    minCols <= 0 || widthFor(filePath).forall(_ >= minCols)
+  def admittedWidth(fileKey: String, minCols: Int): Boolean =
+    minCols <= 0 || widthFor(fileKey).forall(_ >= minCols)
 
   def clear(): Unit = synchronized(hints.clear())
 

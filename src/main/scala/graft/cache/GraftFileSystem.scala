@@ -26,6 +26,7 @@ class GraftFileSystem extends FileSystem {
   private var manager: CacheManager = _
   private var workingDir: Path = _
   private var enabled: Boolean = true
+  private var hintsEnabled: Boolean = false
   /** True when `createInner` constructed the underlying client directly
     * (take-over shims) rather than borrowing a FileSystem.get-cached
     * instance: a directly-built S3AFileSystem owns connection/thread
@@ -53,6 +54,7 @@ class GraftFileSystem extends FileSystem {
     myUri = URI.create(s"$outerScheme://${Option(name.getAuthority).getOrElse("")}/")
     inner = createInner(name, conf)
     cacheConf = CacheConfig.from(conf)
+    hintsEnabled = conf.getBoolean(CacheConfig.AdmissionHintsKey, false)
     enabled = conf.getBoolean(CacheConfig.EnabledKey, true) &&
       projectionAdmitted(conf)
     manager = CacheManager.getOrInit(cacheConf)
@@ -172,10 +174,14 @@ class GraftFileSystem extends FileSystem {
     // Plan-time width hint (r16, AdmissionHints scaladoc): covers
     // stock-format scans over graft:// under the JVM-cached FS, where
     // projectionAdmitted above sees no requested schema. Unknown width
-    // admits; the DSv2 conf channel stays authoritative for its scans.
+    // admits. OPT-IN (graft.cache.admission.hints, default off): the
+    // registry is path-keyed and latest-wins, so a narrow stock scan's
+    // hint would also veto a CONCURRENT wide DSv2 scan's opens on the
+    // same table — a workload that interleaves both shapes on one table
+    // should leave this off and rely on the per-scan conf channel.
     val admit = admitted(f) && st.isFile &&
-      AdmissionHints.admittedWidth(ip.toUri.getPath,
-        cacheConf.minProjectedColumns)
+      (!hintsEnabled || AdmissionHints.admittedWidth(
+        AdmissionHints.keyOf(ip.toUri), cacheConf.minProjectedColumns))
     if (!admit) return inner.open(ip, bufferSize)
     val stream = new CachingInputStream(
       () => inner.open(ip, bufferSize),

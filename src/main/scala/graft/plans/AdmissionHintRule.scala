@@ -32,7 +32,14 @@ import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
 case class AdmissionHintRule(session: SparkSession) extends Rule[SparkPlan] {
 
   override def apply(plan: SparkPlan): SparkPlan = {
-    val minCols = session.sessionState.newHadoopConf()
+    // read straight off the context's live Hadoop conf — newHadoopConf()
+    // would clone the full Configuration + merge every SQL conf on EVERY
+    // application of this rule (per query, per AQE stage), a pure tax in
+    // the default-disabled case (review r16). The trade: session-level
+    // `spark.conf.set("spark.hadoop...")` overrides are not seen — set
+    // the floor on the context conf (or at session build), which is how
+    // every spec and deployment shape here does it anyway.
+    val minCols = session.sparkContext.hadoopConfiguration
       .getInt(graft.cache.CacheConfig.MinColumnsKey, 0)
     if (minCols > 0) plan.foreach {
       case s: FileSourceScanExec =>
@@ -52,5 +59,6 @@ case class AdmissionHintRule(session: SparkSession) extends Rule[SparkPlan] {
   private def recordRoots(roots: Seq[org.apache.hadoop.fs.Path],
       width: Int): Unit =
     roots.filter(p => Option(p.toUri.getScheme).contains("graft"))
-      .foreach(p => graft.cache.AdmissionHints.record(p.toUri.getPath, width))
+      .foreach(p => graft.cache.AdmissionHints.record(
+        graft.cache.AdmissionHints.keyOf(p.toUri), width))
 }

@@ -923,10 +923,21 @@ object EventStreams {
 
   private val ManifestName = "_graft_manifest"
 
+  /** Three-valued completeness: Some(true)=_SUCCESS present,
+    * Some(false)=AFFIRMATIVELY absent, None=the existence check itself
+    * failed (transient store error). The distinction is load-bearing: the
+    * compactor's torn-fold sweep DELETES incomplete bases, and treating a
+    * transient s3a/abfs error as "incomplete" would destroy the current
+    * published generation (review r16). Unknown never deletes and never
+    * resolves. */
+  private def baseCompleteOpt(fs: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path): Option[Boolean] =
+    try Some(fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+    catch { case _: Exception => None }
+
   private def baseComplete(fs: org.apache.hadoop.fs.FileSystem,
       d: org.apache.hadoop.fs.Path): Boolean =
-    try fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))
-    catch { case _: Exception => false }
+    baseCompleteOpt(fs, d).contains(true)
 
   /** Complete `base-<upto>` dirs present, sorted by upto. */
   private def listBases(fs: org.apache.hadoop.fs.FileSystem,
@@ -1053,13 +1064,23 @@ object EventStreams {
         s".manifest-tmp-${System.nanoTime()}")
       val out = fs.create(tmp, true)
       try out.write(content) finally out.close()
-      // single-object swap through the FileSystem abstraction: rename
-      // onto the manifest where the FS supports overwrite (local, HDFS);
-      // where rename is copy+delete anyway (object stores), the fallback
-      // IS the native atomic primitive there — one create-overwrite PUT
-      // of the small manifest object.
-      val renamed =
+      // single-object swap through the FileSystem abstraction, in
+      // preference order (honest per-FS semantics, review r16):
+      // (1) rename onto the manifest — atomic where the FS overwrites
+      //     an existing dst (POSIX local);
+      // (2) delete + rename — HDFS refuses rename onto an existing dst,
+      //     so every RE-publish takes this path there: content is never
+      //     torn, only briefly MISSING, and readers recover from a
+      //     missing manifest via base listing by design;
+      // (3) create-overwrite of the manifest itself — on object stores,
+      //     where rename is copy+delete anyway, one PUT of a small
+      //     object IS the native atomic primitive.
+      def tryRename(): Boolean =
         try fs.rename(tmp, dst) catch { case _: Exception => false }
+      val renamed = tryRename() || {
+        try fs.delete(dst, false) catch { case _: Exception => () }
+        tryRename()
+      }
       if (!renamed) {
         val o2 = fs.create(dst, true)
         try o2.write(content) finally o2.close()
@@ -1090,11 +1111,13 @@ object EventStreams {
         if (retired) fs.delete(st.getPath, true)
       }
     }
-    // repair/roll-forward: drop torn folds, then re-publish + GC around
+    // repair/roll-forward: drop torn folds — only those whose _SUCCESS is
+    // AFFIRMATIVELY absent (a transient existence-check error must never
+    // delete a possibly-complete base) — then re-publish + GC around
     // whatever resolution says is current (no-op when already current)
     listDirs(fs, root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("base-") &&
-        !baseComplete(fs, st.getPath))
+        baseCompleteOpt(fs, st.getPath).contains(false))
       .foreach(st => fs.delete(st.getPath, true))
     resolveGramBase(fs, root).foreach { case (d, upto) =>
       publish(d.getName, upto)

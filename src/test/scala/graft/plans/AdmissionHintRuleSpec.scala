@@ -31,6 +31,12 @@ class AdmissionHintRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.hadoopConfiguration
       .setInt(graft.cache.CacheConfig.MinColumnsKey, 3)
+    // hint CONSUMPTION at open() is opt-in (r16 review: a narrow stock
+    // scan's hint would also veto a concurrent wide DSv2 scan's opens on
+    // the same table, so mixed workloads leave it off) — this suite is
+    // the consumer contract, so turn it on
+    spark.sparkContext.hadoopConfiguration
+      .setBoolean(graft.cache.CacheConfig.AdmissionHintsKey, true)
     data = java.nio.file.Files.createTempDirectory("graft-hintdata").toString +
       "/nation"
     spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
