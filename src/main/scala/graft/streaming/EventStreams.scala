@@ -1092,10 +1092,36 @@ object EventStreams {
     // every delta the previous generation's view still needs
     // (batch_id > prevUpto); retire everything older, plus torn folds'
     // leftovers and stray manifest tmp files. Unparseable batch_id=*
-    // entries are left alone — they are not ours to delete.
+    // and base-* entries are left alone — they are not ours to delete.
+    //
+    // Three-valued completeness propagates INTO this path (r17, from the
+    // r16 advice): the old keep-set came from listBases, which silently
+    // DROPS a base whose _SUCCESS existence check transiently fails —
+    // prevName then pointed one generation too far back and GC deleted
+    // the live previous generation, violating the "unknown never
+    // deletes" invariant on exactly the object stores the lag targets.
+    // Now (a) any unknown-completeness base suppresses ALL base-*
+    // deletions this cycle (the next run retries — GC is idempotent and
+    // deferral only costs disk); (b) prevUpto stays over AFFIRMATIVELY
+    // complete bases only — counting an unknown that is really a torn
+    // fold would INFLATE prevUpto and retire deltas the true previous
+    // generation's readers still need, while under-counting merely keeps
+    // extra deltas one cycle (and (a) already protects the base dirs);
+    // (c) a base whose upto exceeds keepBase's is NEVER retired,
+    // independent of completeness probes — a torn newer fold is the
+    // repair sweep's job (which requires an AFFIRMATIVE _SUCCESS
+    // absence), not GC's.
     def gc(keepBase: String, upto: Long): Unit = {
-      val prevUpto = listBases(fs, root)
-        .filter { case (p, u) => u < upto && p.getName != keepBase }
+      val baseDirs = listDirs(fs, root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("base-"))
+        .flatMap { st =>
+          scala.util.Try(st.getPath.getName.stripPrefix("base-").toLong)
+            .toOption.map(u => (st.getPath.getName, u,
+              baseCompleteOpt(fs, st.getPath)))
+        }
+      val anyUnknown = baseDirs.exists(_._3.isEmpty)
+      val prevUpto = baseDirs
+        .filter { case (n, u, c) => u < upto && n != keepBase && c.contains(true) }
         .map(_._2).sorted.lastOption.getOrElse(Long.MinValue)
       val prevName = if (prevUpto == Long.MinValue) "" else s"base-$prevUpto"
       listDirs(fs, root).foreach { st =>
@@ -1104,9 +1130,14 @@ object EventStreams {
           if (n.startsWith("batch_id="))
             scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
           else None
+        val baseUpto =
+          if (n.startsWith("base-"))
+            scala.util.Try(n.stripPrefix("base-").toLong).toOption
+          else None
         val retired =
           deltaId.exists(_ <= prevUpto) ||
-            (n.startsWith("base-") && n != keepBase && n != prevName) ||
+            (!anyUnknown && n != keepBase && n != prevName &&
+              baseUpto.exists(_ < upto)) ||
             n.startsWith(".manifest-tmp-")
         if (retired) fs.delete(st.getPath, true)
       }

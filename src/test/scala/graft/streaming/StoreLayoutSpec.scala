@@ -16,6 +16,34 @@ import org.scalatest.funsuite.AnyFunSuite
   * Functional correctness of the folds is carried by the s15/s13 oracle
   * gates (the hot-line rule and quota admission ride the fold counts);
   * idempotency under re-delivery by StreamRetrySpec. */
+/** A local FileSystem whose `exists()` can be made to FAIL TRANSIENTLY
+  * for paths containing a given substring — the injection seam for the
+  * three-valued completeness contract (a transient object-store error
+  * during a `_SUCCESS` probe must never turn into a deletion). State
+  * lives in the companion so the FileSystem cache's instance reuse is
+  * irrelevant. */
+class FlakyExistsFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  override def exists(f: org.apache.hadoop.fs.Path): Boolean = {
+    val it = FlakyExistsFs.failures.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (f.toString.contains(e.getKey) && e.getValue.getAndDecrement() > 0)
+        throw new java.io.IOException(
+          s"injected transient exists() failure for ${e.getKey}")
+    }
+    super.exists(f)
+  }
+}
+
+object FlakyExistsFs {
+  private[streaming] val failures = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+  def inject(substr: String, n: Int): Unit =
+    failures.put(substr, new java.util.concurrent.atomic.AtomicInteger(n))
+  def clear(): Unit = failures.clear()
+}
+
 class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
 
@@ -292,6 +320,84 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       fs.delete(new org.apache.hadoop.fs.Path(
         new java.io.File(base2).getParent), true)
+    }
+  }
+
+  test("a TRANSIENT _SUCCESS-check failure never lets GC delete the " +
+      "lagged generation, and a base newer than the published one is " +
+      "never retired (r16 advice — unknown never deletes, in the GC " +
+      "path too)") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-storeflaky-").toString
+    val gram = s"$tmp/gramstore"
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft-storeflaky2-").toString + "/copy"
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyExistsFs].getName)
+    def rows(p: String) = EventStreams.readGramStore(spark, p).get
+      .drop("batch_id").collect().map(_.toString).sorted.toSeq
+    try {
+      // reach the steady two-generation state {base-2, base-3, deltas
+      // 3,4} exactly as the lifecycle test does
+      (0 until 4).foreach { b =>
+        EventStreams.curationBatch(tmp, budget = 1L << 40, mkBatch(b),
+          b.toLong)
+      }
+      EventStreams.compactGramStore(spark, gram)
+      EventStreams.curationBatch(tmp, budget = 1L << 40, mkBatch(4), 4L)
+      EventStreams.compactGramStore(spark, gram)
+      assert(dirs(gram) == Set("base-2", "base-3", "batch_id=3",
+        "batch_id=4"), dirs(gram).toString)
+      copyTree(tmp, tmp2)
+      val preRows = rows(gram)
+
+      // (a) base-2's _SUCCESS check fails TRANSIENTLY throughout one
+      // compactor pass (repair sweep + resolve + GC all see unknown):
+      // the old keep-set came from listBases, which dropped base-2, so
+      // GC retired the live lagged generation. Unknown must never
+      // delete — base-2, its _SUCCESS, and the delta keep-set survive.
+      FlakyExistsFs.inject("base-2/_SUCCESS", 100)
+      EventStreams.compactGramStore(spark, s"flaky:$gram")
+      FlakyExistsFs.clear()
+      assert(dirs(gram) == Set("base-2", "base-3", "batch_id=3",
+        "batch_id=4"),
+        s"transient-unknown GC must delete nothing: ${dirs(gram)}")
+      assert(rows(gram) == preRows, "store rows changed under a flaky pass")
+      // and the next QUIET pass is a plain idempotent no-op
+      EventStreams.compactGramStore(spark, gram)
+      assert(dirs(gram) == Set("base-2", "base-3", "batch_id=3",
+        "batch_id=4"), dirs(gram).toString)
+
+      // (b) a COMPLETE base NEWER than the one GC runs around (reachable
+      // when resolve's own completeness probe transiently failed on it)
+      // must never be retired — it is the repair sweep's to handle, and
+      // only on an affirmative _SUCCESS absence. Inject exactly two
+      // failures: the repair sweep's probe and resolve's listBases probe
+      // see unknown (so GC runs around base-3), the GC probe then
+      // succeeds (no unknowns left) — the old name-based retire clause
+      // deleted base-9 here.
+      val g2 = s"$tmp2/gramstore"
+      val b9 = new java.io.File(s"$g2/base-9")
+      b9.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(b9.getPath, "_SUCCESS"),
+        Array.emptyByteArray)
+      FlakyExistsFs.inject("base-9/_SUCCESS", 2)
+      EventStreams.compactGramStore(spark, s"flaky:$g2")
+      FlakyExistsFs.clear()
+      assert(b9.exists(),
+        s"GC must never retire a base newer than its keep base: ${dirs(g2)}")
+      assert(dirs(g2).contains("base-2"),
+        s"lagged generation must also survive: ${dirs(g2)}")
+    } finally {
+      FlakyExistsFs.clear()
+      val fs = org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        new java.io.File(tmp2).getParent), true)
     }
   }
 
