@@ -167,6 +167,58 @@ def load_shared(path):
 SHARED_FAMILY = {"d47", "d48", "d57", "d59", "d60"}
 
 
+def downshift_note(path):
+    """r17+ artifacts carry a `downshift` decision: on a degraded window
+    the bench preserves 3-rep medians for a sensitive subset instead of
+    thinning to one rep of everything (Bench.scala scaladoc #6). Surface
+    the decision so the table is read with the right basis."""
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "tail" in d:
+            if isinstance(d.get("parsed"), dict) and "downshift" in d["parsed"]:
+                dd = d["parsed"]["downshift"]
+                text = ""
+            else:
+                text = d["tail"]
+                dd = None
+        else:
+            dd = None
+    except json.JSONDecodeError:
+        dd = None
+    if dd is None:
+        for m in re.finditer(r'"downshift":(\{[^{}]*\})', text):
+            try:
+                dd = json.loads(m.group(1))
+            except json.JSONDecodeError:
+                continue
+    if dd and dd.get("active"):
+        print(f"note: {path} ran the DOWNSHIFTED protocol (window drift "
+              f"{dd.get('drift')}x detected at {dd.get('at')}; "
+              f"sensitive_n={dd.get('sensitive_n')}) — its sensitive set "
+              "carries multi-rep medians, coverage queries are single-rep")
+        return True
+    return False
+
+
+def load_scalar_int(path, name):
+    """Return an integer scalar field (e.g. warm_reps_shared) from any
+    artifact shape, or None when the artifact predates it."""
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "tail" in d:
+            if isinstance(d.get("parsed"), dict) and name in d["parsed"]:
+                return int(d["parsed"][name])
+            text = d["tail"]
+    except (json.JSONDecodeError, TypeError, ValueError):
+        pass
+    best = None
+    for m in re.finditer(r'"%s":(\d+)' % name, text):
+        best = int(m.group(1))
+    return best
+
+
 def load_queries(path):
     """Return ({short_id: median_sec}, warm_total_or_None) from a driver
     artifact, a raw bench JSON line, a bench_artifact.json, or a log.
@@ -242,6 +294,7 @@ def main():
                  for k in ("canary", "canary_iter")])
     for p in (sys.argv[1], sys.argv[2]):
         late_canary_note(p)
+        downshift_note(p)
     for p in (sys.argv[1], sys.argv[2]):
         top = load_spread_top(p)
         if top:
@@ -273,8 +326,12 @@ def main():
         return any(e.startswith(k + "_") for e in lane_common)
 
     if lane:
+        reps_new = load_scalar_int(sys.argv[2], "shared_reps")
+        basis = (f" [new lane medians from {reps_new} rep(s) — "
+                 "reduced-window run]"
+                 if reps_new is not None and 0 < reps_new < 3 else "")
         print("shared lane (composed chain priced once; the family's "
-              "regression signal):")
+              f"regression signal):{basis}")
         for k in lane_common:
             p, n = float(prev_sh[k]), float(new_sh[k])
             flag = "  <-- >2x" if p > 0 and n / p > 2.0 else ""
@@ -302,13 +359,37 @@ def main():
             print(f"  common-set ratio excluding the family: "
                   f"{px:.2f}s -> {nx:.2f}s "
                   f"({nx / px if px else float('nan'):.2f}x)")
-    rows = []
+    # When the NEW run's shared lane was deadline-skipped, its family
+    # gates carry a SINGLE warm rep (warm_reps_shared:1, r16+) — letting
+    # them re-enter the >2x table against prior 3-rep medians reintroduces
+    # the phantom-flag class the medOf machinery absorbs everywhere else
+    # (a stall rep like run B's d60 50.6 s has no median to hide behind).
+    # They are excluded with an explicit low-confidence note instead
+    # (r16 advice).
+    # key on the NEW side specifically: prev lacking a lane (pre-r13
+    # artifact, or r16's skipped lane) must not smear "skipped" onto a
+    # new run whose lane ran — there the per-gate 1-rep-vs-1-rep rows
+    # stay comparable and keep their place in the table
+    single_rep_family = (new_sh is None and
+                         load_scalar_int(sys.argv[2], "warm_reps_shared") == 1)
+    rows, lowconf = [], []
     for k in common:
         if lane and k in SHARED_FAMILY and lane_covers(k):
             continue
         p, n = prev_q[k], new_q[k]
+        if single_rep_family and k in SHARED_FAMILY:
+            if p > 0 and n / p > 2.0:
+                lowconf.append((n / p, k, p, n))
+            continue
         if p > 0 and n / p > 2.0:
             rows.append((n / p, k, p, n))
+    if single_rep_family:
+        note = (" ".join(f"{k}:{p:.2f}s->{n:.2f}s({r:.1f}x)"
+                         for r, k, p, n in sorted(lowconf, reverse=True))
+                or "none >2x")
+        print("note: new run's shared lane was skipped and its family "
+              "gates are SINGLE-REP (warm_reps_shared:1) — excluded from "
+              f"the >2x table as low-confidence: {note}")
     suffix = "  [SUSPECT: noisy canary window]" if noisy else ""
     if not rows:
         print("queries >2x their previous committed value: NONE" + suffix)
