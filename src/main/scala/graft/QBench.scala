@@ -54,6 +54,50 @@ object QBench {
           println(f"[d57prof] TOTAL          ${(System.nanoTime() - t0) / 1e9}%7.2fs")
         }
         operators.PipelineQueries.incProbe = (_, _) => ()
+      case "seamlane" =>
+        // A/B the r17 lazy-seam experiment over the bench shared lane:
+        // same rep body as Bench's lane, eager vs lazy checkpoints, 3
+        // reps each after a discarded codegen rep. What to look for:
+        // lazy must not regress the LANE TOTAL (the work just moves from
+        // the chain rows into the first consuming output), and the seam
+        // ledger's sum should collapse toward zero — each vanished seam
+        // is one fewer sequential driver-sync stall draw at cluster
+        // scale.
+        def noop(df: DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def rep(): Seq[(String, Double)] = PinScope.run(spark) {
+          def t(body: => Unit): Double = {
+            val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+          }
+          var bst: operators.PipelineQueries.Stages = null
+          var ist: operators.PipelineQueries.IncStages = null
+          var base59: String = null
+          Seq(
+            "d47_chain" -> t { bst = operators.PipelineQueries.build(spark, sfDir) },
+            "d47_pack" -> t { noop(operators.PipelineQueries.packBoot(bst)) },
+            "d48_attrition" -> t { noop(operators.PipelineQueries.attritionBoot(bst)) },
+            "d57_chain" -> t { ist = operators.PipelineQueries.buildInc(spark, sfDir) },
+            "d57_pack" -> t { noop(operators.PipelineQueries.packInc(ist)) },
+            "d60_attrition" -> t { noop(operators.PipelineQueries.attritionInc(ist)) },
+            "d59_boot" -> t { base59 = operators.PipelineQueries.bootStoreJob(spark, sfDir) },
+            "d59_inc" -> t { noop(operators.PipelineQueries.incStoreJob(spark, sfDir, base59)) })
+        }
+        Seq("eager" -> "false", "lazy" -> "true").foreach { case (tag, v) =>
+          sys.props.put("graft.chain.lazy.seams", v)
+          rep() // codegen/page-cache pay, discarded
+          val reps = (1 to 3).map { i =>
+            val (r, sm) = operators.SeamClock.recording(rep())
+            println(f"[seamlane:$tag] rep $i total=${r.map(_._2).sum}%7.2f " +
+              r.map { case (k, x) => f"$k=$x%.2f" }.mkString(" "))
+            println(f"[seamlane:$tag] rep $i seams n=${sm.size} " +
+              f"sum=${sm.map(_._2).sum}%.2f " +
+              sm.map { case (k, x) => f"$k=$x%.2f" }.mkString(" "))
+            r.map(_._2).sum
+          }
+          println(f"[seamlane:$tag] lane totals med=${reps.sorted.apply(1)}%7.2f " +
+            reps.map(t => f"$t%.2f").mkString(","))
+        }
+        sys.props.remove("graft.chain.lazy.seams")
       case name if SparkEntry.queries.contains(name) =>
         // generic: any gate query by name, 1 warmup + 3 timed reps
         time(name, 4)(SparkEntry.queries(name)(spark, sfDir))

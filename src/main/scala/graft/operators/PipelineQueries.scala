@@ -263,17 +263,21 @@ object PipelineQueries {
       sem: DataFrame, sp: DataFrame, lshOk: DataFrame)
 
   private[graft] def build(s: SparkSession, dir: String): Stages = {
+    // Every eager checkpoint routes through SeamClock.ck (r17): identical
+    // semantics, but the bench shared lane records each barrier's name +
+    // wall seconds so the chains' driver-sync seam count — the stall-
+    // amplification surface the r16 verdict flagged — rides the artifact.
+    val ck = SeamClock.ck _
     val aug = augmented(s, dir)
-    val q = qualityDocs(aug).localCheckpoint(true) // consumers: repetition agg + join
+    val q = ck("q")(qualityDocs(aug)) // consumers: repetition agg + join
     val rep = repetitionDocs(q)
-    val ld = lineCleanDocs(rep).localCheckpoint(true) // consumers: pairs, LSH, length, chunks
+    val ld = ck("ld")(lineCleanDocs(rep)) // consumers: pairs, LSH, length, chunks
 
     // Stage 2a — exact near-dup edges via the d05 blocked candidate join,
     // over the LINE-CLEANED text (boilerplate no longer inflates Jaccard)
-    val edges = TextQueries.jaccardPairsOf(ld)
+    val edges = ck("edges")(TextQueries.jaccardPairsOf(ld)
       .filter(col("jaccard") >= 0.3)
-      .select("doc_a", "doc_b")
-      .localCheckpoint(true) // consumers: components + LSH recall
+      .select("doc_a", "doc_b")) // consumers: components + LSH recall
 
     // Stage 2b — d06's banded LSH over the same corpus, asserted in-band:
     // the production candidate path must capture >= 95% of the true edges
@@ -309,14 +313,14 @@ object PipelineQueries {
     val keyed = occ.withColumn("first_key",
       min(col("doc_id") * lit(100000L) + col("idx"))
         .over(Window.partitionBy("chunk")))
-    val rw2 = keyed
+    val rw2 = ck("rw2")(keyed
       .filter(col("doc_id") * lit(100000L) + col("idx") === col("first_key"))
       .groupBy("doc_id", "comp")
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), ' ')")
         .as("rtext"))
       .withColumn("rtk", expr("regexp_extract_all(rtext, '\\\\S+', 0)"))
-      .localCheckpoint(true) // consumers: decontam windows, decontam text, split/pack
+      ) // consumers: decontam windows, decontam text, split/pack
 
     // Stage 4a — d46 verbatim decontamination of the REWRITTEN stream
     // against the raw benchmark split (doc_id % 50 == 0): candidates
@@ -346,8 +350,7 @@ object PipelineQueries {
     // clean feeds BOTH the semantic probe input and the final anti-join;
     // unsevered, the contam subtree (window join + LCS) re-evaluates per
     // consumer — measured as the residual warm cost after the r12 seams
-    val clean = rw2.join(contam, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val clean = ck("clean")(rw2.join(contam, Seq("doc_id"), "left_anti"))
 
     // Stage 4b — e22 semantic decontamination: join embeddings by
     // doc_id = vec_id (left — no embedding means unverifiable, pass),
@@ -382,8 +385,7 @@ object PipelineQueries {
     // checkpoint ONCE and derive sp from the checkpointed frame — built
     // from the raw `sem`, d47's pack path would re-execute the semDrop
     // subtree (embedding joins + cosine scan) instead of reading the seam
-    val semCk = clean.join(semDrop, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val semCk = ck("sem")(clean.join(semDrop, Seq("doc_id"), "left_anti"))
 
     // Stage 5 — d43's component-keyed split: near-dup twins can never
     // straddle a boundary because the unit of assignment is the comp id
@@ -393,7 +395,7 @@ object PipelineQueries {
         .otherwise("test"))
 
     Stages(aug, q, rep, ld, edges, surv, rw2, clean,
-      semCk, sp, lshOk.localCheckpoint(true))
+      semCk, sp, ck("lshOk")(lshOk))
   }
 
   // --------------------------------------------------- incremental (d57)
@@ -657,8 +659,9 @@ object PipelineQueries {
     // qB is eagerly checkpointed for the same reason as build()'s q:
     // repetitionDocs consumes it twice, and d60's attrition joins add
     // two more consumers of the quality lineage.
+    val ck = SeamClock.ck _ // barrier ledger, see build()
     val (_, batAug) = incInputs(s, dir)
-    val qB = qualityDocs(batAug).localCheckpoint(true)
+    val qB = ck("qB")(qualityDocs(batAug))
     val repB = repetitionDocs(qB)
     val ldBat = lineCleanAgainst(repB, store.hot)
       .persist() // consumers: gram probes x2, LSH sigs, chunk explode
@@ -767,8 +770,8 @@ object PipelineQueries {
         graft.functions.StringAlgos.lcsLenCol(col("sa"), col("sb")))
       .groupBy("doc_id").agg(max("lcs").as("max_lcs"))
       .filter(col("max_lcs") >= 50).select("doc_id")
-    val clean = rw.join(contam, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true) // same double-evaluation seam as build()
+    val clean = ck("clean")(rw.join(contam, Seq("doc_id"), "left_anti"))
+    // ^ same double-evaluation seam as build()
     incProbe("clean", () => clean.count())
 
     // semantic decontamination (e22 / d47 4b) over the batch survivors
@@ -801,8 +804,8 @@ object PipelineQueries {
 
     // the store manifest's next-token offset — the persisted scalar for
     // d59 (manifest artifact), the same sum computed in-run for d57
-    val baseCk = store.baseOff.localCheckpoint(true)
-    val lshOkCk = lshOk.localCheckpoint(true)
+    val baseCk = ck("baseOff")(store.baseOff)
+    val lshOkCk = ck("lshOk")(lshOk)
     incProbe("base+lshOk", () => baseCk.count() + lshOkCk.count())
     IncStages(batAug, qB, repB, ldBat,
       po.select(col("new_id").as("doc_id")).distinct(),
@@ -1429,11 +1432,10 @@ object PipelineQueries {
     * stage shared by d57 and d59. */
   private[graft] def packInc(st: IncStages): DataFrame = {
     val w = Window
-    val toks = st.sem
+    val toks = SeamClock.ck("pack.toks")(st.sem
       .select(col("doc_id"), col("rtext"),
         size(col("rtk")).cast("long").as("n_tok"))
-      .withColumn("bucket", expr("doc_id div 100L"))
-      .localCheckpoint(true)
+      .withColumn("bucket", expr("doc_id div 100L")))
     val offsets = toks.groupBy("bucket").agg(sum("n_tok").as("btotal"))
       .withColumn("off", coalesce(
         sum("btotal").over(w.orderBy(col("bucket").asc)

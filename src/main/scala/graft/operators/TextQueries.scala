@@ -144,15 +144,22 @@ object TextQueries {
     }
     // convergence: the label sum is monotonically decreasing until the
     // fixpoint; carry the previous round's sum instead of re-aggregating
-    var prevSum = labels.agg(sum("comp")).first().getLong(0)
+    // each round's convergence aggregate is a driver-sync barrier (the
+    // lazy checkpoint materializes inside it) — ledgered via SeamClock
+    // when the bench lane is recording, a no-op otherwise
+    var prevSum = SeamClock.barrier("cc.init")(
+      labels.agg(sum("comp")).first().getLong(0))
     var converged = false
+    var round = 0
     while (!converged) {
       val prop = und.join(labels, und("doc_a") === labels("doc_id"))
         .select(und("doc_b").as("doc_id"), col("comp"))
       val next = labels.union(prop)
         .groupBy("doc_id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val newSum = next.agg(sum("comp")).first().getLong(0)
+      round += 1
+      val newSum = SeamClock.barrier(s"cc.round$round")(
+        next.agg(sum("comp")).first().getLong(0))
       freeCheckpoint(labels)
       labels = next
       converged = prevSum == newSum
