@@ -67,12 +67,43 @@ import org.apache.spark.sql.functions.col
   *        prints the latest partial artifact LAST, so the driver's tail
   *        capture parses even on rc=124;
   *    (c) a soft DEADLINE (env SPARK_GRAFT_BENCH_DEADLINE, seconds;
-  *        default 1700 — the r14 envelope that fit the driver window)
+  *        default 3000 since r17 — see the constant's comment; 1700 was
+  *        the r14 envelope and starved every arm at the current suite
+  *        size even on quiet windows)
   *        is checked before each remaining arm with a conservative cost
   *        estimate; arms that would overrun are skipped and recorded in
   *        the artifact's "skipped" array. The reference's own perf
   *        protocol is bounded by construction (perf/perf.go:38-75 runs
   *        a fixed small query set); this keeps ours bounded too.
+  * 6. DEGRADED-WINDOW DOWNSHIFT (r17, after BENCH_r16.json landed rc=0
+  *    but SINGLE-REP: the driver's ~4.4x-degraded window spent 3322 s on
+  *    the mandatory cold+warm-1 prefix, then the deadline guard starved
+  *    every arm that produces regression signal — 185 numbers, zero
+  *    medians, lane/ops/conc all skipped). The protocol now PRESERVES
+  *    MEDIANS on a slow window instead of thinning to one rep of
+  *    everything:
+  *    (a) canary pairs interleave the COLD pass (every 20 queries) and
+  *        are compared against quiet-window reference values recorded in
+  *        tools/bench_quiet_reference.json (regenerated with BASELINE.md
+  *        re-baselines; artifact carries the pairs as `canary_cold`).
+  *        When the median pair drift exceeds 2x — or, for uniformly slow
+  *        windows that never trip a pair, the finished cold pass exceeds
+  *        2x the recorded envelope — the run DOWNSHIFTS;
+  *    (b) downshifted warm phase: 3 seeded-shuffled passes over a
+  *        SENSITIVE subset (the r16 verdict's unadjudicated gates +
+  *        historically window-flagged shapes first, then by
+  *        quiet-reference weight) sized so 3 reps fit half the remaining
+  *        budget; the shared lane keeps as many of its 3 reps as fit at
+  *        the MEASURED per-rep cost; the conc arm drops to the 8x1 tier;
+  *        everything else gets one COVERAGE rep last, budget permitting;
+  *    (c) the cold pass and every warm pass also carry an intra-phase
+  *        deadline guard (skipped tails recorded as `*_tail:N`), so a
+  *        window slower than the r16 run C's can no longer ride the
+  *        mandatory prefix past the driver's wall-clock;
+  *    (d) the decision rides the artifact (`downshift`: active/at/drift/
+  *        sensitive_n + the full `sensitive` list in the big line), and
+  *        arm estimates are scaled by the measured drift so a degraded
+  *        window prices itself honestly.
   *
   * Output layout (driver keeps the TAIL of stdout; r3/r5/r6/r7 artifacts
   * all lost the totals because a ~2600-char full-name queries dict pushed
@@ -98,6 +129,86 @@ object Bench {
     "d57_incremental_pipeline", "d59_store_handoff",
     "d60_incremental_attrition")
 
+  /** Quiet-window reference values (r17 downshift machinery): recorded
+    * from a committed full-protocol quiet-window run
+    * (tools/bench_quiet_reference.json, regenerated whenever BASELINE.md
+    * re-baselines), used ONLY to detect a degraded measurement window and
+    * size the downshifted protocol — never to report numbers. Fallback
+    * constants are the BASELINE.md r16 run-B envelope. */
+  /** `coldPairs` is the quiet COLD-PHASE canary-pair SEQUENCE — the r17
+    * drills showed cold pairs carry a JIT-decay profile (pair 1 reads
+    * ~2.2x the warm med even on a quiet window, decaying to ~1x by pair
+    * 5, reproducibly across runs), so detection compares pair k against
+    * quiet pair k — ordinal to ordinal — rather than against any single
+    * scalar (which false-tripped a quiet run's early pairs at the 2x
+    * threshold in the A/B drills). Fallback without recorded pairs:
+    * warm med x 1.5 JIT allowance. `sfName` scopes the reference:
+    * absolute canary seconds only mean something at the SF they were
+    * recorded at, so detection DISARMS on a mismatch unless the
+    * reference was env-forced (the drill hook). */
+  /** `colds` (short-id keyed) is the QUERY-SHAPED detector's yardstick:
+    * the r16 driver window taxed the queries 4.5x while its scan canary
+    * MEDIANS read near-quiet (only isolated slots spiked), so a
+    * canary-only detector can miss exactly the class that matters; the
+    * running median of thisColdTime/quietColdTime over the queries
+    * themselves cannot. */
+  private final case class QuietRef(canaryScan: Double, canaryIter: Double,
+      coldPairs: Seq[(Double, Double)], coldTotal: Double,
+      sfName: String, forced: Boolean, meds: Map[String, Double],
+      colds: Map[String, Double])
+
+  private def loadQuietRef(): QuietRef = {
+    val fallback = QuietRef(0.18, 0.47, Nil, 450.0, "sf0.1",
+      forced = false, Map.empty, Map.empty)
+    try {
+      // env override = the downshift DRILL hook (point it at a reference
+      // with tiny canary values to force the degraded path at any SF)
+      val forced = sys.env.contains("SPARK_GRAFT_QUIET_REF")
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_QUIET_REF", "tools/bench_quiet_reference.json"))
+      if (!java.nio.file.Files.exists(p)) fallback
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        def num(key: String, dflt: Double): Double =
+          ("\"" + key + "\":([0-9.]+)").r.findFirstMatchIn(text)
+            .map(_.group(1).toDouble).getOrElse(dflt)
+        val sfName = "\"sf\":\"([A-Za-z0-9_.]+)\"".r.findFirstMatchIn(text)
+          .map(_.group(1)).getOrElse(fallback.sfName)
+        val meds = "\"q\":\"([A-Za-z0-9_]+)\",\"med\":([0-9.]+)".r
+          .findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val pairs = "\\{\"scan\":([0-9.]+),\"iter\":([0-9.]+)\\}".r
+          .findAllMatchIn(text)
+          .map(m => (m.group(1).toDouble, m.group(2).toDouble)).toSeq
+        val colds = "\"cold_queries\":\\{([^{}]*)\\}".r
+          .findFirstMatchIn(text).map(_.group(1)).map { frag =>
+            "\"([A-Za-z][A-Za-z0-9]*)\":([0-9.]+)".r.findAllMatchIn(frag)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
+        QuietRef(num("canary_scan", fallback.canaryScan),
+          num("canary_iter", fallback.canaryIter), pairs,
+          num("cold_total", fallback.coldTotal), sfName, forced, meds,
+          colds)
+      }
+    } catch { case _: Exception => fallback }
+  }
+
+  /** Regression-sensitive priority head for the downshifted protocol —
+    * the queries whose 3-rep medians matter most when the window cannot
+    * afford the full suite: the r16 verdict's four unadjudicated
+    * non-lane SUSPECT gates first (d47/d57 ride the shared lane), then
+    * the historically window-flagged driver-sync/iterative shapes, then
+    * the store/chain-adjacent heavies. The rest of the sensitive set is
+    * filled by quiet-reference weight until the measured budget is
+    * spent. */
+  private val SensitiveHead = Seq(
+    "d27_dedup_rewrite", "d26_semantic_dedup", "d56_triangle_estimate",
+    "e24_incremental_ivf",
+    "d30_pagerank", "q39_percentile", "d41_triangles",
+    "d25_dedup_survivor", "d10_dedup_components", "d43_leakfree_split",
+    "s13_stream_ingest_dedup", "s14_stream_quota", "s15_stream_curation",
+    "d49_incremental_dedup", "e25_ivf_store_handoff")
+
   /** Set by the shutdown hook: every not-yet-started timed region
     * short-circuits to -1 without touching the (stopping) SparkContext,
     * and failure recording is suppressed — the r15 timeout filled the
@@ -122,8 +233,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
+    // Default raised 1700 -> 3000 (r17): 1700 was the r14 envelope, but
+    // the full protocol at current suite size measures ~2200 s on a
+    // quiet window (run A: 2195 s, all arms) — at 1700 even a QUIET
+    // driver window would shed the lane/conc/ops arms. The driver
+    // evidence for 3000 being safe: BENCH_r16.json recorded elapsed
+    // 3348.9 s with rc=0 (the driver did not kill it), so the true
+    // wall is >= 3349 s; 3000 leaves 350+ s of margin while the
+    // intra-phase guards (scaladoc #6c) bound the tail regardless.
     val deadline = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE")
-      .map(_.toDouble).getOrElse(1700.0)
+      .map(_.toDouble).getOrElse(3000.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(master = s"local[$cpus]",
@@ -240,12 +359,31 @@ object Bench {
     // consistent partial artifact at ANY boundary; the shutdown hook
     // prints the latest one LAST so a SIGTERM'd run still parses.
     var coldTotal = 0.0
+    val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warmReps = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     var opTimes: Seq[(String, Double)] = Nil
     var sharedTimes: Seq[(String, Double)] = Nil
+    var sharedReps = 0
+    val chainSeams =
+      scala.collection.mutable.LinkedHashMap[String, Seq[(String, Double)]]()
     var concJson = """{"skipped":true}"""
     val orderSeeds = scala.collection.mutable.ListBuffer[Int]()
+    // ---- degraded-window downshift state (r17, scaladoc #6) ----
+    val quiet = loadQuietRef()
+    val coldCanaryPairs = scala.collection.mutable.ListBuffer[(Double, Double)]()
+    var degraded = false
+    var downshiftAt = ""
+    // rawDrift is what the detectors measured (artifact diagnostics);
+    // driftFactor is the PRICING multiplier, clamped to 8x — the r17
+    // forced drill (1533x synthetic drift) priced the shared lane and
+    // every never-cold-run sensitive candidate out of existence; real
+    // degraded windows are 2-10x, and for anything worse the intra-phase
+    // guards and measured-rep lane pricing are the honest bound anyway.
+    var rawDrift = 1.0
+    var driftFactor = 1.0
+    var sensitiveChosen: Seq[String] = Nil
+    var warmCutoff = Double.MaxValue // tightened on downshift
 
     def currentWarm: Seq[(String, Double, Double, Double)] = names.map { n =>
       val reps = warmReps(n)
@@ -318,10 +456,33 @@ object Bench {
       // or 2-rep medians; hardcoding 3 would misdocument the run's
       // statistical basis — review r16); the shared family is always 1.
       val reps = math.max(orderSeeds.size, 1)
+      // downshift decision + cold-phase canary pairs (r17 scaladoc #6):
+      // the artifact must say WHICH protocol produced these numbers and
+      // what the window looked like while the decision was being made.
+      val coldCanJson = coldCanaryPairs
+        .map { case (s, i) => f"""{"scan":$s%.3f,"iter":$i%.3f}""" }
+        .mkString("[", ",", "]")
+      val sensJson = sensitiveChosen.map(n => "\"" + n + "\"")
+        .mkString("[", ",", "]")
+      // compact form rides `meta` (shared with the tail-sized totals
+      // line); the full name list lands only in the big artifact below
+      val downshiftJson =
+        if (!degraded)
+          f"""{"active":false,"drift":$rawDrift%.2f}"""
+        else
+          f"""{"active":true,"at":${jstr(downshiftAt)},"drift":$rawDrift%.2f,"price_drift":$driftFactor%.2f,"sensitive_n":${sensitiveChosen.size}}"""
+      val seamsJson = chainSeams.map { case (chain, sm) =>
+        val entries = sm.map { case (n, t) => f"""["$n",$t%.3f]""" }
+          .mkString("[", ",", "]")
+        f"""${jstr(chain)}:{"n":${sm.size},"sum":${sm.map(_._2).sum}%.3f,"t":$entries}"""
+      }.mkString("{", ",", "}")
+      val coldJson = names.zip(shortIds).flatMap { case (n, sid) =>
+        coldTimes.get(n).map(t => f""""$sid":$t%.2f""")
+      }.mkString("{", ",", "}")
       val meta =
-        f""""phase":${jstr(phase)},"elapsed_sec":$elapsed%.1f,"deadline_sec":$deadline%.0f,"skipped":$skippedJson,"warm_reps_shared":1"""
+        f""""phase":${jstr(phase)},"elapsed_sec":$elapsed%.1f,"deadline_sec":$deadline%.0f,"skipped":$skippedJson,"warm_reps_shared":${if (degraded) 0 else 1},"shared_reps":$sharedReps,"downshift":$downshiftJson"""
       val artifact =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":$reps,$meta,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"spread_top":$spreadTopJson,"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"canary_iter":$canaryIterJson,"canary_late":$canaryLateJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"ops":$opsJson,"shared":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total_sec":$coldTotal%.3f,"reps":$reps,$meta,"rep_spread_max":$repSpreadMax%.2f,"spread_worst":{"q":"$spreadName","min":$spreadMin%.2f,"med":$spreadMed%.2f,"max":$spreadMax%.2f},"spread_top":$spreadTopJson,"cache_hit_rate":$hitRate%.4f,"canary":$canaryJson,"canary_iter":$canaryIterJson,"canary_late":$canaryLateJson,"canary_cold":$coldCanJson,"order_seeds":$seedsJson,"conc":$concJson,"failed":$failedJson,"failures":$failuresJson,"ops":$opsJson,"shared":$sharedJson,"seams":$seamsJson,"sensitive":$sensJson,"cold":$coldJson,"queries":$qs,"sf":"$sfDir"}"""
       // Totals-only compact line, printed AFTER the full artifact: the
       // driver keeps only the last ~2000 chars of output, and the
       // 185-entry queries dict pushes the full line's head (value / cold
@@ -390,42 +551,210 @@ object Bench {
     Runtime.getRuntime.addShutdownHook(hook)
 
     // Conservative arm-cost estimates (seconds at sf0.1, from the r14/r15
-    // artifacts) for the deadline guard: an arm starts only when
-    // elapsed + estimate fits the deadline.
-    val estWarmPass = 250.0 // non-shared warm pass (r15: 322 incl. shared)
-    val estOps = 40.0
-    val estShared = 190.0 // 3 reps x ~58 s lane
+    // artifacts) for the deadline guard, SCALED by the measured window
+    // drift (r17 — pricing a degraded window at quiet-window rates was
+    // how r16's mandatory prefix blew through the budget): an arm starts
+    // only when elapsed + estimate fits the deadline.
+    def estWarmPass = 250.0 * driftFactor // non-shared pass (r15: 322 incl. shared)
+    def estOps = 40.0 * driftFactor
+    def estSharedRep = 63.0 * driftFactor // one lane rep (run B: ~57 s + margin)
+    // time to reserve for the tail (end canaries, flushes, prints)
+    val reserve = 30.0
     def fits(est: Double): Boolean = elapsed + est <= deadline
+    def budgetLeft: Double = deadline - elapsed - reserve
 
-    // ---- cold pass (1 rep) ----
-    names.foreach { n =>
-      val t = materialize(n)
-      if (!shuttingDown)
-        require(PinScope.pinnedCount(spark) == 0,
-          s"$n leaked ${PinScope.pinnedCount(spark)} pinned RDDs past its scope")
-      if (t >= 0) coldTotal += t
+    // ---- degraded-window detection (r17 scaladoc #6) ----
+    // Each cold canary PAIR is measured against the quiet run's pair at
+    // the SAME ORDINAL (see QuietRef — the JIT-decay profile of the
+    // cold phase is reproducible across runs, so ordinal-to-ordinal is
+    // the comparison that separates "cold JVM, quiet box" from "slow
+    // box"; both A/B drill runs read <= 1.4x per ordinal while an
+    // r16-class window reads ~4x on every pair). Without recorded
+    // pairs, warm med x 1.5 stands in. Detection is ARMED only when the
+    // reference was recorded at THIS run's SF (absolute canary seconds
+    // are meaningless across SFs) or explicitly env-forced. Pairs ride
+    // the artifact (canary_cold) either way.
+    val detectionArmed = quiet.forced ||
+      new java.io.File(sfDir).getName == quiet.sfName
+    def refPair(k: Int): (Double, Double) =
+      if (quiet.coldPairs.nonEmpty)
+        quiet.coldPairs(math.min(k, quiet.coldPairs.size - 1))
+      else (quiet.canaryScan * 1.5, quiet.canaryIter * 1.5)
+    def coldCanaryPair(): Unit = {
+      val sc = canaryScanOnce()
+      val it = canaryIterOnce()
+      if (sc >= 0 && it >= 0) coldCanaryPairs += ((sc, it))
     }
-    runCanary(record = false) // pay the canary's codegen outside the data
-    flush("cold")
+    def pairsDriftMed: Double = {
+      val ds = coldCanaryPairs.zipWithIndex.map { case ((s, i), k) =>
+        val (rs, ri) = refPair(k)
+        math.max(s / rs, i / ri)
+      }.toSeq
+      if (ds.isEmpty) 1.0 else medOf(ds)
+    }
 
-    // ---- warm passes: 3 seeded-shuffled passes over the suite; the
-    // shared family runs in pass 1 only (scaladoc #2) ----
+    runCanary(record = false) // pay the canary's codegen outside the data
+
+    // ---- cold pass (1 rep), deadline-aware and degradation-sensing ----
+    // Every 20 queries a canary pair reads the window against the
+    // recorded quiet reference; the MEDIAN of pairs so far (>= 2, so one
+    // stall can't flip the protocol) above 2x trips the downshift and
+    // the full cold pass stops — remaining coverage moves behind the
+    // median-preserving phases. The intra-phase fits() guard (r16
+    // advice) additionally short-circuits the tail into `skipped` so a
+    // window slower than run C's can never ride past the deadline.
+    // query-shaped drift samples: thisColdTime / quietColdTime per
+    // completed query (see QuietRef.colds — the detector for windows
+    // that tax queries while canary medians stay quiet, the actual r16
+    // shape)
+    val coldRatios = scala.collection.mutable.ListBuffer[Double]()
+    var coldIdx = 0
+    while (coldIdx < names.size && !degraded && !shuttingDown) {
+      if (coldIdx > 0 && coldIdx % 20 == 0) {
+        coldCanaryPair()
+        // >= 3 pairs before tripping: the r17 quiet-window run's FIRST
+        // two pairs read 2.04x/1.65x the cold-phase reference meds from
+        // residual JIT alone (median-of-2 = 1.85, a near-miss false
+        // trip); with three the median sheds the worst early pair, while
+        // a real r16-class window (~4x on every pair) still trips at the
+        // first eligible checkpoint (q60). The QUERY-ratio median needs
+        // >= 20 samples for the same reason (per-query cold times are
+        // individually noisy; the A/B drill runs read ~1.1x here).
+        val canaryTrip = coldCanaryPairs.size >= 3 && pairsDriftMed > 2.0
+        val queryTrip = coldRatios.size >= 20 && medOf(coldRatios.toSeq) > 2.0
+        if (detectionArmed && (canaryTrip || queryTrip)) {
+          degraded = true
+          downshiftAt =
+            s"cold_q$coldIdx" + (if (queryTrip && !canaryTrip) "_qry" else "")
+          rawDrift =
+            if (canaryTrip) pairsDriftMed else medOf(coldRatios.toSeq)
+          driftFactor = math.min(rawDrift, 8.0)
+        }
+      }
+      if (!degraded) {
+        if (budgetLeft <= 0) {
+          skipped += s"cold_tail:${names.size - coldIdx}"
+          coldIdx = names.size
+        } else {
+          val n = names(coldIdx)
+          val t = materialize(n)
+          if (!shuttingDown)
+            require(PinScope.pinnedCount(spark) == 0,
+              s"$n leaked ${PinScope.pinnedCount(spark)} pinned RDDs past its scope")
+          if (t >= 0) {
+            coldTotal += t; coldTimes(n) = t
+            quiet.colds.get(n.takeWhile(_ != '_'))
+              .filter(_ > 0).foreach(q => coldRatios += t / q)
+          }
+          coldIdx += 1
+        }
+      }
+    }
+    // a window that degrades UNIFORMLY (no canary trip but the whole
+    // pass ran slow) still trips on the cold total vs the envelope
+    if (detectionArmed && !degraded && coldTimes.size == names.size &&
+        quiet.coldTotal > 0 && coldTotal > 2.0 * quiet.coldTotal) {
+      degraded = true
+      downshiftAt = "cold_end"
+      rawDrift = coldTotal / quiet.coldTotal
+      driftFactor = math.min(rawDrift, 8.0)
+    }
+    if (!degraded && detectionArmed) {
+      rawDrift = math.max(1.0, pairsDriftMed)
+      driftFactor = math.min(rawDrift, 8.0)
+    }
+    flush("cold")
+    if (degraded)
+      Console.err.println(f"[bench] DEGRADED window detected at " +
+        f"$downshiftAt (drift $rawDrift%.2fx vs quiet reference, pricing " +
+        f"at $driftFactor%.2fx) — downshifting to the median-preserving " +
+        "reduced protocol")
+
+    // ---- warm passes ----
+    // Quiet window: 3 seeded-shuffled passes over the full suite (the
+    // shared family in pass 1 only, scaladoc #2), now with an intra-pass
+    // deadline guard. Degraded window: 3 seeded-shuffled passes over the
+    // SENSITIVE subset — medians for the regression-sensitive queries
+    // beat one rep of everything (r16: 185 single-rep numbers, zero
+    // usable for the 2x gate). Sensitive = the priority head, then
+    // quiet-reference weight, greedily while 3 reps fit HALF the
+    // remaining budget (the lane, conc and coverage phases share the
+    // rest).
+    if (degraded) {
+      val mandatory = SensitiveHead.filter(names.contains)
+      def estWarmOne(n: String): Double =
+        quiet.meds.get(n).map(_ * driftFactor)
+          .orElse(coldTimes.get(n))
+          .getOrElse(1.0 * driftFactor)
+      val rest = names
+        .filterNot(SharedFamily)
+        .filterNot(mandatory.contains)
+        .sortBy(n => -estWarmOne(n))
+      val warmBudget = 0.5 * budgetLeft
+      val picked = scala.collection.mutable.ListBuffer[String]()
+      var cum = 0.0
+      (mandatory ++ rest).foreach { n =>
+        val cost = 3.2 * estWarmOne(n) +
+          (if (coldTimes.contains(n)) 0.0 else estWarmOne(n))
+        // the mandatory head is always in (it is the round's question);
+        // fillers only while the budget holds
+        if (mandatory.contains(n) || cum + cost <= warmBudget) {
+          picked += n; cum += cost
+        }
+      }
+      sensitiveChosen = picked.toList
+      // cold-run (codegen pay) any sensitive member the truncated cold
+      // pass never reached
+      sensitiveChosen.filterNot(coldTimes.contains).foreach { n =>
+        if (budgetLeft > 0 && !shuttingDown) {
+          val t = materialize(n)
+          if (t >= 0) { coldTotal += t; coldTimes(n) = t }
+        }
+      }
+      // the warm phase's own cutoff: its share of the remaining budget,
+      // so an optimistic estimate can't starve the lane/conc/coverage
+      // phases that follow
+      warmCutoff = elapsed + 0.5 * budgetLeft
+      flush("cold")
+    }
+    if (!degraded) warmCutoff = deadline
+    val warmSuite: Seq[String] =
+      if (degraded) sensitiveChosen else names.toSeq
+    def warmLeft: Double = math.min(warmCutoff - elapsed, budgetLeft)
     Seq(1, 2, 3).foreach { seed =>
       val passNames =
-        if (seed == 1) names else names.filterNot(SharedFamily)
-      if (seed == 1 || fits(estWarmPass)) {
+        if (degraded) warmSuite
+        else if (seed == 1) warmSuite else warmSuite.filterNot(SharedFamily)
+      val passEst =
+        if (degraded) passNames.map(n => quiet.meds.getOrElse(n,
+          coldTimes.getOrElse(n, 1.0)) * driftFactor).sum
+        else estWarmPass
+      // a degraded pass enters whenever meaningful budget remains even
+      // if the FULL pass won't fit — a shuffled partial second pass
+      // leaves medians for a random subset, which beats none
+      if ((seed == 1 && !degraded) || elapsed + passEst <= warmCutoff ||
+          (degraded && warmLeft > 60)) {
         orderSeeds += seed
         val order = new scala.util.Random(seed).shuffle(passNames)
         runCanary(record = true)
+        var aborted = false
         order.zipWithIndex.foreach { case (n, i) =>
-          warmReps(n) = warmReps(n) :+ materialize(n)
-          if ((i + 1) % 20 == 0) runCanary(record = true)
+          if (!aborted && warmLeft <= 0) {
+            aborted = true
+            skipped += s"warm_pass_${seed}_tail:${order.size - i}"
+          }
+          if (!aborted) {
+            warmReps(n) = warmReps(n) :+ materialize(n)
+            if ((i + 1) % (if (degraded) 10 else 20) == 0)
+              runCanary(record = true)
+          }
         }
         flush(s"warm_pass_$seed")
       } else if (!skipped.contains(s"warm_pass_$seed")) {
         skipped += s"warm_pass_$seed"
         Console.err.println(s"[bench] deadline: skipping warm pass $seed " +
-          f"(elapsed $elapsed%.0f s + est $estWarmPass%.0f > $deadline%.0f)")
+          f"(elapsed $elapsed%.0f s + est $passEst%.0f > cutoff " +
+          f"$warmCutoff%.0f)")
       }
     }
 
@@ -446,7 +775,15 @@ object Bench {
     // (checkpoint materialization); output times = each output's
     // residual work against the shared frames. Median of 3 reps, one
     // PinScope per rep (pins swept between reps, never mid-chain).
-    if (fits(estShared)) {
+    // ADAPTIVE REPS (r17): the lane previously ran all-or-nothing at a
+    // flat 3-rep estimate, so a marginal window lost the family's entire
+    // regression signal (r16 driver run: skipped:["shared"]). Now rep 1
+    // runs whenever IT fits, and each further rep is priced at the
+    // measured cost of the previous one — a degraded window keeps 1-2
+    // reps (medOf(2) = the average) instead of none. `shared_reps` rides
+    // the artifact; regression.py already treats a lane-less family as
+    // low-confidence, and a 1-rep lane is still a lane.
+    if (fits(estSharedRep)) {
       markPhase("shared")
       sharedTimes = {
         def t(body: => Unit): Double = {
@@ -454,6 +791,16 @@ object Bench {
         }
         def noop(df: org.apache.spark.sql.DataFrame): Unit =
           df.write.format("noop").mode("overwrite").save()
+        // SEAM LEDGERS (r17 verdict #3): each chain build records its
+        // driver-sync barriers (eager checkpoints + fixpoint rounds) so
+        // the stall-amplification surface is measurable per run. The
+        // LAST executed rep's ledger is kept — codegen is paid by then,
+        // so its barrier times are the steady-state ones.
+        def rec[T](chain: String)(body: => T): T = {
+          val (r, sm) = operators.SeamClock.recording(body)
+          if (sm.nonEmpty) chainSeams(chain) = sm
+          r
+        }
         def rep(): Seq[(String, Double)] =
           if (shuttingDown) Nil
           else try PinScope.run(spark) {
@@ -461,29 +808,132 @@ object Bench {
             var ist: operators.PipelineQueries.IncStages = null
             var base59: String = null
             Seq(
-              "d47_chain" -> t { bst = operators.PipelineQueries.build(spark, sfDir) },
+              "d47_chain" -> t { bst = rec("d47_chain")(
+                operators.PipelineQueries.build(spark, sfDir)) },
               "d47_pack" -> t { noop(operators.PipelineQueries.packBoot(bst)) },
               "d48_attrition" -> t { noop(operators.PipelineQueries.attritionBoot(bst)) },
-              "d57_chain" -> t { ist = operators.PipelineQueries.buildInc(spark, sfDir) },
-              "d57_pack" -> t { noop(operators.PipelineQueries.packInc(ist)) },
+              "d57_chain" -> t { ist = rec("d57_chain")(
+                operators.PipelineQueries.buildInc(spark, sfDir)) },
+              "d57_pack" -> t { rec("d57_pack")(
+                noop(operators.PipelineQueries.packInc(ist))) },
               "d60_attrition" -> t { noop(operators.PipelineQueries.attritionInc(ist)) },
               // d59's decomposition (r13 advice): the bootstrap store-write
               // and the cold incremental consumer, priced separately
-              "d59_boot" -> t { base59 = operators.PipelineQueries.bootStoreJob(spark, sfDir) },
-              "d59_inc" -> t { noop(operators.PipelineQueries.incStoreJob(spark, sfDir, base59)) })
+              "d59_boot" -> t { base59 = rec("d59_boot")(
+                operators.PipelineQueries.bootStoreJob(spark, sfDir)) },
+              "d59_inc" -> t { noop(rec("d59_inc")(
+                operators.PipelineQueries.incStoreJob(spark, sfDir, base59))) })
           } catch { case e: Throwable =>
             recordFailure("shared_lane", e)
             Nil
           }
-        val reps = Seq.fill(3)(rep()).filter(_.nonEmpty)
-        if (reps.size < 3) Nil
-        else reps.head.map(_._1).map { k =>
-          val vs = reps.map(_.toMap.apply(k))
-          k -> median3(vs(0), vs(1), vs(2))
+        val reps = scala.collection.mutable.ListBuffer[Seq[(String, Double)]]()
+        var lastCost = estSharedRep
+        var k = 0
+        while (k < 3 && (k == 0 || fits(lastCost * 1.2)) && !shuttingDown) {
+          val t0 = System.nanoTime()
+          val r = rep()
+          lastCost = (System.nanoTime() - t0) / 1e9
+          if (r.nonEmpty) reps += r
+          k += 1
+        }
+        if (k < 3) skipped += s"shared_reps_tail:${3 - k}"
+        sharedReps = reps.size
+        if (reps.isEmpty) Nil
+        else reps.head.map(_._1).map { key =>
+          key -> medOf(reps.map(_.toMap.apply(key)).toSeq)
         }
       }
       flush("shared")
     } else skipped += "shared"
+
+    // ---- concurrent arm (round 9): mirror the reference's stress
+    // protocol (rubix_stressor.py 8 threads; perf.go 10 concurrent
+    // runs) — 8 threads x 3 shuffled rounds over the 20 heaviest
+    // NON-chain queries (SharedFamily excluded, see its scaladoc), every
+    // execution fingerprint-checked against its sequential run. c*/s*
+    // participate on a dedicated SERIAL lane (mutual exclusion among
+    // themselves — global cache counters, scratch dirs, checkpoints —
+    // while running concurrently with the whole SQL surface; see
+    // ConcurrentHarness scaladoc). A mismatch or error poisons the
+    // artifact like any other bench failure.
+    //
+    // ORDERED BEFORE the ops arm (r17, verdict #4): when the window can
+    // only afford one of them, the stress-protocol parity signal (absent
+    // from driver artifacts since r14) wins over four stable
+    // raw-operator numbers. On a degraded window the arm goes straight
+    // to the 8x1 tier. ----
+    // Arm cost is estimated FROM the measured warm medians, because the
+    // r16 full run proved a flat constant lies: the expected-hash pass
+    // alone costs ~one sequential execution of the pool (~170 s at
+    // sf0.1) before the concurrent rounds even start, and the rounds'
+    // wall is floored by the serial-lane members' sum x rounds. Model:
+    // est ~= poolWarmSum x (1 hash pass + ~2.5 for 3 rounds at 8
+    // threads with the measured serial-lane mix) — 3.5x total for the
+    // full arm, 2.5x for the reduced 10x2 fallback, which preserves the
+    // stress signal when the window is tight instead of dropping it.
+    // (Meds are measured IN this window, so no extra drift scaling.)
+    val warmMed = currentWarm.map { case (n, _, md, _) => n -> md }.toMap
+    val poolAll = names
+      .filterNot(SharedFamily)
+      .filter(n => warmMed.getOrElse(n, -1.0) >= 0)
+      .sortBy(n => -warmMed(n))
+    def poolSum(k: Int): Double = poolAll.take(k).map(warmMed).sum
+    val concCfg: Option[(Int, Int)] =
+      if (!degraded && fits(poolSum(20) * 3.5)) Some((20, 3))
+      else if (!degraded && fits(poolSum(10) * 2.5)) Some((10, 2))
+      else if (fits(poolSum(8) * 1.7)) Some((8, 1))
+      else None
+    concCfg match {
+      case Some((poolN, rounds)) =>
+        markPhase("conc")
+        val concPool = poolAll.take(poolN)
+        val concExpected = concPool.map { n =>
+          n -> PinScope.run(spark)(
+            ConcurrentHarness.resultHash(SparkEntry.queries(n)(spark, sfDir)))
+        }.toMap
+        val conc = ConcurrentHarness.run(threads = 8, rounds = rounds,
+          concPool.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))),
+          concExpected)
+        PinScope.run(spark)(()) // one sweep after the whole phase
+        (conc.mismatches ++ conc.errors).foreach { msg =>
+          Console.err.println(s"BENCH FAILURE in concurrent arm: $msg")
+        }
+        if (conc.mismatches.nonEmpty || conc.errors.nonEmpty) {
+          failed += "concurrent_arm"
+          failures("concurrent_arm") =
+            (conc.mismatches ++ conc.errors).take(3).mkString(" | ").take(600)
+        }
+        val concSerial = concPool.count(ConcurrentHarness.serialLane)
+        concJson =
+          f"""{"threads":8,"rounds":$rounds,"pool":${concPool.size},"reduced":${poolN < 20},"serial_lane":$concSerial,"executed":${conc.executed},"total_sec":${conc.totalSec}%.3f,"mismatches":${conc.mismatches.size},"errors":${conc.errors.size}}"""
+        flush("conc")
+      case None => skipped += "conc"
+    }
+
+    // ---- coverage (downshifted runs only): one rep for everything the
+    // reduced warm suite left out — a warm rep for queries the cold
+    // pass already reached, a cold run (existence + cold-dict coverage)
+    // for those it never did. Lowest priority by design; the shared
+    // family is covered by its lane when the lane executed. ----
+    if (degraded) {
+      val done = sensitiveChosen.toSet
+      val remaining = names.filterNot(done)
+        .filterNot(n => SharedFamily(n) && sharedReps > 0)
+      var skippedCov = 0
+      remaining.foreach { n =>
+        if (budgetLeft <= 0 || shuttingDown) skippedCov += 1
+        else {
+          val t = materialize(n)
+          if (t >= 0) {
+            if (coldTimes.contains(n)) warmReps(n) = warmReps(n) :+ t
+            else { coldTimes(n) = t; coldTotal += t }
+          }
+        }
+      }
+      if (skippedCov > 0) skipped += s"coverage_tail:$skippedCov"
+      flush("coverage")
+    }
 
     // ---- raw-operator timings: operator cost WITHOUT the oracle arm ----
     if (fits(estOps)) {
@@ -565,63 +1015,6 @@ object Bench {
       }
       flush("ops")
     } else skipped += "ops"
-
-    // ---- concurrent arm (round 9): mirror the reference's stress
-    // protocol (rubix_stressor.py 8 threads; perf.go 10 concurrent
-    // runs) — 8 threads x 3 shuffled rounds over the 20 heaviest
-    // NON-chain queries (SharedFamily excluded, see its scaladoc), every
-    // execution fingerprint-checked against its sequential run. c*/s*
-    // participate on a dedicated SERIAL lane (mutual exclusion among
-    // themselves — global cache counters, scratch dirs, checkpoints —
-    // while running concurrently with the whole SQL surface; see
-    // ConcurrentHarness scaladoc). A mismatch or error poisons the
-    // artifact like any other bench failure. ----
-    // Arm cost is estimated FROM the measured warm medians, because the
-    // r16 full run proved a flat constant lies: the expected-hash pass
-    // alone costs ~one sequential execution of the pool (~170 s at
-    // sf0.1) before the concurrent rounds even start, and the rounds'
-    // wall is floored by the serial-lane members' sum x rounds. Model:
-    // est ~= poolWarmSum x (1 hash pass + ~2.5 for 3 rounds at 8
-    // threads with the measured serial-lane mix) — 3.5x total for the
-    // full arm, 2.5x for the reduced 10x2 fallback, which preserves the
-    // stress signal when the window is tight instead of dropping it.
-    val warmMed = currentWarm.map { case (n, _, md, _) => n -> md }.toMap
-    val poolAll = names
-      .filterNot(SharedFamily)
-      .filter(n => warmMed.getOrElse(n, -1.0) >= 0)
-      .sortBy(n => -warmMed(n))
-    def poolSum(k: Int): Double = poolAll.take(k).map(warmMed).sum
-    val concCfg: Option[(Int, Int)] =
-      if (fits(poolSum(20) * 3.5)) Some((20, 3))
-      else if (fits(poolSum(10) * 2.5)) Some((10, 2))
-      else if (fits(poolSum(8) * 1.7)) Some((8, 1))
-      else None
-    concCfg match {
-      case Some((poolN, rounds)) =>
-        markPhase("conc")
-        val concPool = poolAll.take(poolN)
-        val concExpected = concPool.map { n =>
-          n -> PinScope.run(spark)(
-            ConcurrentHarness.resultHash(SparkEntry.queries(n)(spark, sfDir)))
-        }.toMap
-        val conc = ConcurrentHarness.run(threads = 8, rounds = rounds,
-          concPool.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))),
-          concExpected)
-        PinScope.run(spark)(()) // one sweep after the whole phase
-        (conc.mismatches ++ conc.errors).foreach { msg =>
-          Console.err.println(s"BENCH FAILURE in concurrent arm: $msg")
-        }
-        if (conc.mismatches.nonEmpty || conc.errors.nonEmpty) {
-          failed += "concurrent_arm"
-          failures("concurrent_arm") =
-            (conc.mismatches ++ conc.errors).take(3).mkString(" | ").take(600)
-        }
-        val concSerial = concPool.count(ConcurrentHarness.serialLane)
-        concJson =
-          f"""{"threads":8,"rounds":$rounds,"pool":${concPool.size},"reduced":${poolN < 20},"serial_lane":$concSerial,"executed":${conc.executed},"total_sec":${conc.totalSec}%.3f,"mismatches":${conc.mismatches.size},"errors":${conc.errors.size}}"""
-        flush("conc")
-      case None => skipped += "conc"
-    }
 
     markPhase("end")
 
