@@ -976,7 +976,21 @@ object EventStreams {
             case _ => None
           }).toMap
         val d = new org.apache.hadoop.fs.Path(root, kv("base"))
-        if (baseComplete(fs, d)) Some(d -> kv("upto").toLong) else None
+        // The manifest's named base is refused only on an AFFIRMATIVE
+        // _SUCCESS absence (r17): publish happens strictly after the
+        // fold's _SUCCESS landed, so the only world where the named dir
+        // is genuinely torn is an operator-restored partial backup —
+        // which still reads refused here. A TRANSIENT probe error must
+        // not fell the reader back a generation: with two coincident
+        // transients right after two compactions, the listing fallback
+        // can land TWO generations back, where the lag-one GC has
+        // already retired the deltas that view needs — a silently
+        // incomplete store. Trusting the manifest on unknown keeps the
+        // reader on the published view; a truly-missing dir then fails
+        // loudly at the parquet read instead of silently thinning rows
+        // (StoreLayoutSpec pins both directions).
+        if (baseCompleteOpt(fs, d).contains(false)) None
+        else Some(d -> kv("upto").toLong)
       }
     } catch { case _: Exception => None }
     (named.toSeq ++ listBases(fs, root)).sortBy(_._2).lastOption

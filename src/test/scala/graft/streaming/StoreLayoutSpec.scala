@@ -370,6 +370,22 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(dirs(gram) == Set("base-2", "base-3", "batch_id=3",
         "batch_id=4"), dirs(gram).toString)
 
+      // (c) reader availability: transient probe failures on BOTH
+      // resident generations previously resolved NO base at all, and the
+      // reader silently served a deltas-only view with the folded
+      // history missing. The manifest is published strictly after the
+      // fold's _SUCCESS landed, so its named base is refused only on an
+      // AFFIRMATIVE absence — a transient probe error keeps the reader
+      // on the published view, row-identical to the quiet read.
+      FlakyExistsFs.inject("base-2/_SUCCESS", 100)
+      FlakyExistsFs.inject("base-3/_SUCCESS", 100)
+      val flakyRows = EventStreams.readGramStore(spark, s"flaky:$gram").get
+        .drop("batch_id").collect().map(_.toString).sorted.toSeq
+      FlakyExistsFs.clear()
+      assert(flakyRows == preRows,
+        "a reader under transient probe failures must still serve the " +
+          s"published view (got ${flakyRows.size} rows vs ${preRows.size})")
+
       // (b) a COMPLETE base NEWER than the one GC runs around (reachable
       // when resolve's own completeness probe transiently failed on it)
       // must never be retired — it is the repair sweep's to handle, and
