@@ -40,6 +40,23 @@ object QBench {
         tau = args.drop(2).headOption.map(_.toDouble).getOrElse(0.35),
         tileStride = args.drop(3).headOption.map(_.toLong),
         quantTau = args.drop(4).headOption.map(_.toDouble))
+      case "s15prof" =>
+        // Phase attribution for the suite's most expensive gate (r18
+        // verdict #4): setup (input prep + slice writes), per-batch cost
+        // split by output/store writes, and the final read — so the
+        // "shrink s15" work targets measured wall, not guesses.
+        streaming.EventStreams.curationProbe = (name, sec) =>
+          println(f"[s15prof] $name%-16s $sec%7.2fs")
+        (1 to 2).foreach { rep =>
+          println(s"[s15prof] --- rep $rep ---")
+          val t0 = System.nanoTime()
+          PinScope.run(spark) {
+            SparkEntry.queries("s15_stream_curation")(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          println(f"[s15prof] TOTAL            ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+        }
+        streaming.EventStreams.curationProbe = (_, _) => ()
       case "d57prof" =>
         operators.PipelineQueries.incProbe = (name, act) => {
           val t0 = System.nanoTime()

@@ -16,6 +16,17 @@ import java.util.concurrent.atomic.AtomicInteger
 object EventStreams {
   private val counter = new AtomicInteger
 
+  /** Profiling hook (QBench s15prof, same pattern as
+    * PipelineQueries.incProbe): no-op in production; a scratch harness
+    * can swap it to attribute s13/s15 wall-clock to phases. */
+  @volatile var curationProbe: (String, Double) => Unit = (_, _) => ()
+  private def probeT[A](name: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    curationProbe(name, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
   /** Stateful operators plan one state-store instance per shuffle
     * partition; at this data scale 32 instances are pure checkpoint-IO
     * overhead (~30% of query time measured at sf0.1). Run the stateful
@@ -172,9 +183,7 @@ object EventStreams {
       .toDF("user_id", "sid", "n_events", "dur_us")
       .writeStream.outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
-    try require(q.awaitTermination(120000),
-        s"streaming query ${q.name} timed out at 120s - table would be partial")
-    finally if (q.isActive) q.stop()
+    StreamWait.await(q, 120000)
     spark.table(name)
   }
 
@@ -281,9 +290,7 @@ object EventStreams {
       val name = s"graft_dedup_${counter.incrementAndGet()}"
       val q = events.writeStream.outputMode("append").format("memory")
         .queryName(name).trigger(Trigger.AvailableNow()).start()
-      try require(q.awaitTermination(120000),
-          s"streaming query ${q.name} timed out at 120s - table would be partial")
-      finally if (q.isActive) q.stop()
+      StreamWait.await(q, 120000)
       spark.table(name)
     }
 
@@ -316,9 +323,7 @@ object EventStreams {
         .select(col("p_user"), col("p_id"), col("c_id"))
         .writeStream.outputMode("append").format("memory")
         .queryName(name).trigger(Trigger.AvailableNow()).start()
-      try require(q.awaitTermination(120000),
-          s"streaming query ${q.name} timed out at 120s - table would be partial")
-      finally if (q.isActive) q.stop()
+      StreamWait.await(q, 120000)
       spark.table(name)
         .groupBy(col("p_user"), col("p_id"))
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_clicks"))
@@ -364,9 +369,7 @@ object EventStreams {
         .select(col("p_user"), col("p_id"), col("p_ts"), col("c_id"))
         .writeStream.outputMode("append").format("memory")
         .queryName(name).trigger(Trigger.AvailableNow()).start()
-      try require(q.awaitTermination(120000),
-          s"streaming query ${q.name} timed out at 120s - table would be partial")
-      finally if (q.isActive) q.stop()
+      StreamWait.await(q, 120000)
       // completed-region boundary, computed batch-side (deterministic)
       val maxUs = graft.operators.Tables.load(spark, dir, "events")
         .agg(org.apache.spark.sql.functions.max(unix_micros(col("ts"))))
@@ -397,9 +400,7 @@ object EventStreams {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    try require(q.awaitTermination(120000),
-        s"streaming query ${q.name} timed out at 120s - table would be partial")
-    finally if (q.isActive) q.stop()
+    StreamWait.await(q, 120000)
     spark.table(name)
   }
 
@@ -435,9 +436,7 @@ object EventStreams {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      try require(q.awaitTermination(120000),
-          s"streaming query ${q.name} timed out at 120s - table would be partial")
-      finally if (q.isActive) q.stop()
+      StreamWait.await(q, 120000)
       spark.table(name)
     }
 
@@ -466,9 +465,7 @@ object EventStreams {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      try require(q.awaitTermination(120000),
-          s"streaming query ${q.name} timed out at 120s - table would be partial")
-      finally if (q.isActive) q.stop()
+      StreamWait.await(q, 120000)
       spark.table(name)
     }
 
@@ -496,9 +493,7 @@ object EventStreams {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      try require(q.awaitTermination(120000),
-          s"streaming query ${q.name} timed out at 120s - table would be partial")
-      finally if (q.isActive) q.stop()
+      StreamWait.await(q, 120000)
       spark.table(name)
     }
 
@@ -531,9 +526,7 @@ object EventStreams {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-      try require(q.awaitTermination(120000),
-          s"streaming query ${q.name} timed out at 120s - table would be partial")
-      finally if (q.isActive) q.stop()
+      StreamWait.await(q, 120000)
       spark.read.parquet(s"graft://$base/out")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
@@ -573,9 +566,7 @@ object EventStreams {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-      try require(q.awaitTermination(120000),
-          s"streaming query ${q.name} timed out at 120s - table would be partial")
-      finally if (q.isActive) q.stop()
+      StreamWait.await(q, 120000)
       spark.read.parquet(s"graft://$base/partials")
         .groupBy("event_type")
         .agg(sum("n").as("n"),
@@ -620,9 +611,7 @@ object EventStreams {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-      try require(q.awaitTermination(120000),
-          s"streaming query ${q.name} timed out at 120s - table would be partial")
-      finally if (q.isActive) q.stop()
+      StreamWait.await(q, 120000)
       val parts = spark.read.parquet(s"$base/sketches")
         .select(col("sk"), col("n")).collect()
       require(parts.nonEmpty,
@@ -722,9 +711,7 @@ object EventStreams {
           .option("checkpointLocation", s"$base/ckpt")
           .trigger(Trigger.AvailableNow())
           .start()
-        try require(q.awaitTermination(180000),
-          s"streaming query ${q.name} timed out at 180s")
-        finally if (q.isActive) q.stop()
+        StreamWait.await(q, 180000)
         // eager localCheckpoint severs lineage from the scratch files —
         // the finally below deletes them before the caller materializes
         val out = spark.read.parquet(s"$base/out").localCheckpoint(true)
@@ -1319,9 +1306,7 @@ object EventStreams {
           .option("checkpointLocation", s"$base/ckpt")
           .trigger(Trigger.AvailableNow())
           .start()
-        try require(q.awaitTermination(180000),
-          s"streaming query ${q.name} timed out at 180s")
-        finally if (q.isActive) q.stop()
+        StreamWait.await(q, 180000)
         val out = spark.read.parquet(s"$base/out").localCheckpoint(true)
         val nBatches = out.agg(countDistinct("batch_id").as("nb"))
           .select((col("nb") === 4).as("batches_ok"))
@@ -1428,32 +1413,32 @@ object EventStreams {
         base0.unionByName(twins))
       // provisioning pre-pass (s14's discipline): the budget is sized
       // from raw feed stats, not from anything the pipeline computes
-      val budget = input
+      val budget = probeT("setup.budget")(input
         .agg(expr("sum(size(regexp_extract_all(text, '\\\\S+', 0))) div 16"))
-        .head.getLong(0)
+        .head.getLong(0))
       val base = java.nio.file.Files
         .createTempDirectory("graft-scur-").toString
       try {
-        val maxId = docs.agg(max("doc_id")).head.getLong(0)
+        val maxId = probeT("setup.maxId")(
+          docs.agg(max("doc_id")).head.getLong(0))
         require(2 * maxId / 3 + 1 < 3000000L && maxId < 3000000L,
           s"s15 twin offset 3000000 violated: max(doc_id)=$maxId")
-        writeIdSlices(spark, input,
+        probeT("setup.slices")(writeIdSlices(spark, input,
           base, Seq(0L, maxId / 3 + 1, 2 * maxId / 3 + 1, 3000000L,
-            Long.MaxValue))
+            Long.MaxValue)))
         val q = spark.readStream.schema(input.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$base/in")
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            curationBatch(base, budget, batch, batchId)
+            probeT(s"batch$batchId")(curationBatch(base, budget, batch, batchId))
           }
           .option("checkpointLocation", s"$base/ckpt")
           .trigger(Trigger.AvailableNow())
           .start()
-        try require(q.awaitTermination(300000),
-          s"streaming query ${q.name} timed out at 300s")
-        finally if (q.isActive) q.stop()
-        val out = spark.read.parquet(s"$base/out").localCheckpoint(true)
+        probeT("stream.drain")(StreamWait.await(q, 300000))
+        val out = probeT("final.read")(
+          spark.read.parquet(s"$base/out").localCheckpoint(true))
         val nBatches = out.agg(countDistinct("batch_id").as("nb"))
           .select((col("nb") === 4).as("batches_ok"))
         out.select(col("doc_id"), col("lang"), col("outcome"))
@@ -1583,7 +1568,7 @@ object EventStreams {
       .select(col("doc_id"),
         (col("arrived_before") < budget).as("admitted"))
     // first-failure outcome per input doc
-    batch.select("doc_id", "lang")
+    val outcomes = batch.select("doc_id", "lang")
       .join(graft.operators.PipelineQueries.qualityDocs(batch)
         .select(col("doc_id"), lit(1L).as("in_q")), Seq("doc_id"), "left")
       .join(adm.select(col("doc_id"), lit(1L).as("in_rep")), Seq("doc_id"), "left")
@@ -1598,24 +1583,26 @@ object EventStreams {
           .when(!col("admitted"), "quota")
           .otherwise("admitted"))
       .select(col("doc_id"), col("lang"), col("outcome"))
-      .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId")
+    probeT(s"b$batchId.out")(
+      outcomes.write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId"))
     // the three stores — folds absorb this batch's contributions into
     // fresh snapshots (prior snapshot + batch, overwrite-keyed at this
     // id, so a re-delivery recomputes the identical snapshot); the gram
     // store appends its bucketed delta
     val batchLineCnt = dl.groupBy("line").agg(count(lit(1)).as("cnt"))
-    writeFold(priorLines
+    probeT(s"b$batchId.linefold")(writeFold(priorLines
         .map(_.unionByName(batchLineCnt)
           .groupBy("line").agg(sum("cnt").as("cnt")))
         .getOrElse(batchLineCnt),
-      s"$base/linefold", batchId)
-    writeGramStore(bsh, s"$base/gramstore", batchId)
+      s"$base/linefold", batchId))
+    probeT(s"b$batchId.gram")(
+      writeGramStore(bsh, s"$base/gramstore", batchId))
     val batchQuota = kept.groupBy("lang").agg(sum("n_tok").as("toks"))
-    writeFold(priorQuota
+    probeT(s"b$batchId.quota")(writeFold(priorQuota
         .map(_.unionByName(batchQuota)
           .groupBy("lang").agg(sum("toks").as("toks")))
         .getOrElse(batchQuota),
-      s"$base/quotafold", batchId)
+      s"$base/quotafold", batchId))
     Seq(batch, adm, ld, bsh, dupped).foreach(_.unpersist())
     ()
   }
@@ -1674,9 +1661,7 @@ object EventStreams {
         val q = out.toDF("user_id", "n_events", "span_us", "n_clicks")
           .writeStream.outputMode("append").format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
-        try require(q.awaitTermination(120000),
-            s"streaming query ${q.name} timed out at 120s - table would be partial")
-        finally if (q.isActive) q.stop()
+        StreamWait.await(q, 120000)
         spark.table(name)
       } finally prevProv match {
         case Some(p) => spark.conf.set(provKey, p)

@@ -201,6 +201,25 @@ def downshift_note(path):
     return False
 
 
+def downshift_active(path):
+    """True when the artifact's downshift decision reads active (r18)."""
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "tail" in d:
+            if isinstance(d.get("parsed"), dict) and "downshift" in d["parsed"]:
+                return bool(d["parsed"]["downshift"].get("active"))
+            text = d["tail"]
+    except json.JSONDecodeError:
+        pass
+    for m in re.finditer(r'"downshift":(\{[^{}]*\})', text):
+        try:
+            return bool(json.loads(m.group(1)).get("active"))
+        except json.JSONDecodeError:
+            continue
+    return False
+
+
 def load_scalar_int(path, name):
     """Return an integer scalar field (e.g. warm_reps_shared) from any
     artifact shape, or None when the artifact predates it."""
@@ -370,8 +389,15 @@ def main():
     # artifact, or r16's skipped lane) must not smear "skipped" onto a
     # new run whose lane ran — there the per-gate 1-rep-vs-1-rep rows
     # stay comparable and keep their place in the table
+    # r18 advice: downshifted runs flush warm_reps_shared:0, and a
+    # downshifted run whose lane was wholly skipped (shared_reps:0) still
+    # gives family gates ONE coverage rep — both are the same
+    # single-rep-vs-3-rep-median phantom-flag class as warm_reps_shared:1.
+    _wrs = load_scalar_int(sys.argv[2], "warm_reps_shared")
+    _srn = load_scalar_int(sys.argv[2], "shared_reps")
     single_rep_family = (new_sh is None and
-                         load_scalar_int(sys.argv[2], "warm_reps_shared") == 1)
+                         (_wrs in (0, 1) or
+                          (downshift_active(sys.argv[2]) and _srn == 0)))
     rows, lowconf = [], []
     for k in common:
         if lane and k in SHARED_FAMILY and lane_covers(k):
@@ -387,9 +413,10 @@ def main():
         note = (" ".join(f"{k}:{p:.2f}s->{n:.2f}s({r:.1f}x)"
                          for r, k, p, n in sorted(lowconf, reverse=True))
                 or "none >2x")
-        print("note: new run's shared lane was skipped and its family "
-              "gates are SINGLE-REP (warm_reps_shared:1) — excluded from "
-              f"the >2x table as low-confidence: {note}")
+        print("note: new run's shared lane carries no usable reps "
+              "(skipped, or downshifted with shared_reps:0) and its family "
+              "gates are SINGLE-REP — excluded from the >2x table as "
+              f"low-confidence: {note}")
     suffix = "  [SUSPECT: noisy canary window]" if noisy else ""
     if not rows:
         print("queries >2x their previous committed value: NONE" + suffix)
