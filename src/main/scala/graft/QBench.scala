@@ -57,6 +57,32 @@ object QBench {
           println(f"[s15prof] TOTAL            ${(System.nanoTime() - t0) / 1e9}%7.2fs")
         }
         streaming.EventStreams.curationProbe = (_, _) => ()
+      case "s15ab" =>
+        // Same-window A/B of the r18 adaptive probe prefilter: one
+        // discarded codegen rep, then alternating plain-arm (default
+        // threshold) and forced prune+Bloom (threshold=0) executions —
+        // the alternation cancels window drift that makes cross-run
+        // comparisons lie on a loaded box.
+        val key = "graft.streaming.probe.prune.threshold.bytes"
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          PinScope.run(spark) {
+            SparkEntry.queries("s15_stream_curation")(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // codegen
+        val reps = (1 to 6).map { i =>
+          val forced = i % 2 == 0
+          if (forced) spark.conf.set(key, "0") else spark.conf.unset(key)
+          val t = try once() finally spark.conf.unset(key)
+          println(f"[s15ab] ${if (forced) "prefilter" else "plain    "} $t%7.2fs")
+          (forced, t)
+        }
+        def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+        println(f"[s15ab] plain med=${med(reps.filter(!_._1).map(_._2))}%.2fs " +
+          f"prefilter med=${med(reps.filter(_._1).map(_._2))}%.2fs")
       case "d57prof" =>
         operators.PipelineQueries.incProbe = (name, act) => {
           val t0 = System.nanoTime()

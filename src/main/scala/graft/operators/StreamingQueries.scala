@@ -270,7 +270,7 @@ object StreamingQueries {
         |           '. all rights reserved form ' ||
         |           CAST(doc_id % 2 AS VARCHAR)
         |      ELSE text END AS text
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 2 = 0),
         |inp0 AS MATERIALIZED (
         |  SELECT doc_id, lang, source, text FROM base0
         |  UNION ALL

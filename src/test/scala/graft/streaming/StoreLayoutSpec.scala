@@ -323,6 +323,53 @@ class StoreLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the adaptive probe prefilter (r18) is outcome-invariant: the " +
+      "forced prune+Bloom arm equals the small-store plain arm") {
+    // Below the size threshold the probes skip bucket pruning and the
+    // Bloom build (3 fewer Spark jobs per micro-batch); both arms must
+    // produce bit-identical outcomes — the prefilters are I/O reducers,
+    // never semantics. Forcing threshold=0 keeps the 100 TB arm covered
+    // now that small-store runs (every gate SF) default to the plain arm.
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-storepf-").toString
+    val base2 = java.nio.file.Files
+      .createTempDirectory("graft-storepf2-").toString + "/copy"
+    try {
+      (0 until 4).foreach { b =>
+        EventStreams.curationBatch(base, budget = 1L << 40, mkBatch(b),
+          b.toLong)
+      }
+      copyTree(base, base2)
+      val b4 = Seq(
+        (40L, "en", "web", docText(0L) + " is 7"),
+        (41L, "en", "web", docText(41L)),
+        (42L, "en", "web", docText(77L)),
+        (43L, "en", "web", docText(77L) + " is 9"))
+        .toDF("doc_id", "lang", "source", "text")
+      EventStreams.curationBatch(base, budget = 1L << 40, b4, 4L)
+      val key = "graft.streaming.probe.prune.threshold.bytes"
+      spark.conf.set(key, "0") // every probe takes the prune+Bloom arm
+      try EventStreams.curationBatch(base2, budget = 1L << 40, b4, 4L)
+      finally spark.conf.unset(key)
+      def outN(p: String) = spark.read.parquet(s"$p/out")
+        .where("batch_id = 4").select("doc_id", "outcome")
+        .collect().map(_.toString).sorted.toSeq
+      val got = outN(base)
+      assert(got == outN(base2),
+        s"plain vs prefiltered probe outcomes diverged: $got vs ${outN(base2)}")
+      assert(got.exists(r => r.contains("40") && r.contains("dup")),
+        s"the planted store near-dup must still be flagged: $got")
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        new java.io.File(base2).getParent), true)
+    }
+  }
+
   test("a TRANSIENT _SUCCESS-check failure never lets GC delete the " +
       "lagged generation, and a base newer than the published one is " +
       "never retired (r16 advice — unknown never deletes, in the GC " +
