@@ -319,7 +319,10 @@ object Bench {
     val failDrill = sys.env.get("SPARK_GRAFT_FAIL_QUERY")
     def materialize(name: String): Double = timeOnce(name) {
       if (failDrill.contains(name))
-        throw new RuntimeException(s"drill-injected failure for $name")
+        // the r17 failure was a stream timeout — throw the same class so
+        // the drill also exercises the env-failure (rc=0) recording path
+        throw new graft.streaming.StreamTimeoutException(
+          s"drill-injected stream timeout for $name")
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }

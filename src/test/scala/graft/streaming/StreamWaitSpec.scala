@@ -57,6 +57,28 @@ class StreamWaitSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a query whose batch THROWS propagates the real error, never a timeout") {
+    // classification matters: Bench treats StreamTimeoutException as an
+    // environment-class failure (no rc=1) — an engine error inside a
+    // micro-batch must surface as itself, not be mistaken for a timeout
+    import org.apache.spark.sql.DataFrame
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "10").load()
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        throw new IllegalStateException("engine bug")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e = intercept[Throwable](StreamWait.await(q, 120000))
+    assert(!e.isInstanceOf[StreamTimeoutException])
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null)
+      && chain(e).exists(t => String.valueOf(t.getMessage).contains("engine bug")),
+      s"expected the batch error to surface, got: $e")
+    assert(!q.isActive)
+  }
+
   test("a non-terminating query times out with StreamTimeoutException and is stopped") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "1").load()
