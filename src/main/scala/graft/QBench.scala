@@ -83,6 +83,38 @@ object QBench {
         def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
         println(f"[s15ab] plain med=${med(reps.filter(!_._1).map(_._2))}%.2fs " +
           f"prefilter med=${med(reps.filter(_._1).map(_._2))}%.2fs")
+      case "q" =>
+        // generic bench-shaped timing: PinScope per rep, 1 discarded
+        // codegen rep + 3 timed, for any declared query list
+        args.drop(1).foreach { q =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            PinScope.run(spark) {
+              SparkEntry.queries(q)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+            }
+            (System.nanoTime() - t0) / 1e9
+          }
+          once()
+          val ts = (1 to 3).map(_ => once())
+          println(f"[q] $q med=${ts.sorted.apply(1)}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+        }
+      case "tri" =>
+        // r18 triangle-kernel timing: full d41/d56 gate bodies, PinScope
+        // per rep (honest bench shape), 1 discarded codegen rep + 3 timed.
+        Seq("d41_triangles", "d56_triangle_estimate").foreach { q =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            PinScope.run(spark) {
+              SparkEntry.queries(q)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+            }
+            (System.nanoTime() - t0) / 1e9
+          }
+          once()
+          val ts = (1 to 3).map(_ => once())
+          println(f"[tri] $q med=${ts.sorted.apply(1)}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+        }
       case "d57prof" =>
         operators.PipelineQueries.incProbe = (name, act) => {
           val t0 = System.nanoTime()

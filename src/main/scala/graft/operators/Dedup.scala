@@ -25,7 +25,6 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumPerms / Bands // 4
 
-  private val tokens = "regexp_extract_all(text, '\\\\S+', 0)"
 
   /** Word 3-gram shingles, 64-bit hashed; empty/short-doc safe. Native
     * codegen expression (one loop per doc); bit-identical to the HOF
@@ -36,8 +35,10 @@ object Dedup {
   def shingleHashes: Column =
     graft.functions.TextHashes.shingleHash64Col(col("text"), col("__tok"), 3)
 
-  /** Tokenization column for [[shingleHashes]]. */
-  def tokenCol: Column = expr(tokens)
+  /** Tokenization column for [[shingleHashes]] — the native byte-scan
+    * loop, row-identical to regexp_extract_all(text,'\S+',0)
+    * (NativeExprParitySpec). */
+  def tokenCol: Column = graft.functions.TextStats.wsTokensCol(col("text"))
 
   /** documents(doc_id, text) -> (doc_id, sig array<long>[NumPerms]).
     *

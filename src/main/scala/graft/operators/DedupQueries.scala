@@ -127,7 +127,7 @@ object DedupQueries {
       val twins = docs.withColumn("doc_id", col("doc_id") + offset)
       val cands = Dedup.simhashCandidates(docs.unionByName(twins))
       docs
-        .filter(size(expr("regexp_extract_all(text, '\\\\S+', 0)")) > 0)
+        .filter(size(graft.functions.TextStats.wsTokensCol(col("text"))) > 0)
         .select(col("doc_id").cast("long").as("doc_a"),
           (col("doc_id") + offset).cast("long").as("doc_b"), col("lang"))
         .join(cands, Seq("doc_a", "doc_b"), "left")
@@ -233,16 +233,14 @@ object DedupQueries {
         |FROM f""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          expr("regexp_extract_all(text, '\\\\S+', 0)").as("tk"))
+          graft.functions.TextStats.wsTokensCol(col("text")).as("tk"))
       // positional window hashes (1-based start index; xxhash64 of the
       // window string == joining on the string modulo 64-bit collisions,
       // the d05/d21 precedent). Guard short docs explicitly: Spark's
       // sequence(1, 0) is DESCENDING and non-empty.
-      val whs = docs.select(col("doc_id"), posexplode(expr(
-        """IF(size(tk) >= 8,
-          |  transform(sequence(1, size(tk) - 7),
-          |    i -> xxhash64(concat_ws(' ', slice(tk, i, 8)))),
-          |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin))
+      val whs = docs.select(col("doc_id"), posexplode(
+        transform(graft.functions.TextStats.windowJoinsCol(col("tk"), 8),
+          w => xxhash64(w)))
         .as(Seq("i0", "wh")))
       val byHash = org.apache.spark.sql.expressions.Window.partitionBy("wh")
       val dups = whs
@@ -397,7 +395,8 @@ object DedupQueries {
         |FROM k WHERE k.doc_id % 2 = 1""".stripMargin) { (s, dir) =>
       val B = graft.functions.BloomExprs
       val keyed = Tables.load(s, dir, "documents").select(col("doc_id"),
-        expr("concat_ws(' ', slice(regexp_extract_all(text, '\\\\S+', 0), 1, 8))")
+        concat_ws(" ",
+          slice(graft.functions.TextStats.wsTokensCol(col("text")), 1, 8))
           .as("key"))
       // persisted: ref feeds the sizing count, the sketch build, and the
       // verify join; inc feeds the output, the verify probe, and the
@@ -512,12 +511,10 @@ object DedupQueries {
         |FROM c LEFT JOIN l USING (doc_a, doc_b)""".stripMargin) { (s, dir) =>
       val t = Tables.load(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 512).as("s0"),
-          expr("regexp_extract_all(text, '\\\\S+', 0)").as("tk"))
+          graft.functions.TextStats.wsTokensCol(col("text")).as("tk"))
         .persist() // window explode + both text joins read it
-      val w = t.select(col("doc_id"), explode(expr(
-          """CASE WHEN size(tk) < 8 THEN array()
-            |ELSE transform(sequence(1, size(tk)-7),
-            |  i -> array_join(slice(tk, i, 8), ' ')) END""".stripMargin))
+      val w = t.select(col("doc_id"), explode(
+          graft.functions.TextStats.windowJoinsCol(col("tk"), 8))
           .as("win"))
         .withColumn("wh", xxhash64(col("win")))
       // hash prunes the shuffle key; the string equality CONFIRMS, so a
@@ -580,12 +577,10 @@ object DedupQueries {
         |GROUP BY c.train_id""".stripMargin) { (s, dir) =>
       val t = Tables.load(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 512).as("s0"),
-          expr("regexp_extract_all(text, '\\\\S+', 0)").as("tk"))
+          graft.functions.TextStats.wsTokensCol(col("text")).as("tk"))
         .persist() // window explode + both text joins read it
-      val w = t.select(col("doc_id"), explode(expr(
-          """CASE WHEN size(tk) < 8 THEN array()
-            |ELSE transform(sequence(1, size(tk)-7),
-            |  i -> array_join(slice(tk, i, 8), ' ')) END""".stripMargin))
+      val w = t.select(col("doc_id"), explode(
+          graft.functions.TextStats.windowJoinsCol(col("tk"), 8))
           .as("win"))
         .withColumn("wh", xxhash64(col("win")))
       val trainW = w.filter(pmod(col("doc_id"), lit(50)) =!= 0)
@@ -833,8 +828,7 @@ object DedupQueries {
               pmod(col("doc_id"), lit(2)).cast("string")))
             .otherwise(lit(""))).as("t"))
       val lines = aug.select(col("doc_id"),
-          posexplode(expr(
-            "filter(split(t, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)")))
+          posexplode(graft.functions.TextStats.sentencesCol(col("t"))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
           col("col").as("line"))
       // the >= 3 boilerplate set, aggregated BEFORE the join-back
@@ -863,7 +857,7 @@ object DedupQueries {
     val docs = cap.fold(docs0)(c => docs0.filter(col("doc_id") < c))
     val toks = docs
       .select(col("doc_id"), explode(
-        expr("array_distinct(regexp_extract_all(text, '\\\\S+', 0))")).as("t"))
+        array_distinct(graft.functions.TextStats.wsTokensCol(col("text")))).as("t"))
       .persist() // df agg, prefix ranking, and both intersection sides
     val df = toks.groupBy("t").agg(count(lit(1)).as("df"))
     val n = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))

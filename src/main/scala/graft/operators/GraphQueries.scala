@@ -67,18 +67,26 @@ object GraphQueries {
         .persist()
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("d")).persist()
+      // r18: the (node, rank/degree) frames are node-cardinality — tiny
+      // next to the edge list — so below a broadcast cap the per-
+      // iteration join runs map-side over the persisted edges instead of
+      // exchanging them every pass (sum over the same rows; exact
+      // integer arithmetic is order-independent, values unchanged).
+      val nNodes = deg.count()
+      val bc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        if (nNodes <= 32L * 1000 * 1000) broadcast else identity
       var ranks = deg.select(col("node"), lit(RankScale).as("r"))
       (0 until Iters).foreach { _ =>
-        // share = rank div degree, joined once per iteration; the edge
-        // join shuffles on src, the aggregate on dst — both on the node
-        // id, so AQE coalesces and the wide tables never move
-        val share = ranks.join(deg, "node")
+        // share = rank div degree, joined once per iteration; broadcast
+        // below the cap, else the edge join shuffles on src and the
+        // aggregate on dst — both on the node id, so AQE coalesces
+        val share = ranks.join(bc(deg), "node")
           .select(col("node").as("src"), expr("r div d").as("c"))
-        ranks = edges.join(share, "src")
+        ranks = edges.join(bc(share), "src")
           .groupBy(col("dst").as("node"))
           .agg(expr("CAST(150000 + (85 * sum(c)) div 100 AS BIGINT)").as("r"))
       }
-      ranks.join(deg, "node")
+      ranks.join(bc(deg), "node")
         .select(col("node"), col("d").cast("long").as("degree"),
           col("r").as("rank_scaled"))
     },
@@ -112,9 +120,12 @@ object GraphQueries {
       // with the d56 sampled estimator.
       val e = canonicalEdges(s, dir).persist()
       val tris = trianglesOf(e)
-      tris.select(col("u").as("part"))
-        .union(tris.select(col("va").as("part")))
-        .union(tris.select(col("vb").as("part")))
+      // r18: explode the three corners of each triangle row instead of
+      // union-ing three projections of `tris` — the union re-executed the
+      // whole wedge+close join once PER BRANCH (the before-plan shows the
+      // join subtree three times); the exploded multiset is identical, so
+      // the per-part counts are unchanged.
+      tris.select(explode(array(col("u"), col("va"), col("vb"))).as("part"))
         .groupBy("part").agg(count(lit(1)).as("n_tri"))
         .select(col("part").as("l_partkey"), col("n_tri"))
     },
@@ -186,12 +197,18 @@ object GraphQueries {
     * an order (d41's edge recipe). */
   private[graft] def canonicalEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
+    // r18: one exchange instead of three — collect_set(part) per order
+    // dedupes (o, p) in the aggregation, and the native sorted_pairs
+    // kernel emits the within-order {a < b} pairs per row (identical pair
+    // set to the old distinct-(o,p) self-join on o; the final pair
+    // distinct is unchanged). Per-order part lists are bounded (TPC-H
+    // ≤ 7 lines/order), so the per-row emit is O(1)-ish at any SF.
+    Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .groupBy("o").agg(collect_set(col("p")).as("ps"))
+      .select(explode(
+        graft.functions.PairExprs.sortedPairsCol(col("ps"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
   }
 
@@ -205,9 +222,17 @@ object GraphQueries {
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
+      .persist() // both orientation joins read it (swept by PinScope)
+    // r18: below the same 16M-edge cap the close join already uses, the
+    // degree table (≤ 2·|E| rows, 16 B each) broadcasts — the two
+    // orientation joins then run map-side over the persisted edge list
+    // instead of exchanging it twice (by a, then by b).
+    val edgeCount = e.count()
+    val degSide: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (edgeCount <= 16L * 1000 * 1000) broadcast else identity
     val oriented = e
-      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .join(degSide(deg.select(col("node").as("a"), col("d").as("da"))), Seq("a"))
+      .join(degSide(deg.select(col("node").as("b"), col("d").as("db"))), Seq("b"))
       .select(
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("a"))
@@ -228,7 +253,6 @@ object GraphQueries {
       .select(col("o1.src").as("u"),
         least(col("o1.dst"), col("o2.dst")).as("va"),
         greatest(col("o1.dst"), col("o2.dst")).as("vb"))
-    val edgeCount = e.count()
     val closeSide = if (edgeCount <= 16L * 1000 * 1000) broadcast(e) else e
     wedges
       .join(closeSide, col("va") === col("a") && col("vb") === col("b"))

@@ -109,20 +109,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object PipelineQueries {
 
-  private val tokens = "regexp_extract_all(text, '\\\\S+', 0)"
+  /** Tokenize = maximal non-whitespace runs. Native codegen expression,
+    * row-identical to regexp_extract_all(text,'\S+',0)
+    * (NativeExprParitySpec) — the regex engine re-ran per doc on every
+    * corpus-scale projection of the chain (r18, guide §1.2 per-task work). */
+  private def tokens: Column =
+    graft.functions.TextStats.wsTokensCol(col("text"))
 
-  /** 20-token chunk strings of a token array column (d18's axis). */
-  private def chunksExpr(tk: String): Column = expr(
-    s"""CASE WHEN size($tk) = 0 THEN array()
-       |ELSE transform(sequence(0, cast(ceil(size($tk)/20.0) AS INT) - 1),
-       |               i -> array_join(slice($tk, i*20+1, 20), ' ')) END"""
-      .stripMargin)
+  /** 20-token chunk strings of a token array column (d18's axis).
+    * Native one-loop codegen == the transform+slice+array_join HOF
+    * (NativeExprParitySpec). */
+  private def chunksExpr(tk: String): Column =
+    graft.functions.TextStats.chunkJoinsCol(col(tk), 20)
 
-  /** 8-token sliding windows of a token array column (d45/d46's axis). */
-  private def winsExpr(tk: String): Column = expr(
-    s"""CASE WHEN size($tk) < 8 THEN array()
-       |ELSE transform(sequence(1, size($tk)-7),
-       |  i -> array_join(slice($tk, i, 8), ' ')) END""".stripMargin)
+  /** 8-token sliding windows of a token array column (d45/d46's axis).
+    * Native one-loop codegen == the HOF formulation. */
+  private def winsExpr(tk: String): Column =
+    graft.functions.TextStats.windowJoinsCol(col(tk), 8)
 
   /** Pipeline input: the corpus (non-benchmark docs, with the
     * pure-boilerplate replacement plant) plus planted twins, then the
@@ -167,20 +170,19 @@ object PipelineQueries {
   /** Stage 1 — d19's quality chain (all four integer rules), keeping the
     * token array for the downstream stages. */
   private[graft] def qualityDocs(aug: DataFrame): DataFrame = {
+    // The four d19 stat columns come out of ONE native loop over the
+    // token array (quality_stats == the aggregate/filter/array_distinct
+    // HOF quadruple, NativeExprParitySpec) — the interpreted lambdas were
+    // the chain's dominant per-row cost (r18 seam ledger: the `q` seam).
     val base = aug
-      .withColumn("tk", expr(tokens))
-      .withColumn("n_tok", size(col("tk")).cast("long"))
-      .withColumn("tok_chars",
-        expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))"))
-      .withColumn("n_stop",
-        size(expr(s"filter(tk, t -> t IN ${TextQueries.inList(TextQueries.enStop)})"))
-          .cast("long"))
+      .withColumn("tk", tokens)
+      .withColumn("__qs", graft.functions.TextStats.qualityStatsCol(
+        col("tk"), TextQueries.enStop))
+      .withColumn("n_tok", col("__qs.n_tok"))
+      .withColumn("tok_chars", col("__qs.tok_chars"))
+      .withColumn("n_stop", col("__qs.n_stop"))
       .withColumn("n_tri", greatest(col("n_tok") - 2, lit(0L)))
-      .withColumn("n_tri_distinct", size(array_distinct(expr(
-        """CASE WHEN size(tk) < 3 THEN array()
-          |ELSE transform(sequence(0, size(tk) - 3),
-          |  i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])) END"""
-          .stripMargin))).cast("long"))
+      .withColumn("n_tri_distinct", col("__qs.n_tri_distinct"))
     base.filter(col("n_tok").between(10, 1000) &&
         lit(2) * col("n_tok") <= col("tok_chars") &&
         col("tok_chars") <= lit(12) * col("n_tok") &&
@@ -194,10 +196,10 @@ object PipelineQueries {
     * duplicated-bigram mass ≤ 120‰), applied only at ≥ 20 bigrams (see
     * class scaladoc). Two doc-keyed map-side-combined aggregations. */
   private[graft] def repetitionDocs(q: DataFrame): DataFrame = {
-    val per = q.select(col("doc_id"), explode(expr(
-        """CASE WHEN size(tk) < 2 THEN array()
-          |ELSE transform(sequence(1, size(tk) - 1),
-          |  i -> concat(tk[i-1], ' ', tk[i])) END""".stripMargin)).as("g"))
+    // bigram strings via the native window-join loop (width 2, stride 1)
+    // == the transform+concat HOF (NativeExprParitySpec width-2 case)
+    val per = q.select(col("doc_id"), explode(
+        graft.functions.TextStats.windowJoinsCol(col("tk"), 2)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
       .groupBy("doc_id").agg(max("k").as("top_k"),
         sum(when(col("k") > 1, col("k")).otherwise(0L)).as("dup_k"),
@@ -214,8 +216,7 @@ object PipelineQueries {
     * line-dedup stages. */
   private[graft] def linesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        posexplode(expr(
-          "filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)")))
+        posexplode(graft.functions.TextStats.sentencesCol(col("text"))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("line"))
 
@@ -242,7 +243,7 @@ object PipelineQueries {
       .join(rebuilt, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
         col("ltext").as("text"))
-      .withColumn("tk", expr(tokens))
+      .withColumn("tk", tokens)
   }
 
   private def lineCleanDocs(rep: DataFrame): DataFrame =
@@ -319,7 +320,7 @@ object PipelineQueries {
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), ' ')")
         .as("rtext"))
-      .withColumn("rtk", expr("regexp_extract_all(rtext, '\\\\S+', 0)"))
+      .withColumn("rtk", graft.functions.TextStats.wsTokensCol(col("rtext")))
       ) // consumers: decontam windows, decontam text, split/pack
 
     // Stage 4a — d46 verbatim decontamination of the REWRITTEN stream
@@ -331,7 +332,7 @@ object PipelineQueries {
     val bench = Tables.load(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("bench_id"),
-        substring(col("text"), 1, 512).as("sb"), expr(tokens).as("btk"))
+        substring(col("text"), 1, 512).as("sb"), tokens.as("btk"))
     val bw = broadcast(bench
       .select(col("bench_id"), explode(winsExpr("btk")).as("bwin"))
       .withColumn("bwh", xxhash64(col("bwin"))))
@@ -746,7 +747,7 @@ object PipelineQueries {
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), ' ')")
         .as("rtext"))
-      .withColumn("rtk", expr("regexp_extract_all(rtext, '\\\\S+', 0)"))
+      .withColumn("rtk", graft.functions.TextStats.wsTokensCol(col("rtext")))
       .persist() // consumers: decontam windows + text, semantic, pack
     incProbe("rw", () => rw.count())
 
@@ -754,7 +755,7 @@ object PipelineQueries {
     val bench = Tables.load(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("bench_id"),
-        substring(col("text"), 1, 512).as("sb"), expr(tokens).as("btk"))
+        substring(col("text"), 1, 512).as("sb"), tokens.as("btk"))
     val bw = broadcast(bench
       .select(col("bench_id"), explode(winsExpr("btk")).as("bwin"))
       .withColumn("bwh", xxhash64(col("bwin"))))

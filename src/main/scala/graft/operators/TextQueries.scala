@@ -15,8 +15,11 @@ import org.apache.spark.sql.expressions.Window
 object TextQueries {
 
   /** Tokens = maximal non-whitespace runs; shared by both engines'
-    * expressions (regexp '\S+'). */
-  private val tokensCol: Column = expr("regexp_extract_all(text, '\\\\S+', 0)")
+    * expressions (regexp '\S+'). Spark side is the native byte-scan loop,
+    * row-identical to regexp_extract_all(text,'\S+',0)
+    * (NativeExprParitySpec); the oracle side keeps the regexp. */
+  private val tokensCol: Column =
+    graft.functions.TextStats.wsTokensCol(col("text"))
 
   /** The sentence axis shared by d38/d40/d44 — split `text` on
     * terminator+whitespace boundaries, drop whitespace-only fragments.
@@ -24,7 +27,7 @@ object TextQueries {
     * [[sentenceAxisCte]] MUST stay equivalent — editing one without the
     * other silently skews the sentence axis all three ops share. */
   val sentencesCol: Column =
-    expr("filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)")
+    graft.functions.TextStats.sentencesCol(col("text"))
 
   /** DuckDB CTE body `s(doc_id, sents)` over `documents` — the oracle
     * side of [[sentencesCol]]. Compose as `"WITH " + sentenceAxisCte`
@@ -188,10 +191,10 @@ object TextQueries {
         col("doc_id"), col("lang"), col("n_chars"),
         size(tokensCol).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("text_len"),
-        expr("aggregate(regexp_extract_all(text, '\\\\S+', 0), 0L, (acc, t) -> acc + length(t))")
-          .as("token_chars"),
-        size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast("long").as("n_punct"),
-        size(expr(s"filter(regexp_extract_all(text, '\\\\S+', 0), t -> t IN ${inList(enStop)})"))
+        graft.functions.TextStats.tokCharsCol(tokensCol).as("token_chars"),
+        graft.functions.TextStats.asciiSetCountCol(col("text"), ".,;:!?")
+          .cast("long").as("n_punct"),
+        graft.functions.TextStats.stopCountCol(tokensCol, enStop)
           .cast("long").as("n_stopwords"))
     },
 
@@ -210,8 +213,9 @@ object TextQueries {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           size(tokensCol).cast("double").as("n_tok"),
-          size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast("double").as("n_punct"),
-          size(expr(s"filter(regexp_extract_all(text, '\\\\S+', 0), t -> t IN ${inList(enStop)})"))
+          graft.functions.TextStats.asciiSetCountCol(col("text"), ".,;:!?")
+            .cast("double").as("n_punct"),
+          graft.functions.TextStats.stopCountCol(tokensCol, enStop)
             .cast("double").as("stop"))
         .select(col("doc_id"),
           round(lit(0.4) * least(col("n_tok") / 50.0, lit(1.0))
@@ -233,7 +237,7 @@ object TextQueries {
         |   length(list_filter(regexp_extract_all(text, '\S+'), t -> t IN ('el','los','las','y','es'))) AS es
         | FROM documents) t""".stripMargin) { (s, dir) =>
       def cnt(words: Seq[String]) =
-        size(expr(s"filter(regexp_extract_all(text, '\\\\S+', 0), t -> t IN ${inList(words)})"))
+        graft.functions.TextStats.stopCountCol(tokensCol, words)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           cnt(Seq("the", "a", "and", "of", "is")).as("en"),
@@ -510,9 +514,8 @@ object TextQueries {
       val bigrams = docs
         .select(col("doc_id"), tokensCol.as("w"))
         .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
-          .as("bg"))
+        .select(col("doc_id"), explode(
+          graft.functions.TextStats.windowJoinsCol(col("w"), 2)).as("bg"))
         .persist()
       val thr = docs.agg((count(lit(1)) / 20).as("thr"))
       val freq = bigrams.groupBy("bg").agg(count(lit(1)).as("c"))
@@ -624,11 +627,8 @@ object TextQueries {
         // guard: sequence(0, -1) is DESCENDING in Spark, so an empty doc
         // must short-circuit to an empty chunk list (DuckDB range(0,0)
         // is already empty)
-        .select(col("doc_id"), expr(
-          """CASE WHEN size(tk) = 0 THEN array()
-            |ELSE transform(sequence(0, cast(ceil(size(tk)/20.0) AS INT) - 1),
-            |               i -> array_join(slice(tk, i*20+1, 20), ' ')) END"""
-            .stripMargin).as("cs"))
+        .select(col("doc_id"),
+          graft.functions.TextStats.chunkJoinsCol(col("tk"), 20).as("cs"))
         .select(col("doc_id"), posexplode(col("cs")).as(Seq("idx", "chunk")))
       val firstKey = min(col("doc_id") * 100000 + col("idx"))
         .over(Window.partitionBy("chunk"))
@@ -680,18 +680,15 @@ object TextQueries {
          |FROM g""".stripMargin) { (s, dir) =>
       val base = Tables.load(s, dir, "documents")
         .select(col("doc_id"), tokensCol.as("tk"))
-        .select(col("doc_id"), col("tk"),
-          size(col("tk")).cast("long").as("n_tok"),
-          expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))").as("tok_chars"),
-          size(expr(s"filter(tk, t -> t IN ${inList(enStop)})")).cast("long")
-            .as("n_stop"))
-        .select(col("doc_id"), col("n_tok"), col("tok_chars"), col("n_stop"),
-          greatest(col("n_tok") - 2, lit(0L)).as("n_tri"),
-          size(array_distinct(expr(
-            """CASE WHEN size(tk) < 3 THEN array()
-              |ELSE transform(sequence(0, size(tk) - 3),
-              |  i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])) END"""
-              .stripMargin))).cast("long").as("n_tri_distinct"))
+        .select(col("doc_id"),
+          graft.functions.TextStats.qualityStatsCol(col("tk"), enStop)
+            .as("__qs"))
+        .select(col("doc_id"),
+          col("__qs.n_tok").as("n_tok"),
+          col("__qs.tok_chars").as("tok_chars"),
+          col("__qs.n_stop").as("n_stop"),
+          greatest(col("__qs.n_tok") - 2, lit(0L)).as("n_tri"),
+          col("__qs.n_tri_distinct").as("n_tri_distinct"))
       val okLen = col("n_tok").between(10, 1000)
       val okWord = (lit(2) * col("n_tok") <= col("tok_chars")) &&
         (col("tok_chars") <= lit(12) * col("n_tok"))
@@ -787,23 +784,21 @@ object TextQueries {
         |  CAST(list_sum(list_transform(bt, x -> length(x))) AS BIGINT) AS covered,
         |  CAST(length(t) AS BIGINT) AS text_len
         |FROM tok""".stripMargin) { (s, dir) =>
-      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           concat(col("text"), lit(" It's v"),
             (col("doc_id") % 10).cast("string"), lit(".2, don't-stop #"),
             col("doc_id").cast("string"), lit(" (you'll see 42%)!")).as("t"))
         .select(col("doc_id"), col("t"),
-          regexp_extract_all(col("t"), lit(pat), lit(0)).as("bt"))
+          graft.functions.TextStats.bpePreTokensCol(col("t")).as("bt"))
+        .withColumn("__bc",
+          graft.functions.TextStats.bpeClassCountsCol(col("bt")))
         .select(col("doc_id"),
           size(col("bt")).cast("long").as("n_bpe"),
-          size(filter(col("bt"), x => x.rlike("^ ?[A-Za-z]")))
-            .cast("long").as("n_alpha"),
-          size(filter(col("bt"), x => x.rlike("^ ?[0-9]")))
-            .cast("long").as("n_num"),
-          size(filter(col("bt"), x => x.rlike("^'")))
-            .cast("long").as("n_contr"),
-          expr("aggregate(bt, 0L, (a, x) -> a + length(x))").as("covered"),
+          col("__bc.n_alpha").as("n_alpha"),
+          col("__bc.n_num").as("n_num"),
+          col("__bc.n_contr").as("n_contr"),
+          graft.functions.TextStats.tokCharsCol(col("bt")).as("covered"),
           length(col("t")).cast("long").as("text_len"))
     },
 
@@ -856,14 +851,13 @@ object TextQueries {
         |  md5(merged) AS merged_md5,
         |  md5(array_to_string(merges, chr(2))) AS merge_table_md5
         |FROM app""".stripMargin) { (s, dir) =>
-      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
       val tok = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           concat(col("text"), lit(" It's v"),
             (col("doc_id") % 10).cast("string"), lit(".2, don't-stop #"),
             col("doc_id").cast("string"), lit(" (you'll see 42%)!")).as("t"))
         .select(col("doc_id"),
-          regexp_extract_all(col("t"), lit(pat), lit(0)).as("bt"))
+          graft.functions.TextStats.bpePreTokensCol(col("t")).as("bt"))
       // corpus merge table: adjacent pre-token pairs, top-8 by (count
       // DESC, pair ASC). The pair explode is guarded: Spark's
       // sequence(1, 0) is DESCENDING and non-empty (augmented docs
@@ -941,8 +935,9 @@ object TextQueries {
       val scored = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           size(tokensCol).as("n_tok"),
-          size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).as("n_punct"),
-          size(expr(s"filter(regexp_extract_all(text, '\\\\S+', 0), t -> t IN ${inList(enStop)})"))
+          graft.functions.TextStats.asciiSetCountCol(col("text"), ".,;:!?")
+            .as("n_punct"),
+          graft.functions.TextStats.stopCountCol(tokensCol, enStop)
             .as("stop"))
         .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
           expr("""least(n_tok, 50) * 20L
@@ -1010,7 +1005,7 @@ object TextQueries {
           trim(regexp_replace(lower(col("t")), "\\s+", " ")).as("norm"))
         .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
           length(col("norm")).cast("long").as("norm_len"),
-          size(expr("regexp_extract_all(norm, '\\\\S+', 0)"))
+          size(graft.functions.TextStats.wsTokensCol(col("norm")))
             .cast("long").as("n_tokens"))
     },
 
@@ -1473,8 +1468,8 @@ object TextQueries {
         |FROM s""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
         .withColumn("sents", sentencesCol)
-        .withColumn("stoks",
-          expr("transform(sents, x -> CAST(size(regexp_extract_all(x, '\\\\S+', 0)) AS BIGINT))"))
+        .withColumn("stoks", transform(col("sents"),
+          x => size(graft.functions.TextStats.wsTokensCol(x)).cast("long")))
         .select(col("doc_id"),
           size(col("sents")).cast("long").as("n_sents"),
           coalesce(expr("aggregate(stoks, 0L, (a, x) -> a + x)"), lit(0L))
@@ -1604,7 +1599,8 @@ object TextQueries {
         |  COALESCE(d.n_langs, 0) > 1 AS mixed
         |FROM documents doc LEFT JOIN d USING (doc_id)""".stripMargin) { (s, dir) =>
       def cnt(words: Seq[String]) =
-        size(expr(s"filter(regexp_extract_all(sent, '\\\\S+', 0), t -> t IN ${inList(words)})"))
+        graft.functions.TextStats.stopCountCol(
+          graft.functions.TextStats.wsTokensCol(col("sent")), words)
       val docs = Tables.load(s, dir, "documents")
       val votes = docs
         .select(col("doc_id"), explode(sentencesCol).as("sent"))
@@ -1969,14 +1965,13 @@ object TextQueries {
     * bounded-vocabulary shuffle + a zero-shuffle replace projection. */
   private[operators] def bpeIterate(s: SparkSession, dir: String,
       epochs: Int): (DataFrame, Seq[DataFrame]) = {
-    val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
     val tok = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         concat(col("text"), lit(" It's v"),
           (col("doc_id") % 10).cast("string"), lit(".2, don't-stop #"),
           col("doc_id").cast("string"), lit(" (you'll see 42%)!")).as("t"))
       .select(col("doc_id"),
-        regexp_extract_all(col("t"), lit(pat), lit(0)).as("bt"))
+        graft.functions.TextStats.bpePreTokensCol(col("t")).as("bt"))
     var seqs = tok.select(col("doc_id"),
       expr("concat(chr(1), concat_ws(chr(1), bt), chr(1))").as("ms"))
       .localCheckpoint(true)

@@ -1342,8 +1342,8 @@ object EventStreams {
     withStreamConf(spark) {
       val docs = graft.operators.Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
-            .as("n_tok"))
+          size(graft.functions.TextStats.wsTokensCol(col("text")))
+            .cast("long").as("n_tok"))
       val budget = docs.agg(expr("sum(n_tok) div 8")).head.getLong(0)
       val base = java.nio.file.Files
         .createTempDirectory("graft-squota-").toString
@@ -1479,7 +1479,9 @@ object EventStreams {
       // provisioning pre-pass (s14's discipline): the budget is sized
       // from raw feed stats, not from anything the pipeline computes
       val budget = probeT("setup.budget")(input
-        .agg(expr("sum(size(regexp_extract_all(text, '\\\\S+', 0))) div 16"))
+        .select(size(graft.functions.TextStats.wsTokensCol(col("text")))
+          .cast("long").as("__ntok"))
+        .agg(expr("sum(__ntok) div 16"))
         .head.getLong(0))
       val base = java.nio.file.Files
         .createTempDirectory("graft-scur-").toString
@@ -1582,7 +1584,7 @@ object EventStreams {
     val ld = adm.select("doc_id", "lang", "source").join(rebuilt, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
         col("ltext").as("text"))
-      .withColumn("tk", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .withColumn("tk", graft.functions.TextStats.wsTokensCol(col("text")))
       .persist()
     // stage 4: near-dup vs the gram store + in-batch lower-id, over the
     // CLEANED text (s13's mechanism on the composed stream)

@@ -235,4 +235,252 @@ class NativeExprParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cmp.filter(col("hof") =!= col("nat")).count() == 0,
       "bucket ids must match the HOF formulation exactly")
   }
+
+  // ---- r18 curation-kernel expressions (TextStats) ----
+
+  /** Gate corpus + crafted edges: empty, whitespace-only, every \s class
+    * char, non-\s controls/unicode spaces (NBSP is NOT Java \s), multi-
+    * byte tokens, and boilerplate-style short docs. */
+  private def textEdgeCases = {
+    val sp = spark
+    import sp.implicits._
+    Seq("", " ", " \t\n\f\r ", "a", " a ", "a b", "a  b\tc",
+      "x y", " ", "héllo wörld 世界 tok",
+      "a b c", "one two three four five six seven eight nine ten",
+      "the the the a of to in is", "t " * 40)
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+  }
+
+  test("ws_tokens expression == regexp_extract_all(text, '\\S+') exactly") {
+    for (df <- Seq(docs.select("doc_id", "text"), textEdgeCases)) {
+      val cmp = df.select(
+        expr("regexp_extract_all(text, '\\\\S+', 0)").as("re"),
+        TextStats.wsTokensCol(col("text")).as("nat"))
+      assert(cmp.filter(not(col("re") <=> col("nat"))).count() == 0,
+        "ws_tokens must equal the regexp formulation on every row")
+    }
+  }
+
+  test("quality_stats expression == the d19 HOF stat quadruple") {
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+    val inL = stops.map(s => s"'$s'").mkString("(", ", ", ")")
+    for (df <- Seq(docs.select("doc_id", "text"), textEdgeCases)) {
+      val base = df
+        .withColumn("tk", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        .withColumn("qs", TextStats.qualityStatsCol(col("tk"), stops))
+        .withColumn("h_n_tok", size(col("tk")).cast("long"))
+        .withColumn("h_tok_chars",
+          expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))"))
+        .withColumn("h_n_stop",
+          size(expr(s"filter(tk, t -> t IN $inL)")).cast("long"))
+        .withColumn("h_n_tri_distinct", size(array_distinct(expr(
+          """CASE WHEN size(tk) < 3 THEN array()
+            |ELSE transform(sequence(0, size(tk) - 3),
+            |  i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])) END"""
+            .stripMargin))).cast("long"))
+      val bad = base.filter(
+        not(col("qs.n_tok") <=> col("h_n_tok")) ||
+          not(col("qs.tok_chars") <=> col("h_tok_chars")) ||
+          not(col("qs.n_stop") <=> col("h_n_stop")) ||
+          not(col("qs.n_tri_distinct") <=> col("h_n_tri_distinct")))
+      assert(bad.count() == 0,
+        "quality_stats must equal the HOF quadruple on every row")
+    }
+    // and the composed filter keeps exactly the same docs on gate data
+    val viaHelper = graft.operators.PipelineQueries
+      .qualityDocs(docs.select("doc_id", "lang", "source", "text"))
+      .select("doc_id")
+    val hofKept = {
+      val b = docs
+        .withColumn("tk", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("tok_chars",
+          expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))"))
+        .withColumn("n_stop",
+          size(expr(s"filter(tk, t -> t IN $inL)")).cast("long"))
+        .withColumn("n_tri", greatest(col("n_tok") - 2, lit(0L)))
+        .withColumn("n_tri_distinct", size(array_distinct(expr(
+          """CASE WHEN size(tk) < 3 THEN array()
+            |ELSE transform(sequence(0, size(tk) - 3),
+            |  i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])) END"""
+            .stripMargin))).cast("long"))
+      b.filter(col("n_tok").between(10, 1000) &&
+          lit(2) * col("n_tok") <= col("tok_chars") &&
+          col("tok_chars") <= lit(12) * col("n_tok") &&
+          col("n_stop") >= 2 &&
+          (col("n_tri") === 0 ||
+            lit(10) * col("n_tri_distinct") >= lit(4) * col("n_tri")))
+        .select("doc_id")
+    }
+    assert(viaHelper.exceptAll(hofKept).count() == 0 &&
+      hofKept.exceptAll(viaHelper).count() == 0,
+      "qualityDocs admission set must be unchanged")
+  }
+
+  test("gram_joins expression == chunk/window transform+slice+array_join") {
+    for (df <- Seq(docs.select("doc_id", "text"), textEdgeCases)) {
+      val base = df
+        .withColumn("tk", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      val chunksHof = expr(
+        """CASE WHEN size(tk) = 0 THEN array()
+          |ELSE transform(sequence(0, cast(ceil(size(tk)/20.0) AS INT) - 1),
+          |               i -> array_join(slice(tk, i*20+1, 20), ' ')) END"""
+          .stripMargin)
+      val winsHof = expr(
+        """CASE WHEN size(tk) < 8 THEN array()
+          |ELSE transform(sequence(1, size(tk)-7),
+          |  i -> array_join(slice(tk, i, 8), ' ')) END""".stripMargin)
+      // repetitionDocs' bigram axis (width 2, stride 1)
+      val bigramsHof = expr(
+        """CASE WHEN size(tk) < 2 THEN array()
+          |ELSE transform(sequence(1, size(tk) - 1),
+          |  i -> concat(tk[i-1], ' ', tk[i])) END""".stripMargin)
+      val cmp = base.select(
+        chunksHof.as("ch"), TextStats.chunkJoinsCol(col("tk"), 20).as("cn"),
+        winsHof.as("wh"), TextStats.windowJoinsCol(col("tk"), 8).as("wn"),
+        bigramsHof.as("bh"), TextStats.windowJoinsCol(col("tk"), 2).as("bn"))
+      assert(cmp.filter(not(col("ch") <=> col("cn")) ||
+        not(col("wh") <=> col("wn")) ||
+        not(col("bh") <=> col("bn"))).count() == 0,
+        "gram_joins must equal the HOF formulations on every row")
+    }
+  }
+
+  test("sentence_split == filter(split(text,'[.!?]+\\s+'), trim-nonempty)") {
+    val sp = spark
+    import sp.implicits._
+    // gate corpus + regex-split edge cases: leading/trailing delimiters,
+    // terminator runs without whitespace (NOT a delimiter), tab-only
+    // segments (trim removes ASCII 32 only -> kept), empty text,
+    // multi-byte text, consecutive delimiters
+    val edges = Seq("", ".", ". ", " . ", "a.b", "a. b", "a.. b", "a.!? b",
+      "a . b", ". a", "a .", "a. . b", " \t. b", "a.\t.\tb", "x?! y! z",
+      "héllo. wörld? 世界. tok", "a.   b", "a.\n\nb", "..!!??  ",
+      "ends with period. ", "no terminators at all", "a!b?c.d",
+      "tab\tseparated. next", ".. ", " .. a .. b .. ")
+      .toDF("text")
+    for (df <- Seq(docs.select("text"), edges)) {
+      val cmp = df.select(
+        expr("filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)")
+          .as("hof"),
+        TextStats.sentencesCol(col("text")).as("nat"))
+      assert(cmp.filter(not(col("hof") <=> col("nat"))).count() == 0,
+        "sentence_split must equal the split+filter formulation on every row")
+    }
+  }
+
+  test("bpe_pre_tokens / bpe_class_counts == regexp + rlike formulations") {
+    val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+    val sp = spark
+    import sp.implicits._
+    // alternation edge cases: every contraction suffix, bare/lone
+    // apostrophes (match NOTHING — regexp skips a char), space binding
+    // to alpha/digit/other runs but not to ws/apostrophe, tab runs,
+    // multi-byte "other" runs, string boundaries
+    val edges = Seq("", "'", "''", "'s", "'x", "'re", "'r", "'lll", "it's",
+      "don't-stop", "you'll", "we've", "I'm", "he'd", "a'",
+      " x", "  x", " 5", " .", " '", " 'st", "\tx", " \t x",
+      "a1b2", "42%", "(you'll see 42%)!", "héllo wörld", " é", "a é b",
+      "trailing space ", "multi  spaces", "end.'", "'t'want",
+      "It's v3.2, don't-stop #7 (you'll see 42%)!")
+      .toDF("t")
+    val base = docs.select(concat(col("text"), lit(" It's v"),
+      (col("doc_id") % 10).cast("string"), lit(".2, don't-stop #"),
+      col("doc_id").cast("string"), lit(" (you'll see 42%)!")).as("t"))
+    for (df <- Seq(base, edges)) {
+      val cmp = df.select(
+        regexp_extract_all(col("t"), lit(pat), lit(0)).as("re"),
+        TextStats.bpePreTokensCol(col("t")).as("nat"))
+      assert(cmp.filter(not(col("re") <=> col("nat"))).count() == 0,
+        "bpe_pre_tokens must equal the regexp alternation on every row")
+      val cc = df
+        .withColumn("bt", regexp_extract_all(col("t"), lit(pat), lit(0)))
+        .withColumn("bc", TextStats.bpeClassCountsCol(col("bt")))
+        .select(
+          size(filter(col("bt"), x => x.rlike("^ ?[A-Za-z]")))
+            .cast("long").as("h_alpha"),
+          size(filter(col("bt"), x => x.rlike("^ ?[0-9]")))
+            .cast("long").as("h_num"),
+          size(filter(col("bt"), x => x.rlike("^'")))
+            .cast("long").as("h_contr"),
+          col("bc.n_alpha"), col("bc.n_num"), col("bc.n_contr"))
+      assert(cc.filter(
+        not(col("h_alpha") <=> col("n_alpha")) ||
+          not(col("h_num") <=> col("n_num")) ||
+          not(col("h_contr") <=> col("n_contr"))).count() == 0,
+        "bpe_class_counts must equal the rlike filters on every row")
+    }
+  }
+
+  test("sorted_pairs edge recipe == distinct-(o,p) self-join on o") {
+    val li = graft.operators.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val viaJoin = {
+      val d = li.distinct()
+      d.as("x").join(d.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .distinct()
+    }
+    val viaPairs = li.groupBy("o").agg(collect_set(col("p")).as("ps"))
+      .select(explode(PairExprs.sortedPairsCol(col("ps"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+    assert(viaPairs.exceptAll(viaJoin).count() == 0 &&
+      viaJoin.exceptAll(viaPairs).count() == 0,
+      "canonical edge set must be unchanged by the sorted_pairs recipe")
+    // expression-level edges: dups, unsorted input, nulls, empty
+    val sp = spark
+    import sp.implicits._
+    val arrs = Seq(
+      (Seq(3L, 1L, 2L), 1), (Seq(5L, 5L, 5L), 2), (Seq.empty[Long], 3),
+      (Seq(7L), 4), (Seq(2L, 1L, 2L, 1L), 5)).toDF("ps", "id")
+    val got = arrs.select(col("id"),
+      PairExprs.sortedPairsCol(col("ps")).as("pr")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getLong(1))))
+      .toMap
+    assert(got(1) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got(2) == Seq.empty)
+    assert(got(3) == Seq.empty)
+    assert(got(4) == Seq.empty)
+    assert(got(5) == Seq((1L, 2L)))
+  }
+
+  test("stop_count / tok_chars_sum / ascii_set_count == HOF formulations") {
+    val stops = Seq("the", "a", "and", "of", "is")
+    val inL = stops.map(s => s"'$s'").mkString("(", ", ", ")")
+    for (df <- Seq(docs.select("doc_id", "text"), textEdgeCases)) {
+      val base = df
+        .withColumn("tk", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      val cmp = base.select(
+        size(expr(s"filter(tk, t -> t IN $inL)")).as("h_stop"),
+        TextStats.stopCountCol(col("tk"), stops).as("n_stop"),
+        expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))").as("h_chars"),
+        TextStats.tokCharsCol(col("tk")).as("n_chars"),
+        size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).as("h_punct"),
+        TextStats.asciiSetCountCol(col("text"), ".,;:!?").as("n_punct"))
+      assert(cmp.filter(
+        not(col("h_stop") <=> col("n_stop")) ||
+          not(col("h_chars") <=> col("n_chars")) ||
+          not(col("h_punct") <=> col("n_punct"))).count() == 0,
+        "stat primitives must equal the HOF formulations on every row")
+    }
+    // null-element semantics (tokens arrays never carry nulls in the
+    // engine, but the contract is pinned anyway)
+    val sp = spark
+    import sp.implicits._
+    val withNulls = Seq(
+      (Seq[String]("a", null, "the"), 1),
+      (Seq[String](null), 2),
+      (Seq[String](), 3)).toDF("tk", "id")
+    val got = withNulls.select(col("id"),
+      TextStats.stopCountCol(col("tk"), stops).as("ns"),
+      TextStats.tokCharsCol(col("tk")).as("tc"),
+      size(expr(s"filter(tk, t -> t IN $inL)")).as("hs"),
+      expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))").as("hc"))
+    assert(got.filter(not(col("ns") <=> col("hs")) ||
+      not(col("tc") <=> col("hc"))).count() == 0,
+      "null-element semantics must match the HOFs")
+  }
 }

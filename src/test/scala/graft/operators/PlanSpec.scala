@@ -101,7 +101,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"signature table must be persisted and reused by all consumers, saw $scans scans")
     // the shingle explode must only run to populate the cache: every
     // occurrence sits beneath an InMemoryRelation definition
-    val gen = p.linesIterator.count(_.contains("regexp_extract_all"))
+    val gen = p.linesIterator.count(l =>
+      l.contains("regexp_extract_all") || l.contains("ws_tokens"))
     val rel = p.linesIterator.count(_.contains("InMemoryRelation"))
     assert(gen <= rel,
       s"shingle pipeline appears $gen times but only $rel cached relations — recompute outside the cache")
