@@ -570,14 +570,25 @@ object PipelineQueries {
     * contract frames of [[StoreFrames]] built over the persisted
     * admitted set. */
   private def storeFramesInMemory(s: SparkSession, dir: String): StoreFrames = {
+    // r18: the three store frames are eager localCheckpoints, not
+    // persists — every batch-side consumer (gram probe, band union,
+    // chunk anti-join, attrition branches) previously stitched the FULL
+    // store lineage into its plan, and driver-side analysis of those
+    // trees (the d60 explain string was 2.9 MB) was the residual chain
+    // cost after the r18 kernel work. Checkpointing severs the store
+    // boundary exactly where d59's parquet handoff severs it — the
+    // in-memory arm now has the same plan shape as the persisted arm.
+    // (Same recomputability trade the chain's other seams already price;
+    // also removes the r13 plan-cache-sharing race class entirely — a
+    // checkpointed frame has no shareable lineage.)
     val (oldAug, _) = incInputs(s, dir)
     val oldQ = repetitionDocs(qualityDocs(oldAug))
-    val hotStore = hotLinesOf(linesOf(oldQ)).persist()
+    val hotStore = hotLinesOf(linesOf(oldQ)).localCheckpoint(true)
     incProbe("hotStore", () => hotStore.count())
     val ldOld = lineCleanAgainst(oldQ, hotStore)
-      .persist() // consumers: gram probe, LSH sigs, chunk set, base sum
+      .localCheckpoint(true) // consumers: gram probe, LSH sigs, chunks, base
     incProbe("ldOld", () => ldOld.count())
-    val osh = ghsOf(ldOld).persist()
+    val osh = ghsOf(ldOld).localCheckpoint(true)
     incProbe("osh", () => osh.count())
     StoreFrames(
       hot = hotStore,
