@@ -626,21 +626,27 @@ object PipelineQueries {
     val hotStore = hotLinesOf(linesOf(oldQ)).persist()
     val ldOld = lineCleanAgainst(oldQ, hotStore).persist()
     val osh = ghsOf(ldOld).persist()
-    def w(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"graft://$base/$name")
-    w(ldOld.select("doc_id", "lang", "source", "text"), "admitted")
-    w(hotStore, "hot_lines")
+    def w(df: DataFrame, name: String): () => Unit =
+      () => df.write.mode("overwrite").parquet(s"graft://$base/$name")
+    // the seven artifact writes are independent consumers of the three
+    // persisted frames (Spark's block-level cache locking serializes
+    // first-materialization) — overlap them so each write job's tail
+    // back-fills the next (r18, guide §2.6). Paths are disjoint;
+    // overwrite discipline unchanged.
     // at 100 TB gram_index is written bucketed by gh (the probe key)
     // so the daily batch probe is a co-located join; band_table by
     // (band, bh) likewise
-    w(gtab(osh, "doc_id"), "gram_index")
-    w(gsizes(osh, "doc_id", "n_grams"), "gram_sizes")
-    w(Dedup.bandedKeys(Dedup.signatures(ldOld.select("doc_id", "text"))),
-      "band_table")
-    w(ldOld.select(explode(chunksExpr("tk")).as("chunk")).distinct(),
-      "chunk_set")
-    w(ldOld.agg(coalesce(sum(size(col("tk")).cast("long")), lit(0L))
-      .as("next_token_offset")), "manifest")
+    Par.writes(
+      w(ldOld.select("doc_id", "lang", "source", "text"), "admitted"),
+      w(hotStore, "hot_lines"),
+      w(gtab(osh, "doc_id"), "gram_index"),
+      w(gsizes(osh, "doc_id", "n_grams"), "gram_sizes"),
+      w(Dedup.bandedKeys(Dedup.signatures(ldOld.select("doc_id", "text"))),
+        "band_table"),
+      w(ldOld.select(explode(chunksExpr("tk")).as("chunk")).distinct(),
+        "chunk_set"),
+      w(ldOld.agg(coalesce(sum(size(col("tk")).cast("long")), lit(0L))
+        .as("next_token_offset")), "manifest"))
   }
 
   /** d59's incremental-job view of the store: COLD parquet reads of what

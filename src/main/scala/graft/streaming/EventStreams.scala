@@ -1301,12 +1301,15 @@ object EventStreams {
         .select(col("doc_id"),
           (coalesce(col("cb"), lit(0L)) +
             coalesce(col("cs"), lit(0L))).as("ct")))
-    b.select("doc_id")
-      .join(counts, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("ct"), lit(0L)).as("n_dups_prior"))
-      .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId")
-    writeGramStore(b, s"$base/store", batchId)
+    // the outcome write and the gram-store append are independent
+    // consumers of the persisted `b` — overlap them (r18, guide §2.6)
+    graft.operators.Par.writes(
+      () => b.select("doc_id")
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ct"), lit(0L)).as("n_dups_prior"))
+        .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId"),
+      () => writeGramStore(b, s"$base/store", batchId))
     b.unpersist()
     ()
   }
@@ -1398,21 +1401,23 @@ object EventStreams {
       .partitionBy("lang").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
-    batch
-      .join(broadcast(prior), Seq("lang"), "left")
-      .withColumn("arrived_before",
-        coalesce(col("base_toks"), lit(0L)) +
-          coalesce(sum("n_tok").over(w), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_tok"),
-        col("arrived_before").cast("long").as("arrived_before"),
-        (col("arrived_before") < budget).as("admitted"))
-      .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId")
+    // out write and fold write are independent (r18, guide §2.6)
     val batchQuota = batch.groupBy("lang").agg(sum("n_tok").as("toks"))
-    writeFold(priorQuota
-        .map(_.unionByName(batchQuota)
-          .groupBy("lang").agg(sum("toks").as("toks")))
-        .getOrElse(batchQuota),
-      s"$base/store", batchId)
+    graft.operators.Par.writes(
+      () => batch
+        .join(broadcast(prior), Seq("lang"), "left")
+        .withColumn("arrived_before",
+          coalesce(col("base_toks"), lit(0L)) +
+            coalesce(sum("n_tok").over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("arrived_before").cast("long").as("arrived_before"),
+          (col("arrived_before") < budget).as("admitted"))
+        .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId"),
+      () => writeFold(priorQuota
+          .map(_.unionByName(batchQuota)
+            .groupBy("lang").agg(sum("toks").as("toks")))
+          .getOrElse(batchQuota),
+        s"$base/store", batchId))
     ()
   }
 
@@ -1665,26 +1670,29 @@ object EventStreams {
           .when(!col("admitted"), "quota")
           .otherwise("admitted"))
       .select(col("doc_id"), col("lang"), col("outcome"))
-    probeT(s"b$batchId.out")(
-      outcomes.write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId"))
-    // the three stores — folds absorb this batch's contributions into
-    // fresh snapshots (prior snapshot + batch, overwrite-keyed at this
-    // id, so a re-delivery recomputes the identical snapshot); the gram
-    // store appends its bucketed delta
+    // the outcome write and the three store writes are independent
+    // consumers of the persisted stage frames (out ← dupped/quota,
+    // linefold ← dl, gram ← bsh, quotafold ← kept) — overlap them so
+    // each job's scheduling tail back-fills the others (r18, guide
+    // §2.6). Idempotence unchanged: same overwrite-keyed paths.
     val batchLineCnt = dl.groupBy("line").agg(count(lit(1)).as("cnt"))
-    probeT(s"b$batchId.linefold")(writeFold(priorLines
-        .map(_.unionByName(batchLineCnt)
-          .groupBy("line").agg(sum("cnt").as("cnt")))
-        .getOrElse(batchLineCnt),
-      s"$base/linefold", batchId))
-    probeT(s"b$batchId.gram")(
-      writeGramStore(bsh, s"$base/gramstore", batchId))
     val batchQuota = kept.groupBy("lang").agg(sum("n_tok").as("toks"))
-    probeT(s"b$batchId.quota")(writeFold(priorQuota
-        .map(_.unionByName(batchQuota)
-          .groupBy("lang").agg(sum("toks").as("toks")))
-        .getOrElse(batchQuota),
-      s"$base/quotafold", batchId))
+    graft.operators.Par.writes(
+      () => probeT(s"b$batchId.out")(
+        outcomes.write.mode("overwrite")
+          .parquet(s"$base/out/batch_id=$batchId")),
+      () => probeT(s"b$batchId.linefold")(writeFold(priorLines
+          .map(_.unionByName(batchLineCnt)
+            .groupBy("line").agg(sum("cnt").as("cnt")))
+          .getOrElse(batchLineCnt),
+        s"$base/linefold", batchId)),
+      () => probeT(s"b$batchId.gram")(
+        writeGramStore(bsh, s"$base/gramstore", batchId)),
+      () => probeT(s"b$batchId.quota")(writeFold(priorQuota
+          .map(_.unionByName(batchQuota)
+            .groupBy("lang").agg(sum("toks").as("toks")))
+          .getOrElse(batchQuota),
+        s"$base/quotafold", batchId)))
     Seq(batch, qd, adm, dl, ld, bsh, dupped).foreach(_.unpersist())
     ()
   }
