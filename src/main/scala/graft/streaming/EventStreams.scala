@@ -78,24 +78,29 @@ object EventStreams {
       base: String, bounds: Seq[Long]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem
       .getLocal(spark.sparkContext.hadoopConfiguration)
-    bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-      val tmp = new org.apache.hadoop.fs.Path(s"$base/_slice_$i")
-      input.filter(col("doc_id") >= lo && col("doc_id") < hi)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.listStatus(tmp).map(_.getPath)
-        .find(_.getName.startsWith("part-"))
-        .getOrElse(sys.error(s"slice $i wrote no part file"))
-      val dest = new org.apache.hadoop.fs.Path(s"$base/in/slice-$i.parquet")
-      fs.mkdirs(dest.getParent)
-      fs.rename(part, dest)
-      fs.delete(tmp, true)
-      // mtime IS the replay order: a silently-failed set would scramble
-      // FileStreamSource's (mtime, path) ordering and surface downstream
-      // as an inscrutable hash mismatch — fail loudly here instead
-      require(new java.io.File(dest.toUri.getPath)
-          .setLastModified(1000L * (i + 1)),
-        s"failed to set mtime on slice $i at $dest")
-    }
+    // each slice is a coalesce(1) single-task job — overlap the four of
+    // them (r18, guide §2.6); paths are disjoint and the replay order is
+    // the EXPLICIT per-slice mtime below, not write completion order
+    graft.operators.Par.writes(bounds.sliding(2).zipWithIndex.map {
+      case (Seq(lo, hi), i) => () => {
+        val tmp = new org.apache.hadoop.fs.Path(s"$base/_slice_$i")
+        input.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"slice $i wrote no part file"))
+        val dest = new org.apache.hadoop.fs.Path(s"$base/in/slice-$i.parquet")
+        fs.mkdirs(dest.getParent)
+        fs.rename(part, dest)
+        fs.delete(tmp, true)
+        // mtime IS the replay order: a silently-failed set would scramble
+        // FileStreamSource's (mtime, path) ordering and surface downstream
+        // as an inscrutable hash mismatch — fail loudly here instead
+        require(new java.io.File(dest.toUri.getPath)
+            .setLastModified(1000L * (i + 1)),
+          s"failed to set mtime on slice $i at $dest")
+      }
+    }.toSeq: _*)
   }
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
