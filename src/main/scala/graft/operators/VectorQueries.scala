@@ -1223,15 +1223,18 @@ object VectorQueries {
     val assigned = old.withColumn("cell",
       graft.functions.VectorOps.nearestCentroidCol(col("embedding"), bc))
       .persist()
-    def w(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"graft://$base/$name")
-    w(centDf, "centroids")
-    w(assigned.select("vec_id", "cell"), "assignments")
-    w(assigned.groupBy("cell").agg(count(lit(1)).as("n")), "occupancy")
-    w(assigned.join(broadcast(centF), Seq("cell"))
-      .select((lit(1.0) - graft.functions.VectorOps
-        .cosineSim(col("embedding"), col("cvecf"))).as("dist"))
-      .agg(expr("percentile(dist, 0.9D)").as("train_p90")), "stats")
+    def w(df: DataFrame, name: String): () => Unit =
+      () => df.write.mode("overwrite").parquet(s"graft://$base/$name")
+    // four independent consumers of the persisted assignment — overlap
+    // the artifact writes (r18, guide §2.6; disjoint overwrite paths)
+    Par.writes(
+      w(centDf, "centroids"),
+      w(assigned.select("vec_id", "cell"), "assignments"),
+      w(assigned.groupBy("cell").agg(count(lit(1)).as("n")), "occupancy"),
+      w(assigned.join(broadcast(centF), Seq("cell"))
+        .select((lit(1.0) - graft.functions.VectorOps
+          .cosineSim(col("embedding"), col("cvecf"))).as("dist"))
+        .agg(expr("percentile(dist, 0.9D)").as("train_p90")), "stats"))
   }
 
   /** e25's incremental-job arms: COLD reads of the persisted index —
