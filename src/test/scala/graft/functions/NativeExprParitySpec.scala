@@ -245,7 +245,7 @@ class NativeExprParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark
     import sp.implicits._
     Seq("", " ", " \t\n\f\r ", "a", " a ", "a b", "a  b\tc",
-      "x y", " ", "héllo wörld 世界 tok",
+      "x y", "\u00A0", "héllo wörld 世界 tok",
       "a b c", "one two three four five six seven eight nine ten",
       "the the the a of to in is", "t " * 40)
       .toDF("text").withColumn("doc_id", monotonically_increasing_id())
@@ -410,6 +410,44 @@ class NativeExprParitySpec extends AnyFunSuite with BeforeAndAfterAll {
           not(col("h_contr") <=> col("n_contr"))).count() == 0,
         "bpe_class_counts must equal the rlike filters on every row")
     }
+  }
+
+  test("fuzz: native text kernels == regex/HOF on seeded random strings") {
+    // deterministic fuzz over an adversarial alphabet: every \s class
+    // byte, terminators, apostrophes + contraction suffix chars, digits,
+    // multi-byte code points, NBSP (NOT Java \s) — 600 strings of
+    // length 0-40
+    val alphabet = Array(" ", "\t", "\n", "\u000B", "\f", "\r", ".", "!",
+      "?", "'", "s", "t", "r", "e", "v", "m", "l", "d", "a", "B", "0",
+      "9", ",", ";", "é", "世", "\u00A0", "#")
+    val rnd = new scala.util.Random(181818L)
+    val strings = (1 to 600).map { _ =>
+      val n = rnd.nextInt(41)
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val sp = spark
+    import sp.implicits._
+    val df = strings.toDF("text")
+    val bpePat =
+      "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+    val cmp = df.select(
+      expr("regexp_extract_all(text, '\\\\S+', 0)").as("h_tok"),
+      TextStats.wsTokensCol(col("text")).as("n_tok"),
+      expr("filter(split(text, '[.!?]+\\\\s+'), x -> length(trim(x)) > 0)")
+        .as("h_sent"),
+      TextStats.sentencesCol(col("text")).as("n_sent"),
+      regexp_extract_all(col("text"), lit(bpePat), lit(0)).as("h_bpe"),
+      TextStats.bpePreTokensCol(col("text")).as("n_bpe"),
+      size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).as("h_punct"),
+      TextStats.asciiSetCountCol(col("text"), ".,;:!?").as("n_punct"))
+    val bad = cmp.filter(
+      not(col("h_tok") <=> col("n_tok")) ||
+        not(col("h_sent") <=> col("n_sent")) ||
+        not(col("h_bpe") <=> col("n_bpe")) ||
+        not(col("h_punct") <=> col("n_punct")))
+    assert(bad.count() == 0,
+      "native kernels must match regex/HOF on fuzzed strings; first: " +
+        bad.take(1).mkString)
   }
 
   test("sorted_pairs edge recipe == distinct-(o,p) self-join on o") {
