@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -291,6 +291,124 @@ object TextStats {
     row
   }
 
+  /** == aggregate(merges, seq, (acc, mm) -> replace(acc,
+    *      concat(chr(1), mm, chr(1)),
+    *      concat(chr(1), replace(mm, chr(1), ''), chr(1))))
+    * — the iterated-BPE merge application (d28/d54/d55, r19): for each
+    * merge pair "a<0x01>b" IN RANK ORDER, replace every non-overlapping
+    * "<0x01>a<0x01>b<0x01>" with "<0x01>ab<0x01>", scanning left to
+    * right and continuing AFTER each replacement — UTF8String.replace's
+    * exact scan, so back-to-back repeats sharing a boundary merge once
+    * per pass, like the HOF chain. A null merge element nulls the whole
+    * result exactly like the lambda (concat over null is null, replace
+    * with a null pattern is null, and a null acc stays null). Byte-level
+    * matching == string matching: the pattern is delimited by 0x01,
+    * which is never a UTF-8 continuation byte. */
+  def bpeApplyMerges(seq: UTF8String, merges: ArrayData): UTF8String = {
+    val m = merges.numElements()
+    var cur = seq.getBytes
+    var i = 0
+    while (i < m) {
+      if (merges.isNullAt(i)) return null
+      val mm = merges.getUTF8String(i).getBytes
+      val pat = new Array[Byte](mm.length + 2)
+      pat(0) = 1
+      pat(pat.length - 1) = 1
+      System.arraycopy(mm, 0, pat, 1, mm.length)
+      var stripped = 0
+      var j = 0
+      while (j < mm.length) {
+        if (mm(j) == 1) stripped += 1
+        j += 1
+      }
+      val rep = new Array[Byte](mm.length + 2 - stripped)
+      rep(0) = 1
+      rep(rep.length - 1) = 1
+      var k = 1
+      j = 0
+      while (j < mm.length) {
+        if (mm(j) != 1) { rep(k) = mm(j); k += 1 }
+        j += 1
+      }
+      cur = replaceAllBytes(cur, pat, rep)
+      i += 1
+    }
+    UTF8String.fromBytes(cur)
+  }
+
+  /** Non-overlapping left-to-right byte replace — UTF8String.replace's
+    * scan (find from 0; after a match, resume at match end). */
+  private def replaceAllBytes(src: Array[Byte], pat: Array[Byte],
+      rep: Array[Byte]): Array[Byte] = {
+    if (src.length == 0 || pat.length == 0) return src
+    var end = bytesIndexOf(src, pat, 0)
+    if (end < 0) return src
+    val out = new java.io.ByteArrayOutputStream(src.length + 16)
+    var start = 0
+    while (end >= 0) {
+      out.write(src, start, end - start)
+      out.write(rep, 0, rep.length)
+      start = end + pat.length
+      end = bytesIndexOf(src, pat, start)
+    }
+    out.write(src, start, src.length - start)
+    out.toByteArray
+  }
+
+  private def bytesIndexOf(src: Array[Byte], pat: Array[Byte],
+      from: Int): Int = {
+    val last = src.length - pat.length
+    var i = math.max(from, 0)
+    while (i <= last) {
+      var j = 0
+      while (j < pat.length && src(i + j) == pat(j)) j += 1
+      if (j == pat.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** == the iterated-BPE adjacent-pair extraction over a boundary-marked
+    * merge string: with
+    *   mt = slice(split(ms, chr(1)), 2, greatest(size(split(ms, chr(1))) - 2, 0))
+    * (the token list between the sentinel boundaries; split at limit -1
+    * keeps leading/trailing empties, so the piece list is exactly the
+    * k+1 segments around the k 0x01 bytes and dropping the first and
+    * last piece leaves the tokens), the result is
+    *   IF(size(mt) >= 2,
+    *      transform(sequence(1, size(mt) - 1),
+    *        i -> concat(element_at(mt, i), chr(1), element_at(mt, i+1))),
+    *      array()).
+    * Each pair is a CONTIGUOUS byte slice of ms (token, its 0x01
+    * boundary, next token), so the scan emits k-2 substring slices —
+    * no regex split, no intermediate array, no lambda dispatch. */
+  def bpeSeqPairs(seq: UTF8String): ArrayData = {
+    val bytes = seq.getBytes
+    val n = bytes.length
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == 1) k += 1
+      i += 1
+    }
+    if (k < 3) return new GenericArrayData(Array.empty[Any])
+    val marks = new Array[Int](k)
+    var mi = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == 1) { marks(mi) = i; mi += 1 }
+      i += 1
+    }
+    val out = new Array[Any](k - 2)
+    i = 0
+    while (i <= k - 3) {
+      out(i) = UTF8String.fromBytes(bytes, marks(i) + 1,
+        marks(i + 2) - marks(i) - 1)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** == size(filter(tokens, t -> t IN (<words>))): null elements never
     * match (SQL IN over a null yields null, filter keeps only true). */
   def stopCount(tokens: ArrayData, stops: Array[UTF8String]): Int = {
@@ -534,6 +652,54 @@ object TextStats {
     override def prettyName: String = "ascii_set_count"
   }
 
+  case class BpeApplyMerges(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    // a null MERGE ELEMENT nulls the output even for non-null inputs
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (StringType, ArrayType(StringType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"bpe_apply_merges needs (STRING, ARRAY<STRING>), got $other")
+      }
+    override def nullSafeEval(seq: Any, merges: Any): Any =
+      bpeApplyMerges(seq.asInstanceOf[UTF8String],
+        merges.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (seq, merges) => s"""
+        org.apache.spark.unsafe.types.UTF8String ${ev.value}Tmp =
+          graft.functions.TextStats.bpeApplyMerges($seq, $merges);
+        if (${ev.value}Tmp == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = ${ev.value}Tmp;
+        }""")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "bpe_apply_merges"
+  }
+
+  case class BpeSeqPairs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_seq_pairs needs STRING, got $other")
+    }
+    override def nullSafeEval(t: Any): Any =
+      bpeSeqPairs(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.TextStats.bpeSeqPairs($t);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "bpe_seq_pairs"
+  }
+
   def wsTokensCol(text: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       WsTokens(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
@@ -579,4 +745,13 @@ object TextStats {
     org.apache.spark.sql.graft.ColumnBridge.column(
       AsciiSetCount(org.apache.spark.sql.graft.ColumnBridge.expression(text),
         chars))
+  /** The iterated-BPE aggregate/replace merge chain replacement. */
+  def bpeApplyMergesCol(seq: Column, merges: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      BpeApplyMerges(org.apache.spark.sql.graft.ColumnBridge.expression(seq),
+        org.apache.spark.sql.graft.ColumnBridge.expression(merges)))
+  /** The iterated-BPE split+slice+transform pair extraction replacement. */
+  def bpeSeqPairsCol(seq: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      BpeSeqPairs(org.apache.spark.sql.graft.ColumnBridge.expression(seq)))
 }

@@ -876,16 +876,17 @@ object TextQueries {
       val merges = top8.agg(expr(
         "transform(sort_array(collect_list(struct(-cnt AS nc, m AS m))), p -> p.m)")
         .as("merges"))
+      // merge application via the native sequential-replace expression
+      // (r19, == the aggregate/replace HOF chain, NativeExprParitySpec);
+      // n_merged counts boundary bytes natively instead of a regex split
       tok.crossJoin(broadcast(merges))
-        .withColumn("merged", expr(
-          """aggregate(merges,
-            |  concat(chr(1), concat_ws(chr(1), bt), chr(1)),
-            |  (acc, mm) -> replace(acc,
-            |    concat(chr(1), mm, chr(1)),
-            |    concat(chr(1), replace(mm, chr(1), ''), chr(1))))""".stripMargin))
+        .withColumn("merged", graft.functions.TextStats.bpeApplyMergesCol(
+          expr("concat(chr(1), concat_ws(chr(1), bt), chr(1))"),
+          col("merges")))
         .select(col("doc_id"),
           size(col("bt")).cast("long").as("n_pre"),
-          (size(split(col("merged"), "\u0001")) - 2).cast("long").as("n_merged"),
+          (graft.functions.TextStats.asciiSetCountCol(col("merged"), "\u0001")
+            - 1).cast("long").as("n_merged"),
           md5(col("merged")).as("merged_md5"),
           md5(concat_ws("\u0002", col("merges"))).as("merge_table_md5"))
     },
@@ -1972,31 +1973,31 @@ object TextQueries {
           col("doc_id").cast("string"), lit(" (you'll see 42%)!")).as("t"))
       .select(col("doc_id"),
         graft.functions.TextStats.bpePreTokensCol(col("t")).as("bt"))
+    // r19: the pair extraction and the merge application are native
+    // expressions (bpe_seq_pairs / bpe_apply_merges == the split+slice+
+    // transform and aggregate/replace HOF chains, NativeExprParitySpec),
+    // and the per-round checkpoints are LAZY — the plan truncation that
+    // motivated them (d10 discipline) is identical, but materialization
+    // folds into the next round's pair-count job instead of a dedicated
+    // sequential driver-sync job per round.
     var seqs = tok.select(col("doc_id"),
       expr("concat(chr(1), concat_ws(chr(1), bt), chr(1))").as("ms"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val ems = (1 to epochs).map { _ =>
       val top8 = seqs
-        .withColumn("mt", expr(
-          "slice(split(ms, chr(1)), 2, greatest(size(split(ms, chr(1))) - 2, 0))"))
-        .select(explode(expr(
-          """IF(size(mt) >= 2,
-            |  transform(sequence(1, size(mt) - 1),
-            |    i -> concat(element_at(mt, i), chr(1), element_at(mt, i + 1))),
-            |  CAST(array() AS ARRAY<STRING>))""".stripMargin)).as("m"))
+        .select(explode(
+          graft.functions.TextStats.bpeSeqPairsCol(col("ms"))).as("m"))
         .groupBy("m").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("m"))
         .limit(8)
       val em = top8.agg(expr(
         "transform(sort_array(collect_list(struct(-cnt AS nc, m AS m))), p -> p.m)")
-        .as("em")).localCheckpoint(true)
+        .as("em")).localCheckpoint(false)
       seqs = seqs.crossJoin(broadcast(em))
-        .withColumn("ms", expr(
-          """aggregate(em, ms, (acc, mm) -> replace(acc,
-            |  concat(chr(1), mm, chr(1)),
-            |  concat(chr(1), replace(mm, chr(1), ''), chr(1))))""".stripMargin))
+        .withColumn("ms", graft.functions.TextStats.bpeApplyMergesCol(
+          col("ms"), col("em")))
         .select(col("doc_id"), col("ms"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       em
     }
     (seqs, ems)
@@ -2017,7 +2018,8 @@ object TextQueries {
         .as("merges"))
     seqs.crossJoin(broadcast(mergesAll))
       .select(col("doc_id"),
-        (size(split(col("ms"), "\u0001")) - 2).cast("long").as("n_bpe"),
+        (graft.functions.TextStats.asciiSetCountCol(col("ms"), "\u0001")
+          - 1).cast("long").as("n_bpe"),
         md5(concat_ws("\u0002", col("merges"))).as("mtm"))
   }
 

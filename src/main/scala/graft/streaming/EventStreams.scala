@@ -793,20 +793,34 @@ object EventStreams {
 
   /** Latest fold snapshot strictly before `batchId`, if any. */
   private def latestFold(s: SparkSession, path: String,
-      batchId: Long): Option[DataFrame] =
-    latestFoldSized(s, path, batchId).map(_._1)
+      batchId: Long, schema: org.apache.spark.sql.types.StructType):
+      Option[DataFrame] =
+    latestFoldSized(s, path, batchId, schema).map(_._1)
 
   /** Latest fold snapshot plus its on-disk byte size — the size drives
-    * the adaptive-prefilter decision below. */
+    * the adaptive-prefilter decision below. The fold's schema is passed
+    * explicitly (r19): inference re-reads a parquet footer on the driver
+    * once per micro-batch, a sequential seam the s15 profile attributed
+    * real wall to (the gram store reads were already explicit-schema). */
   private def latestFoldSized(s: SparkSession, path: String,
-      batchId: Long): Option[(DataFrame, Long)] = {
+      batchId: Long, schema: org.apache.spark.sql.types.StructType):
+      Option[(DataFrame, Long)] = {
     val (fs, root) = storeRoot(s, path)
     batchIdDirs(fs, root).filter(_._2 < batchId)
       .sortBy(_._2).lastOption
       .map { case (p, k) =>
-        (s.read.parquet(s"$path/batch_id=$k"), bytesUnder(fs, Seq(p)))
+        (s.read.schema(schema).parquet(s"$path/batch_id=$k"),
+          bytesUnder(fs, Seq(p)))
       }
   }
+
+  /** Fold schemas (see [[latestFoldSized]]): per-line distinct-doc
+    * counts (s15's linefold) and per-lang consumed tokens (s14 + s15's
+    * quotafold). */
+  private val lineFoldSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("line STRING, cnt BIGINT")
+  private val quotaFoldSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("lang STRING, toks BIGINT")
 
   /** ADAPTIVE PREFILTER THRESHOLD (r18): the probe-side prefilter
     * devices — bucket pruning (a distinct+collect job over the batch's
@@ -862,7 +876,7 @@ object EventStreams {
     * has written yet. */
   private[graft] def gramStoreProbe(s: SparkSession, path: String,
       batchId: Long, bg: DataFrame): Option[DataFrame] =
-    readGramStoreSized(s, path).map { case (store, bytes) =>
+    readGramStoreSized(s, path, below = batchId).map { case (store, bytes) =>
       probeAgainst(s, store, batchId, bg,
         prefilter = bytes >= pruneThreshold(s))
     }
@@ -918,7 +932,7 @@ object EventStreams {
       s"segments=$segments must divide GramBuckets=$GramBuckets")
     // segment sharding IS a big-store device, but honor the adaptive
     // threshold anyway so spec-driven small-store runs stay cheap
-    readGramStoreSized(s, path).map { case (store, bytes) =>
+    readGramStoreSized(s, path, below = batchId).map { case (store, bytes) =>
       probeAgainst(s, store, batchId,
         bg.filter(pmod(pmod(col("gh"), lit(GramBuckets)), lit(segments))
           === k),
@@ -1051,13 +1065,24 @@ object EventStreams {
 
   /** [[readGramStore]] plus the resolved view's on-disk byte size
     * (base dir + live deltas), which drives the adaptive-prefilter
-    * decision in the probes. */
-  private[streaming] def readGramStoreSized(s: SparkSession, path: String):
-      Option[(DataFrame, Long)] = {
+    * decision in the probes.
+    *
+    * `below` (r19): delta dirs with batch_id >= below are excluded from
+    * the FILE LISTING, not just row-filtered. The probes pass the
+    * current batch id: their `batch_id < current` predicate already
+    * discarded those rows, so results are identical — but on a
+    * RE-DELIVERED batch the current dir exists from the failed attempt
+    * and is concurrently overwritten by this batch's own store write,
+    * and a listing that included it could race the overwrite's delete.
+    * Excluding it up front makes the probe read and the store write
+    * touch disjoint paths, so the write can launch before the probe
+    * composes (Par.scoped overlap). */
+  private[streaming] def readGramStoreSized(s: SparkSession, path: String,
+      below: Long = Long.MaxValue): Option[(DataFrame, Long)] = {
     val (fs, root) = storeRoot(s, path)
     val base = resolveGramBase(fs, root)
     val upto = base.map(_._2).getOrElse(Long.MinValue)
-    val deltas = gramDeltaDirs(fs, root).filter(_._2 > upto)
+    val deltas = gramDeltaDirs(fs, root).filter(d => d._2 > upto && d._2 < below)
     val deltaDf =
       if (deltas.isEmpty) None
       else Some(s.read.schema(gramStoreSchema).option("basePath", path)
@@ -1276,6 +1301,7 @@ object EventStreams {
         graft.functions.TextHashes.shingleHash64Col(
           col("text"), col("__tok"), 3, emptyIfShort = true).as("ghs"))
       .persist()
+    graft.operators.Par.scoped { sc =>
     val bg = b.select(col("doc_id"), col("lang"), col("source"),
       explode(col("ghs")).as("gh"))
     val bn = b.select(col("doc_id"), size(col("ghs")).as("ng"))
@@ -1285,6 +1311,13 @@ object EventStreams {
       .filter(round(col("inter").cast("double") /
         (col("ng") + col("np") - col("inter")), 3) >= 0.3)
       .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    // launch the gram-store append first so it executes — materializing
+    // the persisted `b` — while the driver composes the probe + outcome
+    // plans (r19). Safe against a re-delivered batch's overwrite of its
+    // own delta dir: the probe's listing excludes batch_id >= current
+    // ([[readGramStoreSized]] `below`), so read and write paths are
+    // disjoint.
+    sc.launch(() => writeGramStore(b, s"$base/store", batchId))
     val fromStore =
       gramStoreProbe(s, s"$base/store", batchId, bg).map(jacTail)
     val inBatch = jacTail(
@@ -1299,22 +1332,19 @@ object EventStreams {
         .agg(count(lit(1)).as("inter"))
         .join(bn.select(col("doc_id").as("prior_id"), col("ng").as("np")),
           "prior_id"))
+    // union + re-aggregation instead of a full_outer join (r19, guide
+    // §2.4 — same device as s15's counts): per-doc sums of disjoint
+    // contributions are identical either way and one SMJ leaves the
+    // critical path
     val counts = fromStore.fold(inBatch.withColumnRenamed("c", "ct"))(
-      st => inBatch.withColumnRenamed("c", "cb")
-        .join(st.withColumnRenamed("c", "cs"),
-          Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          (coalesce(col("cb"), lit(0L)) +
-            coalesce(col("cs"), lit(0L))).as("ct")))
-    // the outcome write and the gram-store append are independent
-    // consumers of the persisted `b` — overlap them (r18, guide §2.6)
-    graft.operators.Par.writes(
-      () => b.select("doc_id")
-        .join(counts, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("ct"), lit(0L)).as("n_dups_prior"))
-        .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId"),
-      () => writeGramStore(b, s"$base/store", batchId))
+      st => inBatch.unionByName(st)
+        .groupBy("doc_id").agg(sum("c").as("ct")))
+    sc.launch(() => b.select("doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ct"), lit(0L)).as("n_dups_prior"))
+      .write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId"))
+    } // Par.scoped: join both writes
     b.unpersist()
     ()
   }
@@ -1397,7 +1427,7 @@ object EventStreams {
     // prior per-lang totals from the FOLD snapshot (r14 layout, same as
     // s15's quotafold): one pre-aggregated read, never a re-aggregation
     // over all prior batch partitions
-    val priorQuota = latestFold(s, s"$base/store", batchId)
+    val priorQuota = latestFold(s, s"$base/store", batchId, quotaFoldSchema)
     val prior = priorQuota
       .map(_.select(col("lang"), col("toks").as("base_toks")))
       .getOrElse(s.emptyDataFrame
@@ -1544,28 +1574,70 @@ object EventStreams {
       batchId: Long, storeSegments: Int = 1): Unit = {
     val s = batch0.sparkSession
     val batch = batch0.persist()
+    // Stage frames are LAZY localCheckpoints rather than persists (r19):
+    // same share-the-computation semantics (one storage-backed RDD, all
+    // consumers read it), but every downstream plan sees a depth-1
+    // LogicalRDD instead of the stitched batch lineage — the s15 profile
+    // attributed ~1.2 s/micro-batch to driver-side ANALYSIS of the
+    // deep composed trees (the d59 severing precedent, lazy variant: no
+    // materialization barrier; the first consuming job computes it).
+    // Recompute trade as d59: a lost executor fails the batch instead
+    // of recomputing, and the foreachBatch retry replays it (writes are
+    // overwrite-keyed/idempotent). Freed by rep-end PinScope sweep /
+    // ContextCleaner, not CacheManager.
     // stages 1+2: per-doc admission — d19/d53's proven rule bodies.
-    // qualityDocs is persisted in its own right (r18): the outcome join
+    // qualityDocs is kept in its own right (r18): the outcome join
     // needs quality-stage membership again, and recomputing it re-paid
     // the tokenize pass over the batch once per micro-batch.
-    val qd = graft.operators.PipelineQueries.qualityDocs(batch).persist()
-    val adm = graft.operators.PipelineQueries.repetitionDocs(qd).persist()
+    val qd = graft.operators.PipelineQueries.qualityDocs(batch)
+      .localCheckpoint(false)
+    val adm = graft.operators.PipelineQueries.repetitionDocs(qd)
+      .localCheckpoint(false)
     // stage 3: causal line-clean — a line is hot FOR a doc iff >= 3
     // distinct lower-id admitted docs carry it (store counts + in-batch
     // rank); all instances of a hot-for-doc line drop, docs with zero
     // kept lines drop entirely
     val lns = graft.operators.PipelineQueries.linesOf(adm)
-    // persisted (r18): dl feeds the rank window, the line-fold write and
-    // (big-fold arm) the Bloom build — unpersisted with the batch below
-    val dl = lns.select("doc_id", "line").distinct().persist()
-    val rnW = org.apache.spark.sql.expressions.Window
-      .partitionBy("line").orderBy("doc_id")
-    val rn0 = dl.withColumn("rn", row_number().over(rnW).cast("long") - 1L)
+    // ONE line-keyed aggregation (r19, guide §2.4) replaces the r18
+    // distinct + rank-window + count trio — three shuffles over the same
+    // key collapsed into one. Per line: the distinct-doc count (the fold
+    // contribution) and the 3 SMALLEST distinct doc ids. Only positions
+    // 0..2 can ever be KEPT (prior = pc + rn with pc >= 0, so rn >= 3 is
+    // hot regardless of the fold), so a (doc, line) instance survives
+    // iff it is one of those <= 3 pairs with pc + rn < 3 — the anti-join
+    // against the (large) hot set becomes a semi-join against a <= 3-per-
+    // line kept set. Skew note: collect_set buffers one line's batch
+    // doc ids in memory where the old window sort-spilled; per-batch
+    // slicing bounds it, and the r18 window form is the fallback if a
+    // viral in-batch line ever breaks that bound.
+    val lineAgg = lns.groupBy("line")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(col("line"), size(col("ids")).cast("long").as("cnt"),
+        slice(col("ids"), 1, 3).as("first3"))
+      .localCheckpoint(false)
+    val rn0 = lineAgg.select(col("line"),
+        posexplode(col("first3")).as(Seq("rn", "doc_id")))
+      .select(col("line"), col("doc_id"), col("rn").cast("long").as("rn"))
     // prior per-line counts: ONE pre-aggregated fold snapshot (never a
     // re-aggregation over all batches), Bloom-shrunk to ~this batch's
     // lines before the probe join so AQE can build-side it
-    val priorLinesSized = latestFoldSized(s, s"$base/linefold", batchId)
+    val priorLinesSized = probeT(s"b$batchId.rd.line")(
+      latestFoldSized(s, s"$base/linefold", batchId, lineFoldSchema))
     val priorLines = priorLinesSized.map(_._1)
+    // From here on, every store write LAUNCHES the moment its input
+    // frame is composed (r19, guide §2.6 via Par.scoped): the linefold
+    // write only needs lineAgg + the fold just read, so it executes
+    // while the driver is still composing the near-dup/quota/outcome
+    // plans below — the s15 profile attributed ~0.7 s/batch to that
+    // purely sequential composition. Write set, paths and idempotence
+    // are identical to the r18 all-at-once Par.writes.
+    val lateFrames = graft.operators.Par.scoped { sc =>
+    val batchLineCnt = lineAgg.select(col("line"), col("cnt"))
+    sc.launch(() => probeT(s"b$batchId.linefold")(writeFold(priorLines
+        .map(_.unionByName(batchLineCnt)
+          .groupBy("line").agg(sum("cnt").as("cnt")))
+        .getOrElse(batchLineCnt),
+      s"$base/linefold", batchId)))
     val rn = priorLinesSized
       .fold(rn0.withColumn("prior", col("rn"))) { case (pf, bytes) =>
         // the Bloom shrink is an I/O reducer for BIG folds; under the
@@ -1576,8 +1648,8 @@ object EventStreams {
             pf.select(col("line"), col("cnt").as("pc"))
           else {
             val lb = graft.functions.BloomExprs.broadcastBloom(
-              s, dl.select(xxhash64(col("line")).as("lh")), "lh", 1L << 20,
-              0.01)
+              s, lineAgg.select(xxhash64(col("line")).as("lh")), "lh",
+              1L << 20, 0.01)
             pf.filter(graft.functions.BloomExprs.mightContainCol(
                 xxhash64(col("line")), lb))
               .select(col("line"), col("cnt").as("pc"))
@@ -1585,8 +1657,8 @@ object EventStreams {
         rn0.join(pl, Seq("line"), "left")
           .withColumn("prior", coalesce(col("pc"), lit(0L)) + col("rn"))
       }
-    val hotFor = rn.filter(col("prior") >= 3).select("doc_id", "line")
-    val rebuilt = lns.join(hotFor, Seq("doc_id", "line"), "left_anti")
+    val keptFor = rn.filter(col("prior") < 3).select("doc_id", "line")
+    val rebuilt = lns.join(keptFor, Seq("doc_id", "line"), "left_semi")
       .groupBy("doc_id")
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(pos, line))), x -> x.line), ' ')")
@@ -1595,13 +1667,13 @@ object EventStreams {
       .select(col("doc_id"), col("lang"), col("source"),
         col("ltext").as("text"))
       .withColumn("tk", graft.functions.TextStats.wsTokensCol(col("text")))
-      .persist()
+      .localCheckpoint(false)
     // stage 4: near-dup vs the gram store + in-batch lower-id, over the
     // CLEANED text (s13's mechanism on the composed stream)
     val bsh = ld.select(col("doc_id"), col("lang"), col("source"),
       graft.functions.TextHashes.shingleHash64Col(
         col("text"), col("tk"), 3, emptyIfShort = true).as("ghs"))
-      .persist()
+      .localCheckpoint(false)
     val bg = bsh.select(col("doc_id"), col("lang"), col("source"),
       explode(col("ghs")).as("gh"))
     val bn = bsh.select(col("doc_id"), size(col("ghs")).as("ng"))
@@ -1610,9 +1682,15 @@ object EventStreams {
       .filter(round(col("inter").cast("double") /
         (col("ng") + col("np") - col("inter")), 3) >= 0.3)
       .groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val fromStore =
+    // gram write launches before the probe composes (r19): safe because
+    // the probe's listing excludes batch_id >= current — see
+    // [[readGramStoreSized]] `below` — so a re-delivered batch's
+    // overwrite of its own delta dir can't race the probe's read.
+    sc.launch(() => probeT(s"b$batchId.gram")(
+      writeGramStore(bsh, s"$base/gramstore", batchId)))
+    val fromStore = probeT(s"b$batchId.rd.gram")(
       gramStoreProbeSegmented(s, s"$base/gramstore", batchId, bg,
-        storeSegments).map(jacTail)
+        storeSegments)).map(jacTail)
     val inBatch = jacTail(
       bg.join(
         bg.select(col("doc_id").as("prior_id"),
@@ -1625,26 +1703,30 @@ object EventStreams {
         .agg(count(lit(1)).as("inter"))
         .join(bn.select(col("doc_id").as("prior_id"), col("ng").as("np")),
           "prior_id"))
+    // the two candidate sources merge by UNION + re-aggregation instead
+    // of the r18 full_outer join (r19, guide §2.4): per-doc sums of
+    // disjoint contributions are identical either way, the union's
+    // children compute concurrently, and one SMJ leaves the critical
+    // path
     val counts = fromStore.fold(inBatch.withColumnRenamed("c", "ct"))(
-      st => inBatch.withColumnRenamed("c", "cb")
-        .join(st.withColumnRenamed("c", "cs"),
-          Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          (coalesce(col("cb"), lit(0L)) +
-            coalesce(col("cs"), lit(0L))).as("ct")))
-    val dupped = ld.select("doc_id")
-      .join(counts, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("ct"), lit(0L)).as("n_dups_prior"))
-      .persist()
-    // stage 5: per-lang quota over the kept docs' CLEANED token counts
-    val kept = ld
-      .join(dupped.filter(col("n_dups_prior") === 0).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"),
+      st => inBatch.unionByName(st)
+        .groupBy("doc_id").agg(sum("c").as("ct")))
+    // dupped carries lang + the cleaned token count so the kept/dup/
+    // quota consumers below are plain FILTERS of this one persisted
+    // frame — the r18 shape re-joined ld twice (a semi-join for kept
+    // and the outcome stitch) for columns ld already had (r19)
+    val dupped = ld.select(col("doc_id"), col("lang"),
         size(col("tk")).cast("long").as("n_tok"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        coalesce(col("ct"), lit(0L)).as("n_dups_prior"))
+      .localCheckpoint(false)
+    // stage 5: per-lang quota over the kept docs' CLEANED token counts
+    val kept = dupped.filter(col("n_dups_prior") === 0)
+      .select("doc_id", "lang", "n_tok")
     // prior per-lang totals: the fold snapshot IS the aggregate
-    val priorQuota = latestFold(s, s"$base/quotafold", batchId)
+    val priorQuota = probeT(s"b$batchId.rd.quota")(
+      latestFold(s, s"$base/quotafold", batchId, quotaFoldSchema))
     val prior = priorQuota
       .map(_.select(col("lang"), col("toks").as("base_toks")))
       .getOrElse(s.emptyDataFrame
@@ -1657,48 +1739,40 @@ object EventStreams {
       .withColumn("arrived_before",
         coalesce(col("base_toks"), lit(0L)) +
           coalesce(sum("n_tok").over(wq), lit(0L)))
-      .select(col("doc_id"),
-        (col("arrived_before") < budget).as("admitted"))
-    // first-failure outcome per input doc
-    val outcomes = batch.select("doc_id", "lang")
-      .join(qd.select(col("doc_id"), lit(1L).as("in_q")),
-        Seq("doc_id"), "left")
-      .join(adm.select(col("doc_id"), lit(1L).as("in_rep")), Seq("doc_id"), "left")
-      .join(ld.select(col("doc_id"), lit(1L).as("in_ld")), Seq("doc_id"), "left")
-      .join(dupped, Seq("doc_id"), "left")
-      .join(quota, Seq("doc_id"), "left")
-      .withColumn("outcome",
-        when(col("in_q").isNull, "quality")
-          .when(col("in_rep").isNull, "repetition")
-          .when(col("in_ld").isNull, "line_emptied")
-          .when(col("n_dups_prior") > 0, "dup")
-          .when(!col("admitted"), "quota")
-          .otherwise("admitted"))
-      .select(col("doc_id"), col("lang"), col("outcome"))
-    // the outcome write and the three store writes are independent
-    // consumers of the persisted stage frames (out ← dupped/quota,
-    // linefold ← dl, gram ← bsh, quotafold ← kept) — overlap them so
-    // each job's scheduling tail back-fills the others (r18, guide
-    // §2.6). Idempotence unchanged: same overwrite-keyed paths.
-    val batchLineCnt = dl.groupBy("line").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("lang"),
+        when(col("arrived_before") < budget, "admitted")
+          .otherwise("quota").as("outcome"))
+    // first-failure outcome per input doc — as a UNION of the five
+    // DISJOINT, exhaustive outcome classes instead of the r18 chain of
+    // five sequential left joins (r19, guide §2.4): the stage nesting
+    // batch ⊇ qd ⊇ adm ⊇ ld-domain = dup ⊎ kept makes each class a
+    // filter or a single anti-join, the branches compute concurrently
+    // as union children, and the union itself is shuffle-free. Row set
+    // identical: every batch doc lands in exactly one class, with the
+    // same first-failure label the join chain's when-cascade produced.
+    val outcomes = quota
+      .unionByName(dupped.filter(col("n_dups_prior") > 0)
+        .select(col("doc_id"), col("lang"), lit("dup").as("outcome")))
+      .unionByName(adm.join(dupped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"),
+          lit("line_emptied").as("outcome")))
+      .unionByName(qd.join(adm, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), lit("repetition").as("outcome")))
+      .unionByName(batch.join(qd, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), lit("quality").as("outcome")))
     val batchQuota = kept.groupBy("lang").agg(sum("n_tok").as("toks"))
-    graft.operators.Par.writes(
-      () => probeT(s"b$batchId.out")(
-        outcomes.write.mode("overwrite")
-          .parquet(s"$base/out/batch_id=$batchId")),
-      () => probeT(s"b$batchId.linefold")(writeFold(priorLines
-          .map(_.unionByName(batchLineCnt)
-            .groupBy("line").agg(sum("cnt").as("cnt")))
-          .getOrElse(batchLineCnt),
-        s"$base/linefold", batchId)),
-      () => probeT(s"b$batchId.gram")(
-        writeGramStore(bsh, s"$base/gramstore", batchId)),
-      () => probeT(s"b$batchId.quota")(writeFold(priorQuota
-          .map(_.unionByName(batchQuota)
-            .groupBy("lang").agg(sum("toks").as("toks")))
-          .getOrElse(batchQuota),
-        s"$base/quotafold", batchId)))
-    Seq(batch, qd, adm, dl, ld, bsh, dupped).foreach(_.unpersist())
+    sc.launch(() => probeT(s"b$batchId.out")(
+      outcomes.write.mode("overwrite")
+        .parquet(s"$base/out/batch_id=$batchId")))
+    sc.launch(() => probeT(s"b$batchId.quota")(writeFold(priorQuota
+        .map(_.unionByName(batchQuota)
+          .groupBy("lang").agg(sum("toks").as("toks")))
+        .getOrElse(batchQuota),
+      s"$base/quotafold", batchId)))
+    Seq(ld, bsh, dupped)
+    } // Par.scoped: join the four writes (first failure, original type)
+    probeT(s"b$batchId.unpersist")(
+      (Seq(batch, qd, adm, lineAgg) ++ lateFrames).foreach(_.unpersist()))
     ()
   }
 

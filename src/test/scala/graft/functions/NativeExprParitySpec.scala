@@ -521,4 +521,87 @@ class NativeExprParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       not(col("tc") <=> col("hc"))).count() == 0,
       "null-element semantics must match the HOFs")
   }
+
+  test("bpe_apply_merges / bpe_seq_pairs == aggregate-replace / split+slice " +
+      "HOF chains (real corpus + seeded fuzz)") {
+    val sp = spark
+    import sp.implicits._
+    // HOF reference bodies — EXACTLY the r18 formulations being replaced
+    val hofPairs = expr(
+      """IF(size(slice(split(ms, chr(1)), 2,
+        |          greatest(size(split(ms, chr(1))) - 2, 0))) >= 2,
+        |  transform(sequence(1, size(slice(split(ms, chr(1)), 2,
+        |      greatest(size(split(ms, chr(1))) - 2, 0))) - 1),
+        |    i -> concat(
+        |      element_at(slice(split(ms, chr(1)), 2,
+        |        greatest(size(split(ms, chr(1))) - 2, 0)), i),
+        |      chr(1),
+        |      element_at(slice(split(ms, chr(1)), 2,
+        |        greatest(size(split(ms, chr(1))) - 2, 0)), i + 1))),
+        |  CAST(array() AS ARRAY<STRING>))""".stripMargin)
+    val hofApply = expr(
+      """aggregate(em, ms, (acc, mm) -> replace(acc,
+        |  concat(chr(1), mm, chr(1)),
+        |  concat(chr(1), replace(mm, chr(1), ''), chr(1))))""".stripMargin)
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val cmp = df.select(
+        hofPairs.as("h_pairs"),
+        TextStats.bpeSeqPairsCol(col("ms")).as("n_pairs"),
+        hofApply.as("h_app"),
+        TextStats.bpeApplyMergesCol(col("ms"), col("em")).as("n_app"),
+        (size(split(col("ms"), "\u0001")) - 2).as("h_cnt"),
+        (TextStats.asciiSetCountCol(col("ms"), "\u0001") - 1).as("n_cnt"))
+      val bad = cmp.filter(
+        not(col("h_pairs") <=> col("n_pairs")) ||
+          not(col("h_app") <=> col("n_app")) ||
+          not(col("h_cnt") <=> col("n_cnt")))
+      assert(bad.count() == 0,
+        "bpe kernels must match the HOF chains; first: " + bad.take(1).mkString)
+    }
+    // 1. real corpus: d28's augmented pre-token sequences under its own
+    //    top-8 merge table (the production input shape)
+    val tok = docs.select(col("doc_id"),
+        concat(col("text"), lit(" It's v"),
+          (col("doc_id") % 10).cast("string"), lit(".2, don't-stop #"),
+          col("doc_id").cast("string"), lit(" (you'll see 42%)!")).as("t"))
+      .select(col("doc_id"), TextStats.bpePreTokensCol(col("t")).as("bt"))
+      .select(col("doc_id"),
+        expr("concat(chr(1), concat_ws(chr(1), bt), chr(1))").as("ms"))
+    val top8 = tok
+      .select(explode(TextStats.bpeSeqPairsCol(col("ms"))).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("m")).limit(8)
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(-cnt AS nc, m AS m))), p -> p.m)")
+        .as("em"))
+    check(tok.crossJoin(broadcast(top8)))
+    // 2. seeded fuzz: adversarial ms strings (stray/adjacent 0x01 bytes,
+    //    empty tokens, multi-byte chars, no boundaries at all) under
+    //    adversarial merge lists (overlapping pairs, self-merges, tokens
+    //    containing 0x01, empty strings)
+    val alphabet = Array("\u0001", "\u0001\u0001", "a", "b", "ab", " ", "é",
+      "世", "'", "")
+    val rnd = new scala.util.Random(191919L)
+    def rndStr(maxLen: Int): String =
+      (1 to rnd.nextInt(maxLen + 1))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val fuzz = (1 to 400).map { _ =>
+      val ms = rndStr(24)
+      val em = (1 to rnd.nextInt(6)).map(_ =>
+        s"${rndStr(3)}\u0001${rndStr(3)}")
+      (ms, em)
+    }.toDF("ms", "em")
+    check(fuzz)
+    // 3. null semantics: a null merge element nulls the output, exactly
+    //    like the HOF chain; a null ms stays null
+    val nulls = Seq(
+      ("\u0001a\u0001b\u0001", Seq[String]("a\u0001b", null)),
+      (null.asInstanceOf[String], Seq[String]("a\u0001b"))).toDF("ms", "em")
+    val nl = nulls.select(
+      hofApply.as("h_app"),
+      TextStats.bpeApplyMergesCol(col("ms"), col("em")).as("n_app"))
+    assert(nl.filter(not(col("h_app") <=> col("n_app"))).count() == 0,
+      "null semantics must match the HOF chain")
+    assert(nl.filter(col("n_app").isNotNull).count() == 0)
+  }
 }
