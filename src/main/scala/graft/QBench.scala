@@ -100,21 +100,35 @@ object QBench {
           println(f"[q] $q med=${ts.sorted.apply(1)}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
         }
       case "tri" =>
-        // r18 triangle-kernel timing: full d41/d56 gate bodies, PinScope
-        // per rep (honest bench shape), 1 discarded codegen rep + 3 timed.
-        Seq("d41_triangles", "d56_triangle_estimate").foreach { q =>
-          def once(): Double = {
-            val t0 = System.nanoTime()
-            PinScope.run(spark) {
-              SparkEntry.queries(q)(spark, sfDir)
-                .write.format("noop").mode("overwrite").save()
-            }
-            (System.nanoTime() - t0) / 1e9
+        // alias for the triangle pair (was a verbatim copy of the `q`
+        // timing loop — r18 advice)
+        main(Array("q", "d41_triangles", "d56_triangle_estimate"))
+        return
+      case "d30ab" =>
+        // Same-window A/B of d30's broadcast-vs-shuffle arm (r18 verdict
+        // #5): alternate the graph broadcast budget between default and
+        // 0 (forces the shuffle fallback), s15ab's drift-cancelling
+        // alternation.
+        val key = "graft.graph.broadcast.max.bytes"
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          PinScope.run(spark) {
+            SparkEntry.queries("d30_pagerank")(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
           }
-          once()
-          val ts = (1 to 3).map(_ => once())
-          println(f"[tri] $q med=${ts.sorted.apply(1)}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+          (System.nanoTime() - t0) / 1e9
         }
+        once() // codegen
+        val reps = (1 to 8).map { i =>
+          val shuffleArm = i % 2 == 0
+          if (shuffleArm) spark.conf.set(key, "0") else spark.conf.unset(key)
+          val t = try once() finally spark.conf.unset(key)
+          println(f"[d30ab] ${if (shuffleArm) "shuffle  " else "broadcast"} $t%7.2fs")
+          (shuffleArm, t)
+        }
+        def medAb(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+        println(f"[d30ab] broadcast med=${medAb(reps.filter(!_._1).map(_._2))}%.2fs " +
+          f"shuffle med=${medAb(reps.filter(_._1).map(_._2))}%.2fs")
       case "d57prof" =>
         operators.PipelineQueries.incProbe = (name, act) => {
           val t0 = System.nanoTime()

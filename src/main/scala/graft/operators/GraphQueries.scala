@@ -28,6 +28,27 @@ object GraphQueries {
   val RankScale = 1000000L
   val Iters = 4
 
+  /** Broadcast-or-shuffle policy for the graph kernels (r19, from the
+    * r18 advice): the r18 caps were ROW counts (32M nodes / 16M edges) —
+    * at the cap boundary a forced broadcast() builds a multi-GB hashed
+    * relation on the driver and every executor, a plausible OOM /
+    * broadcastTimeout at mid-scale SFs the small-SF bench never
+    * exercises. Cap in ESTIMATED BYTES instead: rows × an estimated
+    * hashed-relation row width (key + payload + table overhead, ~64 B)
+    * against a conf-able budget whose 256 MB default sits comfortably
+    * inside any sane driver/executor memory (guide §3.1: "a few hundred
+    * MB is usually fine; multiple GB is asking for driver OOMs").
+    * Returns the broadcast hint under the budget, identity (shuffle
+    * fallback) above it — plan choice only, values identical. */
+  private[operators] def bcUnder(s: org.apache.spark.sql.SparkSession,
+      rows: Long, rowBytes: Long = 64L):
+      org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    val budget = s.conf.getOption("graft.graph.broadcast.max.bytes")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(256L << 20)
+    if (rows * rowBytes <= budget) broadcast else identity
+  }
+
   private def pagerankOracle(iters: Int): String = {
     val head =
       """WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
@@ -68,13 +89,18 @@ object GraphQueries {
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("d")).persist()
       // r18: the (node, rank/degree) frames are node-cardinality — tiny
-      // next to the edge list — so below a broadcast cap the per-
+      // next to the edge list — so below the broadcast budget the per-
       // iteration join runs map-side over the persisted edges instead of
       // exchanging them every pass (sum over the same rows; exact
       // integer arithmetic is order-independent, values unchanged).
+      // r19: cap sized in bytes ([[bcUnder]]), default 256 MB ≈ 4M nodes
+      // (was a raw 32M-node cap — ~2 GB hashed at the boundary). The
+      // repeated broadcast(deg) inside the loop builds ONE exchange:
+      // every iteration's subtree is identical, so ReuseExchange
+      // collapses them in the executed plan (d30's after-plan shows a
+      // single BroadcastExchange for deg reused across iterations).
       val nNodes = deg.count()
-      val bc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-        if (nNodes <= 32L * 1000 * 1000) broadcast else identity
+      val bc = bcUnder(s, nNodes)
       var ranks = deg.select(col("node"), lit(RankScale).as("r"))
       (0 until Iters).foreach { _ =>
         // share = rank div degree, joined once per iteration; broadcast
@@ -223,13 +249,13 @@ object GraphQueries {
       .union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
       .persist() // both orientation joins read it (swept by PinScope)
-    // r18: below the same 16M-edge cap the close join already uses, the
-    // degree table (≤ 2·|E| rows, 16 B each) broadcasts — the two
-    // orientation joins then run map-side over the persisted edge list
-    // instead of exchanging it twice (by a, then by b).
+    // r18: under the broadcast budget the degree table (≤ 2·|E| rows)
+    // broadcasts — the two orientation joins then run map-side over the
+    // persisted edge list instead of exchanging it twice (by a, then by
+    // b). r19: the raw 16M-edge cap became the byte-sized budget
+    // ([[bcUnder]]; deg sized at its 2·|E| row bound).
     val edgeCount = e.count()
-    val degSide: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      if (edgeCount <= 16L * 1000 * 1000) broadcast else identity
+    val degSide = bcUnder(e.sparkSession, 2L * edgeCount)
     val oriented = e
       .join(degSide(deg.select(col("node").as("a"), col("d").as("da"))), Seq("a"))
       .join(degSide(deg.select(col("node").as("b"), col("d").as("db"))), Seq("b"))
@@ -253,7 +279,7 @@ object GraphQueries {
       .select(col("o1.src").as("u"),
         least(col("o1.dst"), col("o2.dst")).as("va"),
         greatest(col("o1.dst"), col("o2.dst")).as("vb"))
-    val closeSide = if (edgeCount <= 16L * 1000 * 1000) broadcast(e) else e
+    val closeSide = bcUnder(e.sparkSession, edgeCount)(e)
     wedges
       .join(closeSide, col("va") === col("a") && col("vb") === col("b"))
       .select(col("u"), col("va"), col("vb"))
