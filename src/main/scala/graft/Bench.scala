@@ -431,6 +431,36 @@ object Bench {
     var driftFactor = 1.0
     var sensitiveChosen: Seq[String] = Nil
     var warmCutoff = Double.MaxValue // tightened on downshift
+    // ---- warm-phase degradation detection (r19, from the r18 verdict:
+    // the driver's 32c window spiked ONLY in the warm phase — 94 s rep
+    // spreads, ~28% inflated warm total — while every detector, armed on
+    // cold-phase canaries/ratios, reported drift 1.00/inactive). Each
+    // warm rep with a quiet-reference med contributes a ratio; at every
+    // warm canary checkpoint a TRAILING-20 median above 2.0 flags the
+    // window, carried in the artifact as downshift.warm_{active,drift,at}
+    // (worst trailing median wins). DETECTION-ONLY by design: medians of
+    // 3 already absorb isolated spikes, and re-running the suite inside
+    // the spike would spend exactly the budget the spike is taxing — the
+    // flag exists so a spiky warm phase is visible in the artifact
+    // instead of inferred from rep_spread_max after the fact.
+    val warmRatios = scala.collection.mutable.ListBuffer[Double]()
+    var warmDrift = 1.0
+    var warmDriftAt = ""
+    // DRILL HOOK (r19): SPARK_GRAFT_WARM_SPIKE=<factor>[:<fromRep>]
+    // inflates the RECORDED warm rep times by <factor> starting at
+    // global warm-rep ordinal <fromRep> (default 0), so the warm-phase
+    // detector can be exercised end to end (trip + artifact fields +
+    // rc=0) without engine changes. Never set by the driver; recorded
+    // medians are poisoned on purpose, exactly like FAIL_QUERY's
+    // synthetic failure.
+    val warmSpikeDrill: Option[(Double, Int)] =
+      sys.env.get("SPARK_GRAFT_WARM_SPIKE").map { v =>
+        v.split(':') match {
+          case Array(f) => (f.toDouble, 0)
+          case Array(f, k) => (f.toDouble, k.toInt)
+        }
+      }
+    var warmRepOrdinal = 0
 
     def currentWarm: Seq[(String, Double, Double, Double)] = names.map { n =>
       val reps = warmReps(n)
@@ -515,11 +545,14 @@ object Bench {
         .mkString("[", ",", "]")
       // compact form rides `meta` (shared with the tail-sized totals
       // line); the full name list lands only in the big artifact below
+      val warmJson =
+        if (warmDrift <= 1.0) """"warm_active":false"""
+        else f""""warm_active":true,"warm_drift":$warmDrift%.2f,"warm_at":${jstr(warmDriftAt)}"""
       val downshiftJson =
         if (!degraded)
-          f"""{"active":false,"drift":$rawDrift%.2f}"""
+          f"""{"active":false,"drift":$rawDrift%.2f,$warmJson}"""
         else
-          f"""{"active":true,"at":${jstr(downshiftAt)},"drift":$rawDrift%.2f,"price_drift":$driftFactor%.2f,"sensitive_n":${sensitiveChosen.size}}"""
+          f"""{"active":true,"at":${jstr(downshiftAt)},"drift":$rawDrift%.2f,"price_drift":$driftFactor%.2f,"sensitive_n":${sensitiveChosen.size},$warmJson}"""
       val seamsJson = chainSeams.map { case (chain, sm) =>
         val entries = sm.map { case (n, t) => f"""["$n",$t%.3f]""" }
           .mkString("[", ",", "]")
@@ -833,9 +866,29 @@ object Bench {
             skipped += s"warm_pass_${seed}_tail:${order.size - i}"
           }
           if (!aborted) {
-            warmReps(n) = warmReps(n) :+ materialize(n)
-            if ((i + 1) % (if (degraded) 10 else 20) == 0)
+            val t0 = materialize(n)
+            val t = warmSpikeDrill match {
+              case Some((f, from)) if t0 >= 0 && warmRepOrdinal >= from =>
+                t0 * f
+              case _ => t0
+            }
+            warmRepOrdinal += 1
+            warmReps(n) = warmReps(n) :+ t
+            if (t >= 0)
+              quiet.meds.get(n).filter(_ > 0).foreach(q => warmRatios += t / q)
+            if ((i + 1) % (if (degraded) 10 else 20) == 0) {
               runCanary(record = true)
+              if (detectionArmed && warmRatios.size >= 20) {
+                val m = medOf(warmRatios.takeRight(20).toSeq)
+                if (m > 2.0 && m > warmDrift) {
+                  warmDrift = m
+                  warmDriftAt = s"warm_pass_${seed}_q${i + 1}"
+                  Console.err.println(f"[bench] WARM-PHASE degradation: " +
+                    f"trailing-20 rep/quiet median $m%.2fx at $warmDriftAt " +
+                    "(flagged in artifact; medians keep absorbing spikes)")
+                }
+              }
+            }
           }
         }
         flush(s"warm_pass_$seed")

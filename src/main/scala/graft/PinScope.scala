@@ -26,6 +26,16 @@ import org.apache.spark.sql.SparkSession
   * unnamed entry selectively, so the scope's contract is: caller-cached
   * tables do not survive it either — callers who interleave their own
   * caches should re-cache after the scope.
+  *
+  * localCheckpoint()ed frames (eager or lazy — d59's in-memory store
+  * frames, the s15 batch stages, the bpeIterate rounds) do NOT merely
+  * recompute after the sweep: checkpointing SEVERS lineage, so
+  * unpersisting a localCheckpointed RDD destroys its only copy and any
+  * later reference hard-fails with a missing-checkpoint-block error
+  * (r18 advice). Checkpointed frames must therefore never span a scope
+  * boundary — every current caller creates and fully consumes them
+  * inside one scope (the bench materializes each query before the
+  * sweep), which is the contract.
   */
 object PinScope {
   def run[A](spark: SparkSession)(body: => A): A =

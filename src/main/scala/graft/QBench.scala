@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
 object QBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.builder(master = "local[32]").getOrCreate()
+    // honor the driver-contract core count (r19: the SCALE.md low-vs-high
+    // core ladders time QBench arms at local[8] vs local[32])
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val which = args.headOption.getOrElse("q31")
 

@@ -112,7 +112,12 @@ object TextStats {
     *    full window — winsExpr's transform(sequence(1, n-width+1), ...).
     *  - chunk mode (stride == width): ceil(n/width) strings, the last
     *    one partial — chunksExpr's transform over slice(tk, i*w+1, w).
-    * array_join semantics: null elements are skipped (no separator). */
+    * array_join semantics: null elements are skipped (no separator).
+    * Contract divergence vs the replaced width-2 bigram HOF (r18
+    * advice): that HOF used concat, which emits a NULL element per null
+    * token, while concatWs skips them — unreachable in the engine
+    * because every input rides ws_tokens/bpe_pre_tokens arrays, which
+    * are containsNull=false by construction. */
   def gramJoins(tokens: ArrayData, width: Int, stride: Int): ArrayData = {
     val n = tokens.numElements()
     if (stride == 1 && n < width) return new GenericArrayData(Array.empty[Any])

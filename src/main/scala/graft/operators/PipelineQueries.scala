@@ -570,25 +570,30 @@ object PipelineQueries {
     * contract frames of [[StoreFrames]] built over the persisted
     * admitted set. */
   private def storeFramesInMemory(s: SparkSession, dir: String): StoreFrames = {
-    // r18: the three store frames are eager localCheckpoints, not
-    // persists — every batch-side consumer (gram probe, band union,
-    // chunk anti-join, attrition branches) previously stitched the FULL
-    // store lineage into its plan, and driver-side analysis of those
-    // trees (the d60 explain string was 2.9 MB) was the residual chain
-    // cost after the r18 kernel work. Checkpointing severs the store
-    // boundary exactly where d59's parquet handoff severs it — the
-    // in-memory arm now has the same plan shape as the persisted arm.
-    // (Same recomputability trade the chain's other seams already price;
-    // also removes the r13 plan-cache-sharing race class entirely — a
+    // r18: the three store frames are localCheckpoints, not persists —
+    // every batch-side consumer (gram probe, band union, chunk
+    // anti-join, attrition branches) previously stitched the FULL store
+    // lineage into its plan, and driver-side analysis of those trees
+    // (the d60 explain string was 2.9 MB) was the residual chain cost
+    // after the r18 kernel work. Checkpointing severs the store boundary
+    // exactly where d59's parquet handoff severs it — the in-memory arm
+    // has the same plan shape as the persisted arm. (Same
+    // recomputability trade the chain's other seams already price; also
+    // removes the r13 plan-cache-sharing race class entirely — a
     // checkpointed frame has no shareable lineage.)
+    // r19: LAZY (eager = false) — the truncation is identical, but the
+    // r18 eager form paid three sequential driver-sync jobs before the
+    // chain's first real action; lazy folds materialization into the
+    // first consuming job (Spark completes any partially-computed lazy
+    // checkpoint at that job's end).
     val (oldAug, _) = incInputs(s, dir)
     val oldQ = repetitionDocs(qualityDocs(oldAug))
-    val hotStore = hotLinesOf(linesOf(oldQ)).localCheckpoint(true)
+    val hotStore = hotLinesOf(linesOf(oldQ)).localCheckpoint(false)
     incProbe("hotStore", () => hotStore.count())
     val ldOld = lineCleanAgainst(oldQ, hotStore)
-      .localCheckpoint(true) // consumers: gram probe, LSH sigs, chunks, base
+      .localCheckpoint(false) // consumers: gram probe, LSH sigs, chunks, base
     incProbe("ldOld", () => ldOld.count())
-    val osh = ghsOf(ldOld).localCheckpoint(true)
+    val osh = ghsOf(ldOld).localCheckpoint(false)
     incProbe("osh", () => osh.count())
     StoreFrames(
       hot = hotStore,
@@ -681,12 +686,20 @@ object PipelineQueries {
     val (_, batAug) = incInputs(s, dir)
     val qB = ck("qB")(qualityDocs(batAug))
     val repB = repetitionDocs(qB)
+    // r19: the batch-side stage frames are LAZY localCheckpoints, not
+    // persists — same share-the-computation semantics, but the d57/d60
+    // consumer plans see depth-1 LogicalRDDs instead of the full batch
+    // lineage (d60's explain was still ~0.8 MB with plain persists; the
+    // r18 severing experiment was a wash because it used EAGER
+    // checkpoints, paying one sequential driver-sync job per frame —
+    // lazy keeps the truncation and folds materialization into the
+    // first consuming job). Recompute trade as storeFramesInMemory.
     val ldBat = lineCleanAgainst(repB, store.hot)
-      .persist() // consumers: gram probes x2, LSH sigs, chunk explode
+      .localCheckpoint(false) // consumers: gram probes x2, LSH sigs, chunks
     incProbe("ldBat", () => ldBat.count())
 
     // near-dup vs store + in-batch greedy (d49's rule, d05's mechanism)
-    val bsh = ghsOf(ldBat).persist()
+    val bsh = ghsOf(ldBat).localCheckpoint(false)
     incProbe("bsh", () => bsh.count())
     // store grams probe ONLY batch grams — store×store is never formed
     val po = jacFilter(
@@ -699,7 +712,7 @@ object PipelineQueries {
           col("source") === col("source_o"))
         .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter")),
       "new_id", "old_id", gsizes(bsh, "new_id", "na"), store.gramSizes)
-      .persist()
+      .localCheckpoint(false)
     incProbe("po", () => po.count())
     val pn = jacFilter(
       gtab(bsh, "earlier_id").join(
@@ -712,7 +725,7 @@ object PipelineQueries {
           col("earlier_id") < col("new_id"))
         .groupBy("earlier_id", "new_id").agg(count(lit(1)).as("inter")),
       "earlier_id", "new_id", gsizes(bsh, "earlier_id", "na"),
-      gsizes(bsh, "new_id", "nb")).persist()
+      gsizes(bsh, "new_id", "nb")).localCheckpoint(false)
     incProbe("pn", () => pn.count())
     val keptB = ldBat
       .join(po.select(col("new_id").as("doc_id")).distinct(),
@@ -724,7 +737,7 @@ object PipelineQueries {
     // band keys probe the full band table (store artifact ∪ today's batch
     // keys); recall vs the exact edges
     val batchBands = Dedup.bandedKeys(Dedup.signatures(
-      ldBat.select("doc_id", "text"))).persist()
+      ldBat.select("doc_id", "text"))).localCheckpoint(false)
     incProbe("batchBands", () => batchBands.count())
     val allBands = store.bands.unionByName(batchBands)
     val cands = batchBands
@@ -765,7 +778,7 @@ object PipelineQueries {
         "array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), ' ')")
         .as("rtext"))
       .withColumn("rtk", graft.functions.TextStats.wsTokensCol(col("rtext")))
-      .persist() // consumers: decontam windows + text, semantic, pack
+      .localCheckpoint(false) // consumers: decontam windows+text, sem, pack
     incProbe("rw", () => rw.count())
 
     // verbatim decontamination vs the raw benchmark split (d46 / d47 4a)

@@ -47,9 +47,17 @@ object SeamClock {
     * the same chain materializes in as few jobs as the outputs demand.
     * Spark completes any partially-computed lazy checkpoint at
     * first-job end (LocalRDDCheckpointData.doCheckpoint), so truncation
-    * safety is unchanged. Default OFF pending the lane A/B. */
+    * safety is unchanged.
+    *
+    * Default ON since r19: the pending lane A/B ran (QBench seamlane,
+    * same window, 3 reps/arm) — lazy ≤ eager on every rep, lane med
+    * 17.25 s vs 17.84 s; the residual per-seam ledger cost is plan
+    * COMPILATION (paid either way), so eager's extra count() job buys
+    * nothing at this SF and costs one stall draw per seam on a
+    * contended cluster. Set the property to "false" to force the eager
+    * form. */
   private def lazySeams: Boolean =
-    sys.props.get("graft.chain.lazy.seams").contains("true")
+    !sys.props.get("graft.chain.lazy.seams").contains("false")
 
   /** A checkpoint barrier (eager by default, see [[lazySeams]]), timed
     * when a recording scope is active on this thread. */

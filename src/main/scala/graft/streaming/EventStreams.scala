@@ -103,9 +103,18 @@ object EventStreams {
     }.toSeq: _*)
   }
 
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** One batch-side footer read of the events schema — hoisted so the
+    * two-source gates (s04/s11) pay schema inference once per query
+    * instead of once per stream arm (r19). */
+  private def eventsSchema(spark: SparkSession,
+      dir: String): org.apache.spark.sql.types.StructType =
+    spark.read.parquet(s"$dir/events.parquet").schema
+
+  private def eventsStream(spark: SparkSession, dir: String,
+      knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = knownSchema.getOrElse(eventsSchema(spark, dir))
     // events.parquet is a single FILE in the driver corpus but a
     // DIRECTORY of part files in any Spark-written corpus (ScaleGen's
     // first cut, real deployments). A glob on the literal file name
@@ -307,12 +316,13 @@ object EventStreams {
     * interval-join oracle checks it exactly. */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
     withStreamConf(spark) {
-      val purchases = eventsStream(spark, dir)
+      val sch = Some(eventsSchema(spark, dir))
+      val purchases = eventsStream(spark, dir, sch)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
           col("ts").as("p_ts"))
         .withWatermark("p_ts", "2 hours")
-      val clicks = eventsStream(spark, dir)
+      val clicks = eventsStream(spark, dir, sch)
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
           col("ts").as("c_ts"))
@@ -355,12 +365,13 @@ object EventStreams {
     * state, only an eviction-time emit. */
   def streamOuterJoin(spark: SparkSession, dir: String): DataFrame =
     withStreamConf(spark, noDataBatches = true) {
-      val purchases = eventsStream(spark, dir)
+      val sch = Some(eventsSchema(spark, dir))
+      val purchases = eventsStream(spark, dir, sch)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
           col("ts").as("p_ts"))
         .withWatermark("p_ts", "30 minutes")
-      val clicks = eventsStream(spark, dir)
+      val clicks = eventsStream(spark, dir, sch)
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
           col("ts").as("c_ts"))
